@@ -1,0 +1,33 @@
+"""Central query registry: merges each operator module's QUERIES/ORACLES.
+
+The driver contract (__spark_entry__.py) exposes queries() and oracle_sql()
+from here. A query appears in ORACLES only when it is expressible in ANSI
+SQL runnable by DuckDB; genuinely non-SQL ops (custom stateful streaming,
+iterative algorithms) register in QUERIES only → rows-only check.
+"""
+
+from __future__ import annotations
+
+from kuibadb_spark.operators import relational
+
+_MODULES = [relational]
+
+
+def all_queries() -> dict:
+    out: dict = {}
+    for m in _MODULES:
+        dup = set(out) & set(m.QUERIES)
+        if dup:
+            raise ValueError(f"duplicate query names: {dup}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict:
+    out: dict = {}
+    for m in _MODULES:
+        out.update(getattr(m, "ORACLES", {}))
+    unknown = set(out) - set(all_queries())
+    if unknown:
+        raise ValueError(f"oracles without queries: {unknown}")
+    return out

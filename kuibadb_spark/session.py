@@ -1,0 +1,58 @@
+"""SparkSession bootstrap for the kuibadb_spark engine.
+
+Semantics mirrored from the reference (KuiBaDB @ /root/reference):
+
+- ANSI mode ON so integer overflow / division-by-zero / bad casts raise,
+  matching the reference's checked arithmetic (src/utils/adt.rs:29-33:
+  int4pl raises ERRCODE_NUMERIC_VALUE_OUT_OF_RANGE on overflow) instead
+  of silently wrapping.
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  comparable against a DuckDB oracle (naive UTC timestamps).
+- AQE on: runtime re-planning (partition coalescing, skew-join handling)
+  is the 100 TB scale story for shuffles.
+
+Scale notes: shuffle partition count is configurable via SPARK_GRAFT_CPUS
+for local runs; on a real cluster you would leave
+spark.sql.shuffle.partitions to AQE (coalescing from a high initial
+number). Nothing in this module or the operator modules collects rows to
+the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "kuibadb-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def builder(app_name: str = APP_NAME, extra_conf: dict | None = None):
+    cpus = default_parallelism()
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b
+
+
+def get_spark(app_name: str = APP_NAME) -> SparkSession:
+    """Get-or-create the engine session (idempotent)."""
+    spark = builder(app_name).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
