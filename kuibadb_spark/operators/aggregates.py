@@ -1,0 +1,255 @@
+"""Aggregation surface beyond plain groupBy (SURVEY.md §2.3): grouping
+sets / rollup / cube, multi-distinct, statistical aggregates, FILTERed
+and conditional aggregation, pivot, and sketch-based approximations.
+
+The reference reserves aggregates in its catalog (ProKind::Agg,
+/root/reference src/catalog.rs:127-133) but declares none; this module
+supplies the PostgreSQL-contract surface with Spark built-ins only.
+
+Scale notes: groupBy/rollup/cube all get map-side partial aggregation
+(the Expand for rollup/cube multiplies rows AFTER the scan but partials
+still combine before the shuffle). Multi-distinct triggers Spark's
+Expand-based plan — one extra shuffle, unavoidable for exact distincts;
+the sketch query (approx_count_distinct = HyperLogLog++) is the 100 TB
+path where exactness isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kuibadb_spark.catalog import load
+
+
+def _grp(col):  # grouping() → int in both engines
+    return F.grouping(col).cast("int")
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _grp("l_returnflag").alias("g_rf"),
+            _grp("l_linestatus").alias("g_ls"),
+        )
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _grp("o_orderstatus").alias("g_st"),
+            _grp("o_orderpriority").alias("g_pr"),
+        )
+        .orderBy("g_st", "g_pr", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("ks_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls
+        FROM ks_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+        """
+    )
+
+
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_dist_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.stddev_pop("l_discount"), 6).alias("sdp_disc"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+            F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("cov_pd"),
+            F.round(F.covar_pop("l_extendedprice", "l_discount"), 4).alias("covp_pd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    big = F.col("value") > 100.0
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.when(big, 1)).alias("n_big"),
+            F.round(F.sum(F.when(big, F.col("value")).otherwise(0.0)), 2).alias(
+                "sum_big"
+            ),
+            F.bool_or(big).alias("any_big"),
+            F.bool_and(big).alias("all_big"),
+            F.max_by("event_id", "value").alias("top_event"),
+            F.min_by("event_id", "value").alias("bottom_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (rows-only check: HLL++/KLL estimates are
+    engine-specific by design — the 100 TB substitute for exact distincts).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES = {
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_multi_distinct": agg_multi_distinct,
+    "agg_stats": agg_stats,
+    "agg_percentiles": agg_percentiles,
+    "agg_conditional": agg_conditional,
+    "agg_pivot": agg_pivot,
+    "agg_approx_sketches": agg_approx_sketches,
+}
+
+ORACLES = {
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+    """,
+    "agg_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
+               CAST(grouping(o_orderpriority) AS INTEGER) AS g_pr
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
+    """,
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+    """,
+    "agg_multi_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS nd_part,
+               count(DISTINCT l_suppkey) AS nd_supp,
+               round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "agg_stats": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 4) AS sd_price,
+               round(stddev_pop(l_discount), 6)       AS sdp_disc,
+               round(var_samp(l_quantity), 4)         AS var_qty,
+               round(corr(l_extendedprice, l_quantity), 6)        AS corr_pq,
+               round(covar_samp(l_extendedprice, l_discount), 4)  AS cov_pd,
+               round(covar_pop(l_extendedprice, l_discount), 4)   AS covp_pd
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "agg_percentiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "agg_conditional": """
+        SELECT event_type,
+               count(CASE WHEN value > 100.0 THEN 1 END) AS n_big,
+               round(sum(CASE WHEN value > 100.0 THEN value ELSE 0.0 END), 2)
+                   AS sum_big,
+               bool_or(value > 100.0)  AS any_big,
+               bool_and(value > 100.0) AS all_big,
+               arg_max(event_id, value) AS top_event,
+               arg_min(event_id, value) AS bottom_event
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "agg_pivot": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+}

@@ -8,9 +8,9 @@ iterative algorithms) register in QUERIES only → rows-only check.
 
 from __future__ import annotations
 
-from kuibadb_spark.operators import relational
+from kuibadb_spark.operators import aggregates, relational, windows
 
-_MODULES = [relational]
+_MODULES = [relational, windows, aggregates]
 
 
 def all_queries() -> dict:
