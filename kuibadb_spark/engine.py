@@ -1,0 +1,146 @@
+"""Engine shell: the user-facing session mirroring the reference's three
+entry points (SURVEY.md §3) — sql(), create_table(), copy_from() — over a
+warehouse of manifest-versioned parquet tables.
+
+Query lifecycle parity (SURVEY.md §3.1): parse/analyze/plan/execute are
+Catalyst's; the engine supplies the surface. FROM-less SELECT works
+(`engine.sql("SELECT 1+2 AS x")` → Catalyst OneRowRelation), which is the
+reference's entire executable SELECT path (src/optimizer.rs:23-62).
+
+Transactions (SURVEY.md §2.4): BEGIN/COMMIT/ABORT are accepted as session
+no-ops; consistency comes from snapshot reads (a table() DataFrame pins a
+manifest version) and atomic manifest commits — the semantics of the
+reference's SupVer/MVCC stack without WAL/CLOG. LOCK TABLE is accepted
+and ignored (immutable snapshots make PG's 8-mode lock matrix moot).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from kuibadb_spark.errors import DuplicateTable, UndefinedTable
+from kuibadb_spark.plans import manifest as mf
+from kuibadb_spark.session import get_spark
+from kuibadb_spark.sources.copy import check_not_null, parse_typed
+
+_TXN_RE = re.compile(
+    r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|END|ABORT|ROLLBACK|LOCK\s+.+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, warehouse: str = "/tmp/kuibadb_warehouse"):
+        self.spark = spark or get_spark()
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- SQL entry point ---------------------------------------------------
+    def sql(self, text: str) -> DataFrame | None:
+        """Run SQL. Registered tables resolve by name; txn/lock statements
+        are accepted no-ops (returns None), like the reference's utility
+        path but without the machinery (SURVEY.md §2.4)."""
+        if _TXN_RE.match(text):
+            return None
+        self._register_all()
+        return self.spark.sql(text)
+
+    # -- DDL -----------------------------------------------------------------
+    def create_table(
+        self,
+        name: str,
+        schema: str | T.StructType,
+        not_null: list[str] | None = None,
+        props: dict | None = None,
+    ) -> None:
+        """CREATE TABLE (reference: src/commands/tablecmds.rs:103-148 —
+        catalog rows + table dir + empty manifest; here: dir + manifest,
+        the schema IS the catalog entry)."""
+        tdir = self._table_dir(name)
+        if os.path.exists(mf.manifest_path(tdir)):
+            raise DuplicateTable(f"table {name!r} already exists")
+        os.makedirs(tdir, exist_ok=True)
+        if isinstance(schema, T.StructType):
+            ddl = schema.simpleString()[7:-1]  # struct<a:int,…> → a:int,…
+        else:
+            ddl = schema
+        mf.init_manifest(tdir, ddl, not_null or [], props)
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        shutil.rmtree(tdir)
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.exists(mf.manifest_path(os.path.join(self.warehouse, d)))
+        )
+
+    # -- reads ---------------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        """Snapshot read: pins the current manifest version's file list —
+        later commits are invisible to this DataFrame (reference:
+        Snapshot visibility, src/access/xact.rs:76-99, by construction)."""
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        m = mf.read_manifest(tdir)
+        schema = T.StructType.fromDDL(m["schema"])
+        if not m["files"]:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*m["files"])
+
+    # -- ingest ---------------------------------------------------------------
+    def copy_from(
+        self,
+        name: str,
+        path: str,
+        delimiter: str = ",",
+        null_marker: str = r"\N",
+        parallel: int | None = None,
+        csv: bool = False,
+    ) -> int:
+        """COPY name FROM path — returns loaded row count (`COPY n`).
+        Scatter = Spark tasks; `(parallel N)` = repartition(N) ⇒ N task
+        files, like the reference's one-L0-file-per-worker
+        (src/commands/copy.rs:131-145). Commit = atomic manifest append."""
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        m = mf.read_manifest(tdir)
+        schema = T.StructType.fromDDL(m["schema"])
+
+        df = parse_typed(self.spark, path, schema, delimiter, null_marker, csv)
+        if parallel:
+            df = df.repartition(parallel)
+        check_not_null(df, m["not_null"])
+
+        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(staging)
+        new_files = [
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        ]
+        mf.commit_files(tdir, new_files, m["version"])
+        # metadata-only count over the committed files (parquet row counts)
+        return self.spark.read.parquet(*new_files).count() if new_files else 0
+
+    # -- helpers ---------------------------------------------------------------
+    def _table_dir(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"bad table name {name!r}")
+        return os.path.join(self.warehouse, name.lower())
+
+    def _register_all(self) -> None:
+        for t in self.tables():
+            self.table(t).createOrReplaceTempView(t)

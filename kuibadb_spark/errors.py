@@ -1,0 +1,43 @@
+"""PG-style error model: SQLSTATE-carrying exceptions, mirroring the
+reference's ErrCode/kbensure sites (/root/reference src/utils/err.rs:25-47,
+src/protocol/errcodes.rs). Only the codes the engine actually raises are
+declared.
+"""
+
+from __future__ import annotations
+
+
+class KbError(Exception):
+    sqlstate = "XX000"  # internal_error
+
+    def __init__(self, message: str):
+        super().__init__(f"[{self.sqlstate}] {message}")
+        self.message = message
+
+
+class BadCopyFileFormat(KbError):
+    # reference: ERRCODE_BAD_COPY_FILE_FORMAT (copy.rs:155-172)
+    sqlstate = "22P04"
+
+
+class NotNullViolation(KbError):
+    # reference: ERRCODE_NOT_NULL_VIOLATION (cs.rs:58-76)
+    sqlstate = "23502"
+
+
+class InvalidTextRepresentation(KbError):
+    # reference: typinput parse failure (adt.rs:148-176)
+    sqlstate = "22P02"
+
+
+class UndefinedTable(KbError):
+    sqlstate = "42P01"
+
+
+class DuplicateTable(KbError):
+    sqlstate = "42P07"
+
+
+class SerializationFailure(KbError):
+    # optimistic manifest-commit conflict
+    sqlstate = "40001"

@@ -1,0 +1,74 @@
+"""Per-table snapshot manifest: version = an immutable list of parquet
+files. This keeps the one piece of reference machinery worth keeping —
+KuiBaDB's SuperVersion/manifest (/root/reference src/access/sv.rs:129-296)
+gives atomic multi-file commit and snapshot reads; with immutable parquet
+there is no WAL/CLOG/MVCC left to replicate, only the manifest swap.
+
+Durability trick is the reference's own (src/utils.rs:287-301 `persist`):
+write a temp file, fsync, rename into place, fsync the directory.
+
+Readers pin a version: a DataFrame built from a manifest's explicit file
+list never sees later commits (snapshot isolation per query — the
+semantics of the reference's Snapshot{xmin,xmax} without transaction IDs).
+Writers use optimistic concurrency: commit re-reads the manifest and
+fails (SerializationFailure) if the base version moved.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kuibadb_spark.errors import SerializationFailure
+
+MANIFEST = "manifest.json"
+
+
+def manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, MANIFEST)
+
+
+def read_manifest(table_dir: str) -> dict:
+    with open(manifest_path(table_dir)) as f:
+        return json.load(f)
+
+
+def init_manifest(table_dir: str, schema_ddl: str, not_null: list[str],
+                  props: dict | None = None) -> dict:
+    m = {
+        "version": 0,
+        "files": [],
+        "schema": schema_ddl,
+        "not_null": list(not_null),
+        "props": props or {},
+    }
+    _persist(table_dir, m)
+    return m
+
+
+def commit_files(table_dir: str, new_files: list[str], base_version: int) -> dict:
+    """Atomically append files; optimistic check against concurrent commits."""
+    m = read_manifest(table_dir)
+    if m["version"] != base_version:
+        raise SerializationFailure(
+            f"manifest moved: base v{base_version}, now v{m['version']}"
+        )
+    m["version"] += 1
+    m["files"] = m["files"] + list(new_files)
+    _persist(table_dir, m)
+    return m
+
+
+def _persist(table_dir: str, m: dict) -> None:
+    # temp file + fsync + rename + dir fsync (reference src/utils.rs:287-301)
+    tmp = manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, manifest_path(table_dir))
+    dfd = os.open(table_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)

@@ -8,9 +8,10 @@ iterative algorithms) register in QUERIES only → rows-only check.
 
 from __future__ import annotations
 
+from kuibadb_spark.functions import scalar
 from kuibadb_spark.operators import aggregates, relational, windows
 
-_MODULES = [relational, windows, aggregates]
+_MODULES = [relational, windows, aggregates, scalar]
 
 
 def all_queries() -> dict:

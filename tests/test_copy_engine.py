@@ -1,0 +1,128 @@
+"""COPY / Engine semantics tests, mirroring the reference's behaviors
+(FIXTURES.md 'CSV ingest fixture'): delimiter + NULL-marker handling,
+extra/missing column errors, NOT NULL enforcement, row-count result,
+snapshot reads, FROM-less SELECT, txn no-ops.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kuibadb_spark.engine import Engine
+from kuibadb_spark.errors import (
+    BadCopyFileFormat,
+    DuplicateTable,
+    NotNullViolation,
+    UndefinedTable,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+SCHEMA = "a INT, b SMALLINT, c STRING"
+
+
+def test_copy_happy_path(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", ["1|2|x", r"3|\N|y", r"5|6|\N"])
+    n = engine.copy_from("t", path, delimiter="|")
+    assert n == 3
+    rows = {tuple(r) for r in engine.table("t").collect()}
+    assert rows == {(1, 2, "x"), (3, None, "y"), (5, 6, None)}
+
+
+def test_copy_custom_null_marker(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", ["1|2|NULLMARK", "2|3|actual"])
+    engine.copy_from("t", path, delimiter="|", null_marker="NULLMARK")
+    vals = {r.c for r in engine.table("t").collect()}
+    assert vals == {None, "actual"}
+
+
+def test_copy_extra_column_errors(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", ["1|2|x|EXTRA"])
+    with pytest.raises(BadCopyFileFormat):
+        engine.copy_from("t", path, delimiter="|")
+
+
+def test_copy_missing_column_errors(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", ["1|2"])
+    with pytest.raises(BadCopyFileFormat):
+        engine.copy_from("t", path, delimiter="|")
+
+
+def test_copy_not_null_violation(engine, tmp_path):
+    engine.create_table("t", SCHEMA, not_null=["b"])
+    path = _write(tmp_path, "in.txt", [r"1|\N|x"])
+    with pytest.raises(NotNullViolation):
+        engine.copy_from("t", path, delimiter="|")
+    assert engine.table("t").count() == 0  # failed COPY commits nothing
+
+
+def test_copy_bad_int_errors(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", ["junk|2|x"])
+    with pytest.raises(Exception):  # ANSI cast error ≈ typinput failure
+        engine.copy_from("t", path, delimiter="|")
+
+
+def test_copy_parallel_and_append(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", [f"{i}|{i%10}|r{i}" for i in range(100)])
+    assert engine.copy_from("t", path, delimiter="|", parallel=4) == 100
+    assert engine.copy_from("t", path, delimiter="|") == 100
+    assert engine.table("t").count() == 200
+
+
+def test_snapshot_read_pins_version(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    p1 = _write(tmp_path, "in1.txt", ["1|1|a"])
+    engine.copy_from("t", p1, delimiter="|")
+    snap = engine.table("t")  # pins v1
+    p2 = _write(tmp_path, "in2.txt", ["2|2|b"])
+    engine.copy_from("t", p2, delimiter="|")
+    assert snap.count() == 1          # old snapshot unchanged
+    assert engine.table("t").count() == 2  # new snapshot sees both
+
+
+def test_sql_entrypoints(engine, tmp_path):
+    # FROM-less SELECT — the reference's only executable SELECT path
+    assert engine.sql("SELECT 1 + 2 AS x").collect()[0].x == 3
+    # txn / lock statements are accepted no-ops
+    assert engine.sql("BEGIN") is None
+    assert engine.sql("COMMIT") is None
+    assert engine.sql("LOCK TABLE t IN ACCESS EXCLUSIVE MODE") is None
+    # SQL over a registered table
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", ["1|2|x", "4|5|y"])
+    engine.copy_from("t", path, delimiter="|")
+    assert engine.sql("SELECT sum(a) AS s FROM t").collect()[0].s == 5
+
+
+def test_ddl_errors(engine):
+    engine.create_table("t", SCHEMA)
+    with pytest.raises(DuplicateTable):
+        engine.create_table("t", SCHEMA)
+    with pytest.raises(UndefinedTable):
+        engine.table("nope")
+    engine.drop_table("t")
+    with pytest.raises(UndefinedTable):
+        engine.drop_table("t")
+
+
+def test_copy_csv_mode(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.csv", ['1,2,"x,y"', "3,4,plain"])
+    assert engine.copy_from("t", path, delimiter=",", csv=True) == 2
+    assert {r.c for r in engine.table("t").collect()} == {"x,y", "plain"}
