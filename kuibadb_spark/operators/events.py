@@ -1,0 +1,199 @@
+"""Event/time-series operators over the `events` table (FIXTURES.md):
+JSON property extraction, tumbling/sliding/session time windows, and
+exact stream dedup — the batch expressions of the streaming surface
+(streaming/events.py runs the same logic incrementally).
+
+The reference has no streams (SURVEY.md §1.4); this is target surface
+(BASELINE.json north star). Semantics: Spark's window()/session_window()
+are used in batch mode; oracles express the identical window algebra in
+SQL (date_trunc / time_bucket / gaps-and-islands), which pins the
+semantics engine-independently.
+
+Scale notes: all window assignment is per-row expression work (no
+shuffle); the aggregations shuffle on (window, key) — at 100 TB the
+watermark/window grouping keys are high-cardinality so AQE handles
+placement; sessionization shuffles once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kuibadb_spark.catalog import load
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction (events.props is a JSON string — FIXTURES.md)
+# --------------------------------------------------------------------------
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_big_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# tumbling window: window(ts, 1 hour) ≡ date_trunc('hour', ts)
+# --------------------------------------------------------------------------
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# sliding window: 1 hour every 30 minutes (each event in 2 windows)
+# --------------------------------------------------------------------------
+def ev_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "n", "avg_value")
+        .orderBy("ws")
+    )
+
+
+# --------------------------------------------------------------------------
+# session windows: gap-based sessionization (10-minute inactivity gap)
+# --------------------------------------------------------------------------
+def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup of an event stream (duplicate delivery → distinct rows)
+# --------------------------------------------------------------------------
+def ev_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dup = e.unionAll(e).unionAll(e.filter(F.col("event_id") % 3 == 0))
+    return (
+        dup.dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_rows"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "ev_json_extract": ev_json_extract,
+    "ev_tumbling_hourly": ev_tumbling_hourly,
+    "ev_sliding_hourly": ev_sliding_hourly,
+    "ev_session_windows": ev_session_windows,
+    "ev_dedup_exact": ev_dedup_exact,
+}
+
+_SESSION_GAI = """
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""
+
+ORACLES = {
+    "ev_json_extract": """
+        SELECT event_type, count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+               CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_big_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "ev_tumbling_hourly": """
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY ws, event_type
+        ORDER BY ws, event_type
+    """,
+    "ev_sliding_hourly": """
+        SELECT ws, count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL 30 MINUTE]) AS ws
+                 , value
+            FROM events
+        )
+        GROUP BY ws
+        ORDER BY ws
+    """,
+    "ev_session_windows": _SESSION_GAI,
+    "ev_dedup_exact": """
+        SELECT event_type, count(*) AS n_distinct_rows
+        FROM (
+            SELECT DISTINCT * FROM (
+                SELECT * FROM events
+                UNION ALL SELECT * FROM events
+                UNION ALL SELECT * FROM events WHERE event_id % 3 = 0
+            )
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}

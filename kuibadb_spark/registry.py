@@ -9,9 +9,10 @@ iterative algorithms) register in QUERIES only → rows-only check.
 from __future__ import annotations
 
 from kuibadb_spark.functions import scalar
-from kuibadb_spark.operators import aggregates, relational, windows
+from kuibadb_spark.operators import aggregates, events, relational, windows
+from kuibadb_spark.streaming import events as streaming_events
 
-_MODULES = [relational, windows, aggregates, scalar]
+_MODULES = [relational, windows, aggregates, scalar, events, streaming_events]
 
 
 def all_queries() -> dict:

@@ -1,0 +1,184 @@
+"""Structured Streaming surface over the `events` table (SURVEY.md §7.2
+phase 7): incremental versions of the batch window operators in
+operators/events.py — tumbling/sliding windows with watermarks, session
+windows, streaming dedup, and a custom stateful operator
+(applyInPandasWithState).
+
+The reference has no streaming (SURVEY.md §1.4) — this is north-star
+surface. Local runs drive a parquet-file source to completion with
+processAllAvailable() + a memory sink (test harness only); a production
+deployment swaps source/sink (kafka, files) without touching the
+transformations, which is the point of expressing them on the streaming
+DataFrame API.
+
+Scale notes: state size is bounded by watermarks (late data beyond
+10 minutes is dropped); the stateful operator keys on user_id so state
+shards across executors; complete-mode memory sinks below are test-only.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kuibadb_spark.catalog import table_path
+
+# Raw parquet schema: ts is TIMESTAMP(NANOS) → read as long (see catalog.load)
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The parquet stream source requires a directory; the fixture is a
+    single file → expose it through a symlink dir (no data copy)."""
+    import hashlib
+    import os
+
+    src = table_path(sf_dir, "events")
+    d = f"/tmp/kuibadb_stream_{hashlib.md5(src.encode()).hexdigest()[:10]}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Watermarks require TimestampType (instants); pin the session to UTC
+    # so the instant's wall-clock equals the file's naive timestamps, and
+    # cast back to timestamp_ntz at the output edge.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.readStream.schema(_RAW_SCHEMA).parquet(_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
+    )
+
+
+def session_values(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon."""
+    return events.withWatermark("ts", "30 minutes").dropDuplicates(
+        ["event_id", "ts"]
+    )
+
+
+def _user_totals_fn(key, pdfs, state: GroupState):
+    """Custom stateful operator: running per-user totals (the reference's
+    extension point is a C-ABI fmgr table, src/utils/fmgr.rs:36-43; ours
+    is arbitrary Python over Arrow batches with managed state)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType="user_id long, n long, total_value double",
+        stateStructType="n long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink (local
+    test harness; the parquet source feeds finite input so
+    processAllAvailable terminates)."""
+    name = f"ks_mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+# -- registry entries: streaming pipelines whose final answer is checkable
+# against the same SQL oracle as the batch equivalent ----------------------
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(tumbling_counts(read_events_stream(spark, sf_dir)))
+    return out.withColumn("ws", F.col("ws").cast("timestamp_ntz")).orderBy(
+        "ws", "event_type"
+    )
+
+
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(
+        stateful_user_totals(read_events_stream(spark, sf_dir)), mode="update"
+    )
+    # update-mode memory sink may hold one row per micro-batch per user;
+    # the final state is the max-n row per user
+    w_latest = out.groupBy("user_id").agg(
+        F.max_by("total_value", "n").alias("total_value"),
+        F.max("n").alias("n"),
+    )
+    return w_latest.select("user_id", "n", "total_value").orderBy("user_id")
+
+
+QUERIES = {
+    "stream_tumbling_hourly": stream_tumbling_hourly,
+    "stream_stateful_user_totals": stream_stateful_user_totals,
+}
+
+ORACLES = {
+    # identical oracle as the batch tumbling query — the streaming pipeline
+    # must converge to the batch answer (complete mode, finite source)
+    "stream_tumbling_hourly": """
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY ws, event_type
+        ORDER BY ws, event_type
+    """,
+    "stream_stateful_user_totals": """
+        SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+}
