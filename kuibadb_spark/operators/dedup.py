@@ -1,0 +1,430 @@
+"""Deduplication operators over `documents` / `embeddings` — the
+training-data-pipeline surface (BASELINE.json north star; the reference
+has no analog, SURVEY.md §2.3 'LLM-pipeline extras'):
+
+- exact dedup        : md5(text) hash-groupBy
+- n-gram Jaccard     : 3-word shingles → shared-shingle candidate join →
+                       exact Jaccard filter
+- MinHash + LSH      : k=12 signature (min over md5(seed‖shingle)),
+                       4 bands × 3 rows, band-bucket join → estimated sim
+- SimHash            : 32-bit sign-aggregated token hashes, byte-band
+                       candidates, Hamming-distance filter
+- embedding cosine   : label-blocked pairwise cosine ≥ threshold
+
+The fixture corpus has no duplicates, so every query synthesizes a
+deterministic dup corpus first (exact copies for doc_id%10==0, near-dup
+copies with one appended token for doc_id%20==0) — the SAME synthesis in
+Spark and the DuckDB oracle, so found-duplicate sets must match exactly.
+
+Scale notes (100 TB): none of these are O(n²) over the corpus — candidate
+generation is always an equi-join on a derived key (shingle, minhash
+band, simhash byte-band, label/IVF block), i.e. a hash-partitioned
+shuffle whose fan-in is bounded by bucket collision rates; the quadratic
+step happens only within buckets. Shingle/token explosion is linear in
+corpus tokens. All hashing is md5 (see functions/hashing.py) — swap for
+xxhash64 in single-engine deployments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kuibadb_spark.catalog import load
+
+# ---------------------------------------------------------------------------
+# shared corpus synthesis (identical in both engines)
+# ---------------------------------------------------------------------------
+
+_DUP_CORPUS_DUCK = """
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zzduptoken' FROM documents
+        WHERE doc_id % 20 = 0
+    )
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzduptoken")).alias("text"),
+        )
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+# ---------------------------------------------------------------------------
+# shingles: distinct (doc_id, 3-word shingle)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_DUCK = """
+    toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM corpus
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM toks
+    )
+"""
+
+
+def _shingles(corpus: DataFrame) -> DataFrame:
+    toks = corpus.withColumn("w", F.split("text", r"\s+"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) < 3 THEN array() "
+                "ELSE transform(sequence(1, size(w) - 2), "
+                "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1),"
+                " element_at(w, i+2))) END"
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup: hash-groupBy on md5(text)
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _dup_corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("kept_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard near-dup: shared-shingle candidates → exact Jaccard
+# ---------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(_dup_corpus(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash (k=12) + LSH (4 bands × 3): bucket join → estimated similarity
+# ---------------------------------------------------------------------------
+_K = 12
+_BANDS = 4  # 3 rows per band
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(_dup_corpus(spark, sf_dir))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(_K)
+        ]
+    )
+    band_exprs = ", ".join(
+        f"{j}, md5(concat(h{3*j}, h{3*j+1}, h{3*j+2}))" for j in range(_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id",
+        f"stack({_BANDS}, {band_exprs}) AS (band_idx, band_hash)",
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(_K)]
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_K)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_K)
+    )
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("est_sim", F.round(agree / F.lit(float(_K)), 4))
+        .filter(F.col("est_sim") >= 0.5)
+        .select("doc_a", "doc_b", "est_sim")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash (32-bit) + byte-band candidates + Hamming filter
+# ---------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash, frequency-weighted: with a small vocabulary the
+    unweighted (distinct-token) variant collides massively — term counts
+    carry the signal, so each token votes ±count on every bit."""
+    c = _dup_corpus(spark, sf_dir)
+    toks = (
+        c.withColumn("tok", F.explode(F.split("text", r"\s+")))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        )
+    )
+    bits = toks.select(
+        "doc_id",
+        "h",
+        "wt",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(h >> b) & 1") == 1, F.col("wt")).otherwise(-F.col("wt")),
+    )
+    simhash = (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, 1).otherwise(0))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("CAST(bit AS BIGINT) * CAST(pow(2, b) AS BIGINT)")).alias("sh"))
+    )
+    bytes_df = simhash.selectExpr(
+        "doc_id",
+        "sh",
+        "stack(4, 0, (sh >> 0) & 255, 1, (sh >> 8) & 255,"
+        " 2, (sh >> 16) & 255, 3, (sh >> 24) & 255) AS (band_idx, byte)",
+    )
+    a = bytes_df.alias("a")
+    b = bytes_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 1)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding near-dup: label-blocked pairwise cosine (IVF-style blocking)
+# ---------------------------------------------------------------------------
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v", "label"
+    )
+    copies = e.filter(F.col("vec_id") % 10 == 0).selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        "transform(v, x -> x * 2.0) AS v",  # scaled copy: cosine == 1
+        "label",
+    )
+    c = e.unionAll(copies).withColumn(
+        "norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6))
+        .filter(F.col("cos") >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos",
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+_SIG_COLS = ",\n               ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_K)
+)
+_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band_idx,"
+    f" md5(h{3*j} || h{3*j+1} || h{3*j+2}) AS band_hash FROM sig"
+    for j in range(_BANDS)
+)
+_AGREE = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_K)
+)
+
+ORACLES = {
+    "dedup_exact": f"""
+        WITH {_DUP_CORPUS_DUCK}
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS kept_doc_id,
+               count(*) AS n_copies
+        FROM corpus
+        GROUP BY md5(text)
+        HAVING count(*) > 1
+        ORDER BY kept_doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_DUP_CORPUS_DUCK},
+        {_SHINGLES_DUCK},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.6
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_DUP_CORPUS_DUCK},
+        {_SHINGLES_DUCK},
+        sig AS (
+            SELECT doc_id,
+               {_SIG_COLS}
+            FROM shingles GROUP BY doc_id
+        ),
+        bands AS ({_BAND_ROWS}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(({_AGREE}) / {float(_K)}, 4) AS est_sim
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+        WHERE ({_AGREE}) / {float(_K)} >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_simhash": f"""
+        WITH {_DUP_CORPUS_DUCK},
+        toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM corpus
+        ),
+        weighted AS (
+            SELECT doc_id, tok, count(*) AS wt FROM toks GROUP BY doc_id, tok
+        ),
+        hashed AS (
+            SELECT doc_id, wt,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+            FROM weighted
+        ),
+        bits AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN (h >> b) & 1 = 1 THEN wt ELSE -wt END) AS s
+            FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b)
+            GROUP BY doc_id, b
+        ),
+        simhash AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS sh
+            FROM bits GROUP BY doc_id
+        ),
+        bytes AS (
+            SELECT doc_id, sh, 0 AS band_idx, (sh >> 0) & 255 AS byte FROM simhash
+            UNION ALL SELECT doc_id, sh, 1, (sh >> 8) & 255 FROM simhash
+            UNION ALL SELECT doc_id, sh, 2, (sh >> 16) & 255 FROM simhash
+            UNION ALL SELECT doc_id, sh, 3, (sh >> 24) & 255 FROM simhash
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM bytes a JOIN bytes b
+          ON a.band_idx = b.band_idx AND a.byte = b.byte AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 1
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_embedding_cosine": """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings
+        ),
+        corpus AS (
+            SELECT vec_id, v, label FROM base
+            UNION ALL
+            SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0), label
+            FROM base WHERE vec_id % 10 = 0
+        ),
+        normed AS (
+            SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS norm
+            FROM corpus
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+        FROM normed a JOIN normed b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.99
+        ORDER BY vec_a, vec_b
+    """,
+}
