@@ -28,6 +28,11 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    "w_ranking_parts",
+    "agg_cube",
+    "ev_session_windows",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
 ]
 
 

@@ -68,13 +68,18 @@ def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def ev_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    # integer-exact average: float round() at an exact half (e.g.
+    # 73.91375) differs between engines (decimal-string vs float-multiply
+    # rounding), so the average is emitted as truncated 1e-4 units via
+    # integer floor division — order-independent and boundary-free
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.expr("(sum(CAST(round(value * 100) AS BIGINT)) * 100)"
+                   " div count(1)").alias("avg_value_e4"),
         )
-        .select(F.col("w.start").alias("ws"), "n", "avg_value")
+        .select(F.col("w.start").alias("ws"), "n", "avg_value_e4")
         .orderBy("ws")
     )
 
@@ -172,7 +177,9 @@ ORACLES = {
         ORDER BY ws, event_type
     """,
     "ev_sliding_hourly": """
-        SELECT ws, count(*) AS n, round(avg(value), 4) AS avg_value
+        SELECT ws, count(*) AS n,
+               CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 100)
+                    // count(*) AS BIGINT) AS avg_value_e4
         FROM (
             SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
                            time_bucket(INTERVAL '30 minutes', ts)

@@ -1,0 +1,301 @@
+"""Similarity search over `embeddings.embedding` (array<float>, 64-dim) —
+the north-star ANN surface (SURVEY.md §2.3 'LLM-pipeline extras').
+
+Three tiers, ordered by scale:
+
+- sim_topk_bruteforce : exact cosine top-k per query — O(Q·N) dot
+  products; the correctness baseline every ANN variant is judged against.
+- sim_lsh_hyperplane  : random-hyperplane (SRP) LSH — 8 signed
+  projections → 256 buckets; candidates = bucket equi-join, exact cosine
+  re-rank inside buckets. The planes are seed-42 literals shared with the
+  oracle, so both engines build the identical index.
+- sim_ann_ivf         : IVF — centroids computed in-engine (elementwise
+  mean per cell seed = label), every vector assigned to its nearest
+  centroid, queries probe the 2 nearest cells, exact re-rank inside.
+
+Scale notes (100 TB): brute force distributes as a broadcast of the
+query set against a partitioned corpus (Q small); LSH/IVF replace the
+full scan with an equi-join on bucket/cell id — the shuffle is on the
+index key, and within-bucket work is quadratic only in bucket size.
+Dot products run as JVM higher-order functions (aggregate/zip_with),
+not Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kuibadb_spark.catalog import load
+
+_DIM = 64
+_N_PLANES = 8
+_rng = np.random.default_rng(42)
+_PLANES = np.round(_rng.standard_normal((_N_PLANES, _DIM)), 6)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+            "label",
+        )
+        .withColumn(
+            "norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+        )
+    )
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact brute-force cosine top-k (baseline)
+# ---------------------------------------------------------------------------
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.round(_dot("qv", "v") / (F.col("qn") * F.col("norm")), 6))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos")
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. random-hyperplane LSH: signed projections → bucket join → re-rank
+# ---------------------------------------------------------------------------
+def _plane_array_spark(j: int) -> str:
+    vals = ", ".join(f"{x}D" for x in _PLANES[j])
+    return f"array({vals})"
+
+
+def _plane_array_duck(j: int) -> str:
+    vals = ", ".join(str(x) for x in _PLANES[j])
+    return f"[{vals}]"
+
+
+def _bucket_expr_spark() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN aggregate(zip_with(v, {_plane_array_spark(j)}, (x, y) -> x * y),"
+        f" 0D, (acc, x) -> acc + x) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_N_PLANES)
+    )
+    return f"({bits})"
+
+
+def _bucket_expr_duck() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_array_duck(j)}) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(_N_PLANES)
+    )
+    return f"({bits})"
+
+
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).withColumn("bucket", F.expr(_bucket_expr_spark()))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qn"), F.col("bucket").alias("qb"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(e, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")))
+        .withColumn("cos", F.round(_dot("qv", "v") / (F.col("qn") * F.col("norm")), 6))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos")
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. IVF: in-engine centroids, nearest-cell assignment, nprobe=2 search
+# ---------------------------------------------------------------------------
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    # centroids: elementwise mean per cell (cell seed = label); assembled
+    # deterministically by sorting (idx, mean) structs — no collect_list order
+    expl = e.select(
+        "label", F.posexplode("v").alias("idx", "x")
+    )
+    cent = (
+        expl.groupBy("label", "idx")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, m))), s -> s.m)"
+            ).alias("cv")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            "cv",
+            F.expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))").alias("cn"),
+        )
+    )
+    # assign every vector to its nearest centroid by cosine
+    from pyspark.sql import Window as W
+
+    vc = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", _dot("v", "cv") / (F.col("norm") * F.col("cn")))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    assigned = (
+        vc.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "norm", "cell")
+    )
+    # queries probe their 2 nearest cells
+    q = e.filter(F.col("vec_id") < 10)
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("csim", _dot("v", "cv") / (F.col("norm") * F.col("cn")))
+    )
+    w_probe = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+            F.col("norm").alias("qn"), "cell",
+        )
+    )
+    # exact re-rank inside probed cells
+    pairs = (
+        F.broadcast(probes)
+        .join(assigned, (probes.cell == assigned.cell) & (F.col("vec_id") != F.col("q_id")))
+        .withColumn("cos", F.round(_dot("qv", "v") / (F.col("qn") * F.col("norm")), 6))
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos")
+        .orderBy("q_id", "rank")
+    )
+
+
+QUERIES = {
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_lsh_hyperplane": sim_lsh_hyperplane,
+    "sim_ann_ivf": sim_ann_ivf,
+}
+
+_EMB_DUCK = """
+    emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS norm
+        FROM embeddings
+    )
+"""
+
+ORACLES = {
+    "sim_topk_bruteforce": f"""
+        WITH {_EMB_DUCK},
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM emb WHERE vec_id < 10),
+        pairs AS (
+            SELECT q_id, e.vec_id AS neighbor_id,
+                   round(list_dot_product(qv, e.v) / (qn * e.norm), 6) AS cos
+            FROM q JOIN emb e ON e.vec_id <> q.q_id
+        )
+        SELECT q_id, neighbor_id, rank, cos FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM pairs)
+        WHERE rank <= 5
+        ORDER BY q_id, rank
+    """,
+    "sim_lsh_hyperplane": f"""
+        WITH {_EMB_DUCK},
+        bucketed AS (
+            SELECT vec_id, v, norm, {_bucket_expr_duck()} AS bucket FROM emb
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn, bucket AS qb
+              FROM bucketed WHERE vec_id < 20),
+        pairs AS (
+            SELECT q_id, e.vec_id AS neighbor_id,
+                   round(list_dot_product(qv, e.v) / (qn * e.norm), 6) AS cos
+            FROM q JOIN bucketed e
+              ON e.bucket = q.qb AND e.vec_id <> q.q_id
+        )
+        SELECT q_id, neighbor_id, rank, cos FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM pairs)
+        WHERE rank <= 3
+        ORDER BY q_id, rank
+    """,
+    "sim_ann_ivf": f"""
+        WITH {_EMB_DUCK},
+        expl AS (
+            SELECT label, generate_subscripts(v, 1) AS idx, unnest(v) AS x
+            FROM emb
+        ),
+        cent AS (
+            SELECT label AS cell,
+                   list(m ORDER BY idx) AS cv
+            FROM (SELECT label, idx, avg(x) AS m FROM expl GROUP BY label, idx)
+            GROUP BY label
+        ),
+        cent_n AS (
+            SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent
+        ),
+        assigned AS (
+            SELECT vec_id, v, norm, cell FROM (
+                SELECT e.vec_id, e.v, e.norm, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, c.cv) / (e.norm * c.cn)
+                               DESC, c.cell ASC) AS rn
+                FROM emb e CROSS JOIN cent_n c)
+            WHERE rn = 1
+        ),
+        probes AS (
+            SELECT q_id, qv, qn, cell FROM (
+                SELECT e.vec_id AS q_id, e.v AS qv, e.norm AS qn, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, c.cv) / (e.norm * c.cn)
+                               DESC, c.cell ASC) AS rn
+                FROM emb e CROSS JOIN cent_n c
+                WHERE e.vec_id < 10)
+            WHERE rn <= 2
+        ),
+        pairs AS (
+            SELECT q_id, a.vec_id AS neighbor_id,
+                   round(list_dot_product(qv, a.v) / (qn * a.norm), 6) AS cos
+            FROM probes p JOIN assigned a
+              ON a.cell = p.cell AND a.vec_id <> p.q_id
+        )
+        SELECT q_id, neighbor_id, rank, cos FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM pairs)
+        WHERE rank <= 3
+        ORDER BY q_id, rank
+    """,
+}

@@ -9,10 +9,26 @@ iterative algorithms) register in QUERIES only → rows-only check.
 from __future__ import annotations
 
 from kuibadb_spark.functions import scalar
-from kuibadb_spark.operators import aggregates, dedup, events, relational, windows
+from kuibadb_spark.operators import (
+    aggregates,
+    dedup,
+    events,
+    relational,
+    similarity,
+    windows,
+)
 from kuibadb_spark.streaming import events as streaming_events
 
-_MODULES = [relational, windows, aggregates, scalar, events, streaming_events, dedup]
+_MODULES = [
+    relational,
+    windows,
+    aggregates,
+    scalar,
+    events,
+    streaming_events,
+    dedup,
+    similarity,
+]
 
 
 def all_queries() -> dict:
