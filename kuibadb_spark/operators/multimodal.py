@@ -1,0 +1,221 @@
+"""Multimodal column plumbing — opaque binary payloads with typed
+metadata, decode / feature-extract as Arrow-batched Pandas operators
+(SURVEY.md §2.3 'LLM-pipeline extras'; the reference's bytea type is the
+storage analog, /root/reference src/datums.rs:60-67 varlena columns).
+
+The container ships no image/audio codecs, so the real decoders are
+STUBS behind import-guards (`decode_image` raises NotImplementedError
+without PIL); what is real — and tested — is everything Spark-side:
+binary column handling, the mapInPandas batch contract (Arrow transfer,
+schema, batch iteration), deterministic feature extraction from bytes,
+and the metadata queries with SQL oracles.
+
+The fixture has no binary table, so payloads are synthesized as
+encode(text) — at 100 TB these would be real image/audio bytes in
+parquet binary columns; nothing in the operator shape changes, only the
+decode function body.
+
+Scale notes: mapInPandas streams Arrow batches per partition (no
+per-row Python), metadata extraction is pure JVM expressions; neither
+shuffles. Feature vectors come back as array<double> columns ready for
+the similarity operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kuibadb_spark.catalog import load
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload table: (doc_id, payload binary, fmt string)."""
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(text AS BINARY) AS payload",
+        "CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'"
+        " ELSE 'wav' END AS fmt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# real decoders: stubbed behind import-guards (codecs not in container)
+# ---------------------------------------------------------------------------
+def decode_image(payload: bytes) -> "object":
+    try:
+        from PIL import Image  # noqa: F401  (not installed in this container)
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL; container has no codecs — "
+            "deterministic fake features are used instead (fake_features_fn)"
+        ) from exc
+
+
+def decode_audio(payload: bytes) -> "object":
+    try:
+        import soundfile  # noqa: F401
+        import io
+
+        return soundfile.read(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decode requires soundfile; container has no codecs"
+        ) from exc
+
+
+# ---------------------------------------------------------------------------
+# metadata extraction: pure JVM expressions over the binary column
+# ---------------------------------------------------------------------------
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir)
+    # pseudo image dims derived from the payload hash — deterministic
+    # stand-ins for real header parsing, same derivation in the oracle
+    return (
+        p.selectExpr(
+            "doc_id",
+            "fmt",
+            "octet_length(payload) AS n_bytes",
+            "sha2(payload, 256) AS digest",
+        )
+        .selectExpr(
+            "doc_id",
+            "fmt",
+            "n_bytes",
+            "digest",
+            "1 + CAST(conv(substr(digest, 1, 3), 16, 10) AS INT) % 1024 AS width",
+            "1 + CAST(conv(substr(digest, 4, 3), 16, 10) AS INT) % 1024 AS height",
+        )
+        .filter(F.col("doc_id") < 300)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature extraction: mapInPandas over Arrow batches (the real plumbing),
+# deterministic fake "decode" so results are oracle-checkable
+# ---------------------------------------------------------------------------
+_FEATURE_SCHEMA = "doc_id long, fmt string, n_bytes int, mean_byte double, first8 array<int>"
+
+
+def fake_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decode: byte-level stats of the payload. A real
+    deployment replaces the body with decode_image/decode_audio + model
+    features; schema and batching are identical."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": pdf["fmt"],
+                "n_bytes": payloads.map(len),
+                "mean_byte": payloads.map(
+                    lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                ),
+                "first8": payloads.map(lambda b: [int(x) for x in b[:8]]),
+            }
+        )
+
+
+def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _payloads(spark, sf_dir)
+    return (
+        p.mapInPandas(fake_features_fn, schema=_FEATURE_SCHEMA)
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: deterministic every-Nth-chunk selection (video-style)
+# ---------------------------------------------------------------------------
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each payload into fixed 32-byte 'frames', keep every 4th —
+    the sampling shape of video frame extraction, on opaque bytes."""
+    p = _payloads(spark, sf_dir)
+    frames = p.selectExpr(
+        "doc_id",
+        "octet_length(payload) AS n_bytes",
+        "explode(sequence(0, CAST(ceil(octet_length(payload) / 32.0) AS INT) - 1))"
+        " AS frame_idx",
+        "payload",
+    ).filter(F.expr("frame_idx % 4 = 0"))
+    return (
+        frames.selectExpr(
+            "doc_id",
+            "frame_idx",
+            "md5(substr(CAST(payload AS STRING), frame_idx * 32 + 1, 32)) AS frame_hash",
+        )
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+QUERIES = {
+    "mm_metadata": mm_metadata,
+    "mm_fake_features": mm_fake_features,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+_PAYLOAD_DUCK = """
+    payloads AS (
+        SELECT doc_id, encode(text) AS payload, text,
+               CASE WHEN doc_id % 3 = 0 THEN 'png'
+                    WHEN doc_id % 3 = 1 THEN 'jpeg'
+                    ELSE 'wav' END AS fmt
+        FROM documents
+    )
+"""
+
+ORACLES = {
+    "mm_metadata": f"""
+        WITH {_PAYLOAD_DUCK}
+        SELECT doc_id, fmt,
+               CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+               sha256(text) AS digest,
+               CAST(1 + CAST('0x' || substr(sha256(text), 1, 3) AS INTEGER) % 1024
+                    AS INTEGER) AS width,
+               CAST(1 + CAST('0x' || substr(sha256(text), 4, 3) AS INTEGER) % 1024
+                    AS INTEGER) AS height
+        FROM payloads
+        WHERE doc_id < 300
+        ORDER BY doc_id
+    """,
+    "mm_fake_features": f"""
+        WITH {_PAYLOAD_DUCK},
+        bytes AS (
+            SELECT doc_id, fmt, octet_length(payload) AS n_bytes,
+                   list_transform(generate_series(1, octet_length(payload)),
+                       i -> CAST('0x' || substr(hex(payload), i*2-1, 2) AS INTEGER))
+                       AS all_bytes
+            FROM payloads
+        )
+        SELECT doc_id, fmt,
+               CAST(n_bytes AS INTEGER) AS n_bytes,
+               round(list_sum(all_bytes) / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
+               list_transform(all_bytes[1:8], x -> CAST(x AS INTEGER)) AS first8
+        FROM bytes
+        WHERE doc_id < 200
+        ORDER BY doc_id
+    """,
+    "mm_frame_sample": f"""
+        WITH {_PAYLOAD_DUCK},
+        frames AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0,
+                       CAST(ceil(octet_length(payload) / 32.0) AS INTEGER) - 1))
+                       AS frame_idx
+            FROM payloads
+        )
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+               md5(substr(text, frame_idx * 32 + 1, 32)) AS frame_hash
+        FROM frames
+        WHERE frame_idx % 4 = 0 AND doc_id < 100
+        ORDER BY doc_id, frame_idx
+    """,
+}

@@ -1,0 +1,261 @@
+"""Text-analysis operators over `documents` — the training-data-pipeline
+surface (BASELINE.json north star): language-ID heuristic, quality
+scoring, token statistics, and document fingerprinting.
+
+All computation is JVM-side expressions (split/regexp/aggregate/
+higher-order fns) — no Python in the row path. Ratios are single
+divisions of integer counts (no float-summation order issues), rounded
+for stable cross-engine hashing.
+
+Scale notes: everything here is embarrassingly parallel per-document
+(narrow transforms after the scan — no shuffle except the final
+aggregations, which are standard partial-agg groupBys). Literal stopword
+tables ship with the plan (broadcast by value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kuibadb_spark.catalog import load
+
+# Per-language "stopword" tables for the n-gram/stopword lang-ID heuristic.
+# With the synthetic fixture vocabulary these are arbitrary but fixed; for
+# real corpora, swap in real stopword lists — the operator shape is the
+# contract (literal lookup tables + argmax over per-language scores).
+_STOP = {
+    "de": ("data", "row", "group", "window"),
+    "en": ("the", "a", "fast", "order", "table"),
+    "es": ("slow", "agg", "value", "line"),
+    "fr": ("scan", "batch", "merge", "stream"),
+    "zh": ("join", "small", "customer", "key"),
+}
+_LANGS = sorted(_STOP)
+
+
+def _score_exprs_spark() -> list[str]:
+    out = []
+    for lang in _LANGS:
+        lits = ", ".join(f"'{w}'" for w in _STOP[lang])
+        out.append(
+            f"size(filter(toks, t -> t IN ({lits}))) / CAST(size(toks) AS DOUBLE)"
+            f" AS s_{lang}"
+        )
+    return out
+
+
+def _score_exprs_duck() -> list[str]:
+    out = []
+    for lang in _LANGS:
+        lits = ", ".join(f"'{w}'" for w in _STOP[lang])
+        out.append(
+            f"len(list_filter(toks, t -> t IN ({lits})))"
+            f" / CAST(len(toks) AS DOUBLE) AS s_{lang}"
+        )
+    return out
+
+
+def _argmax_sql() -> str:
+    m = "greatest(" + ", ".join(f"s_{l}" for l in _LANGS) + ")"
+    branches = " ".join(f"WHEN s_{l} = {m} THEN '{l}'" for l in _LANGS)
+    return f"CASE {branches} END"
+
+
+# ---------------------------------------------------------------------------
+# 1. language ID: per-language stopword-hit scores → argmax
+# ---------------------------------------------------------------------------
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.selectExpr("doc_id", "lang", r"split(text, '\\s+') AS toks")
+    scored = toks.selectExpr("doc_id", "lang", *_score_exprs_spark())
+    pred = scored.selectExpr(
+        "doc_id", "lang", f"{_argmax_sql()} AS predicted_lang"
+    )
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. quality scoring: length / token / stopword / uniqueness signals
+# ---------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = d.selectExpr(
+        "doc_id",
+        "lang",
+        "n_chars",
+        r"split(text, '\\s+') AS toks",
+        "length(text) AS text_len",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text_len",
+        "size(toks) AS n_toks",
+        "size(array_distinct(toks)) AS n_uniq",
+        "size(filter(toks, t -> t IN ('the', 'a'))) AS n_stop",
+        "aggregate(toks, 0, (acc, t) -> acc + length(t)) AS tok_chars",
+    )
+    return (
+        q.selectExpr(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "round(n_uniq / CAST(n_toks AS DOUBLE), 6) AS uniq_ratio",
+            "round(n_stop / CAST(n_toks AS DOUBLE), 6) AS stop_ratio",
+            "round(tok_chars / CAST(n_toks AS DOUBLE), 6) AS avg_tok_len",
+            "CASE WHEN n_toks >= 20 AND n_uniq / CAST(n_toks AS DOUBLE) > 0.3"
+            " THEN true ELSE false END AS keep",
+        )
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. token statistics per source (whitespace + regex word tokens + hapax)
+# ---------------------------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.selectExpr(
+        "doc_id",
+        "source",
+        r"size(split(text, '\\s+')) AS ws_toks",
+        r"size(regexp_extract_all(text, '[a-z]+', 0)) AS re_toks",
+        "length(text) AS chars",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_toks").alias("total_ws_toks"),
+            F.sum("re_toks").alias("total_re_toks"),
+            F.sum("chars").alias("total_chars"),
+            F.expr("(sum(ws_toks) * 1000) div count(1)").alias("toks_per_doc_e3"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. fingerprinting: token-multiset-invariant id (catches reorderings)
+# ---------------------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # synthesize reordered copies: token-reversed text, same multiset
+    rev = d.filter(F.col("doc_id") % 5 == 0).selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        r"array_join(reverse(split(text, '\\s+')), ' ') AS text",
+    )
+    corpus = d.unionAll(rev)
+    fp = corpus.selectExpr(
+        "doc_id",
+        # OpenRefine-style fingerprint: sorted distinct lowered tokens
+        r"md5(array_join(array_sort(array_distinct(split(lower(text), '\\s+'))),"
+        r" ' ')) AS fingerprint",
+        # position-sensitive content hash (reorderings differ here)
+        "md5(text) AS exact_hash",
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("exact_hash").alias("n_distinct_texts"),
+            F.min("doc_id").alias("kept_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("kept_doc_id")
+    )
+
+
+QUERIES = {
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_stats": text_token_stats,
+    "text_fingerprint": text_fingerprint,
+}
+
+_SCORES_DUCK = ", ".join(_score_exprs_duck())
+
+ORACLES = {
+    "text_lang_id": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, {_SCORES_DUCK} FROM toks
+        ), pred AS (
+            SELECT doc_id, lang, {_argmax_sql()} AS predicted_lang FROM scored
+        )
+        SELECT lang, predicted_lang, count(*) AS n_docs
+        FROM pred
+        GROUP BY lang, predicted_lang
+        ORDER BY lang, predicted_lang
+    """,
+    "text_quality": """
+        WITH t AS (
+            SELECT doc_id, lang, n_chars,
+                   string_split_regex(text, '\\s+') AS toks
+            FROM documents
+        ), q AS (
+            SELECT doc_id, lang,
+                   len(toks) AS n_toks,
+                   len(list_distinct(toks)) AS n_uniq,
+                   len(list_filter(toks, t -> t IN ('the', 'a'))) AS n_stop,
+                   list_sum(list_transform(toks, t -> length(t))) AS tok_chars
+            FROM t
+        )
+        SELECT doc_id, lang,
+               CAST(n_toks AS INTEGER) AS n_toks,
+               round(n_uniq / CAST(n_toks AS DOUBLE), 6) AS uniq_ratio,
+               round(n_stop / CAST(n_toks AS DOUBLE), 6) AS stop_ratio,
+               round(tok_chars / CAST(n_toks AS DOUBLE), 6) AS avg_tok_len,
+               (n_toks >= 20 AND n_uniq / CAST(n_toks AS DOUBLE) > 0.3) AS keep
+        FROM q
+        WHERE doc_id < 200
+        ORDER BY doc_id
+    """,
+    "text_token_stats": """
+        WITH per_doc AS (
+            SELECT doc_id, source,
+                   len(string_split_regex(text, '\\s+')) AS ws_toks,
+                   len(regexp_extract_all(text, '[a-z]+')) AS re_toks,
+                   length(text) AS chars
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(ws_toks) AS BIGINT) AS total_ws_toks,
+               CAST(sum(re_toks) AS BIGINT) AS total_re_toks,
+               CAST(sum(chars) AS BIGINT) AS total_chars,
+               CAST((sum(ws_toks) * 1000) // count(*) AS BIGINT) AS toks_per_doc_e3
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
+    "text_fingerprint": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   array_to_string(list_reverse(string_split_regex(text, '\\s+')), ' ')
+            FROM documents WHERE doc_id % 5 = 0
+        ), fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split_regex(lower(text), '\\s+'))), ' ')) AS fingerprint,
+                   md5(text) AS exact_hash
+            FROM corpus
+        )
+        SELECT fingerprint, count(*) AS n_docs,
+               count(DISTINCT exact_hash) AS n_distinct_texts,
+               min(doc_id) AS kept_doc_id
+        FROM fp
+        GROUP BY fingerprint
+        HAVING count(*) > 1
+        ORDER BY kept_doc_id
+    """,
+}

@@ -13,8 +13,10 @@ from kuibadb_spark.operators import (
     aggregates,
     dedup,
     events,
+    multimodal,
     relational,
     similarity,
+    text,
     windows,
 )
 from kuibadb_spark.streaming import events as streaming_events
@@ -28,6 +30,8 @@ _MODULES = [
     streaming_events,
     dedup,
     similarity,
+    text,
+    multimodal,
 ]
 
 
