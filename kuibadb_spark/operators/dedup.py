@@ -117,7 +117,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. n-gram Jaccard near-dup: shared-shingle candidates → exact Jaccard
 # ---------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(_dup_corpus(spark, sf_dir))
+    # shingles feed three branches (both join sides + sizes): persist
+    sh = _shingles(_dup_corpus(spark, sf_dir)).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -155,12 +156,14 @@ _BANDS = 4  # 3 rows per band
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(_dup_corpus(spark, sf_dir))
+    # sig feeds three plan branches (bands + both sides of the candidate
+    # re-join); persist so the shingle explode + 12 min-aggs run once
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
             for i in range(_K)
         ]
-    )
+    ).persist()
     band_exprs = ", ".join(
         f"{j}, md5(concat(h{3*j}, h{3*j+1}, h{3*j+2}))" for j in range(_BANDS)
     )
@@ -231,6 +234,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.expr("CAST(bit AS BIGINT) * CAST(pow(2, b) AS BIGINT)")).alias("sh"))
     )
+    simhash = simhash.persist()  # feeds both sides of the byte-band join
     bytes_df = simhash.selectExpr(
         "doc_id",
         "sh",
