@@ -1,0 +1,230 @@
+"""Temporal operators: the date/time scalar family, as-of join, range
+join via bucketization, and multi-granularity (hypertable-style) rollups.
+
+The reference has no time types at all (SURVEY.md §1.2 — no
+timestamp/interval); this is target surface required by the fixtures
+(events.ts, l_shipdate, o_orderdate).
+
+As-of join is the canonical "operator Spark lacks": implemented as the
+scalable union-tag-window composition (tag both streams, one shuffle on
+the key, last-non-null carry-forward over event time) — not a pairwise
+join. The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, which pins the
+semantics independently of our construction.
+
+Range join: the scalable form is bucketization (floor(value/width) →
+equi-join / direct group) while the oracle states the naive inequality
+join — same answer, different asymptotics; .explain shows no
+BroadcastNestedLoop in ours.
+
+Cross-engine notes: dayofweek conventions differ (Spark Sunday=1,
+DuckDB Sunday=0) — adjusted explicitly; date formatting uses
+date_format↔strftime pattern pairs that agree.
+
+Scale notes: as-of = one shuffle on (key) + per-partition ordered scan;
+rollup = grouping-sets over precomputed truncations (one shuffle);
+bucketized range join has no inequality predicates anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from kuibadb_spark.catalog import load
+
+
+# --------------------------------------------------------------------------
+# date/time scalar family over orders/lineitem timestamps
+# --------------------------------------------------------------------------
+def time_scalar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.selectExpr(
+            "o_orderkey",
+            "o_orderdate",
+            "year(o_orderdate) AS y",
+            "month(o_orderdate) AS m",
+            "day(o_orderdate) AS d",
+            "hour(o_orderdate) AS h",
+            "quarter(o_orderdate) AS q",
+            "dayofweek(o_orderdate) - 1 AS dow",  # align to DuckDB Sunday=0
+            "dayofyear(o_orderdate) AS doy",
+            "date_trunc('MONTH', o_orderdate) AS month_start",
+            "date_trunc('WEEK', o_orderdate) AS week_start",
+            "o_orderdate + INTERVAL 90 DAY AS due_date",
+            "o_orderdate - INTERVAL 1 MONTH AS prev_month",
+            "datediff(DATE '2002-01-01', CAST(o_orderdate AS DATE)) AS days_to_2002",
+            "date_format(o_orderdate, 'yyyy-MM-dd') AS iso_day",
+            "CAST(o_orderdate AS DATE) AS just_date",
+        )
+        .filter(F.col("o_orderkey") < 300)
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# as-of join: each purchase matched to the user's latest prior view
+# --------------------------------------------------------------------------
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ts"), F.col("value").alias("view_value"),
+        F.lit(0).alias("tag"), F.col("event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("tag"), "event_id",
+    )
+    merged = views.unionAll(purchases)
+    # views sort before purchases at equal ts (tag asc) so an exact-tie view
+    # is visible to the purchase — matching ASOF's >= semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_view_value", F.last("view_value", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "last_view_value",
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# range join via bucketization: event values into fixed price bands
+# --------------------------------------------------------------------------
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # scalable form: derive the band key directly — an equi-group, not an
+    # inequality join (oracle states the naive BETWEEN join)
+    return (
+        e.withColumn("band_id", F.floor(F.col("value") / 50.0).cast("int"))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+        .withColumn("band_lo", (F.col("band_id") * 50.0))
+        .withColumn("band_hi", (F.col("band_id") * 50.0 + 50.0))
+        .select("band_id", "band_lo", "band_hi", "n", "min_v", "max_v")
+        .orderBy("band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# hypertable-style multi-granularity rollup (hour/day/month in one pass)
+# --------------------------------------------------------------------------
+def rollup_multigranularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("ks_events_rollup")
+    return spark.sql(
+        """
+        WITH base AS (
+            SELECT date_trunc('HOUR', ts)  AS h,
+                   date_trunc('DAY', ts)   AS d,
+                   date_trunc('MONTH', ts) AS mo,
+                   value
+            FROM ks_events_rollup
+        )
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day'
+                    ELSE 'month' END AS granularity,
+               coalesce(h, d, mo) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM base
+        GROUP BY GROUPING SETS ((h), (d), (mo))
+        ORDER BY granularity, bucket
+        """
+    )
+
+
+QUERIES = {
+    "time_scalar_family": time_scalar_family,
+    "asof_purchase_last_view": asof_purchase_last_view,
+    "range_join_value_bands": range_join_value_bands,
+    "rollup_multigranularity": rollup_multigranularity,
+}
+
+ORACLES = {
+    "time_scalar_family": """
+        SELECT o_orderkey, o_orderdate,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS d,
+               CAST(hour(o_orderdate) AS INTEGER) AS h,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+               o_orderdate + INTERVAL 90 DAY AS due_date,
+               o_orderdate - INTERVAL 1 MONTH AS prev_month,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                    AS INTEGER) AS days_to_2002,
+               strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+               CAST(o_orderdate AS DATE) AS just_date
+        FROM orders
+        WHERE o_orderkey < 300
+        ORDER BY o_orderkey
+    """,
+    "asof_purchase_last_view": """
+        WITH views AS (
+            SELECT user_id, ts, value AS view_value FROM events
+            WHERE event_type = 'view'
+        ), purchases AS (
+            SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               p.ts AS purchase_ts,
+               v.view_value AS last_view_value
+        FROM purchases p
+        ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.user_id, purchase_ts, purchase_id
+    """,
+    "range_join_value_bands": """
+        WITH bands AS (
+            SELECT band_id, band_id * 50.0 AS band_lo,
+                   band_id * 50.0 + 50.0 AS band_hi
+            FROM (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS band_id)
+        )
+        SELECT band_id, band_lo, band_hi,
+               count(*) AS n,
+               round(min(value), 2) AS min_v,
+               round(max(value), 2) AS max_v
+        FROM events JOIN bands
+          ON value >= band_lo AND value < band_hi
+        GROUP BY band_id, band_lo, band_hi
+        ORDER BY band_id
+    """,
+    "rollup_multigranularity": """
+        WITH base AS (
+            SELECT date_trunc('hour', ts)  AS h,
+                   date_trunc('day', ts)   AS d,
+                   date_trunc('month', ts) AS mo,
+                   value
+            FROM events
+        )
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day'
+                    ELSE 'month' END AS granularity,
+               coalesce(h, d, mo) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM base
+        GROUP BY GROUPING SETS ((h), (d), (mo))
+        ORDER BY granularity, bucket
+    """,
+}

@@ -15,7 +15,9 @@ from kuibadb_spark.operators import (
     events,
     multimodal,
     relational,
+    relational2,
     similarity,
+    temporal,
     text,
     windows,
 )
@@ -23,6 +25,7 @@ from kuibadb_spark.streaming import events as streaming_events
 
 _MODULES = [
     relational,
+    relational2,
     windows,
     aggregates,
     scalar,
@@ -32,6 +35,7 @@ _MODULES = [
     similarity,
     text,
     multimodal,
+    temporal,
 ]
 
 
