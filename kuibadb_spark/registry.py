@@ -8,9 +8,10 @@ iterative algorithms) register in QUERIES only → rows-only check.
 
 from __future__ import annotations
 
-from kuibadb_spark.functions import scalar
+from kuibadb_spark.functions import scalar, udfs
 from kuibadb_spark.operators import (
     aggregates,
+    collections,
     dedup,
     events,
     multimodal,
@@ -36,6 +37,8 @@ _MODULES = [
     text,
     multimodal,
     temporal,
+    collections,
+    udfs,
 ]
 
 
