@@ -90,10 +90,38 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Python UDTF: one input row → many output rows (table function)
+# --------------------------------------------------------------------------
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string, tok_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split()):
+                yield i, t, len(t)
+
+    spark.udtf.register("ks_tokenize", Tokenize)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 10).createOrReplaceTempView(
+        "ks_docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.tok, t.tok_len
+        FROM ks_docs_udtf, LATERAL ks_tokenize(text) t
+        ORDER BY doc_id, pos
+        """
+    )
+
+
 QUERIES = {
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_grouped_agg": udf_grouped_agg,
     "udf_apply_in_pandas": udf_apply_in_pandas,
+    "udf_python_udtf": udf_python_udtf,
 }
 
 ORACLES = {
@@ -112,6 +140,18 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "udf_python_udtf": """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+            FROM documents WHERE doc_id < 10
+        )
+        SELECT doc_id,
+               CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+               unnest(toks) AS tok,
+               CAST(length(unnest(toks)) AS INTEGER) AS tok_len
+        FROM t
+        ORDER BY doc_id, pos
     """,
     "udf_apply_in_pandas": """
         WITH c AS (

@@ -179,7 +179,68 @@ def sort_nulls_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q8-style national market share (ratio of sums — integer cents for
+# cross-engine determinism of the division)
+# --------------------------------------------------------------------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"ks8_{t}")
+    return spark.sql(
+        """
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_3' THEN vol_cents ELSE 0 END)
+                     / CAST(sum(vol_cents) AS DOUBLE), 6) AS mkt_share
+        FROM (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                       AS vol_cents,
+                   n2.n_name AS nation
+            FROM ks8_part, ks8_supplier, ks8_lineitem, ks8_orders, ks8_customer,
+                 ks8_nation n1, ks8_nation n2, ks8_region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+              AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+              AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
+              AND p_type = 'ECONOMY'
+        )
+        GROUP BY o_year
+        ORDER BY o_year
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q9-style product profit by nation and year (cost modeled as 80% of price)
+# --------------------------------------------------------------------------
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "supplier", "lineitem", "orders", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"ks9_{t}")
+    return spark.sql(
+        """
+        SELECT nation, o_year,
+               sum(profit_cents) AS profit_cents
+        FROM (
+            SELECT n_name AS nation,
+                   year(o_orderdate) AS o_year,
+                   CAST(round((l_extendedprice * (1 - l_discount)
+                        - 0.8 * l_extendedprice) * 100) AS BIGINT) AS profit_cents
+            FROM ks9_part, ks9_supplier, ks9_lineitem, ks9_orders, ks9_nation
+            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%bolt%'
+        )
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+        """
+    )
+
+
 QUERIES = {
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
     "join_outer_matrix": join_outer_matrix,
     "join_cross_grid": join_cross_grid,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -190,6 +251,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q8_market_share": """
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_3' THEN vol_cents ELSE 0 END)
+                     / CAST(sum(vol_cents) AS DOUBLE), 6) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                       AS vol_cents,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+              AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND p_type = 'ECONOMY'
+        )
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q9_product_profit": """
+        SELECT nation, o_year,
+               CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(round((l_extendedprice * (1 - l_discount)
+                        - 0.8 * l_extendedprice) * 100, 0) AS BIGINT)
+                       AS profit_cents
+            FROM part, supplier, lineitem, orders, nation
+            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%bolt%'
+        )
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
     "join_outer_matrix": """
         WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
              o AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
