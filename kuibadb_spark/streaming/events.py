@@ -120,6 +120,41 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows every 30 minutes, incrementally maintained."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "(sum(CAST(round(value * 100) AS BIGINT)) * 100) div count(1)"
+            ).alias("avg_value_e4"),
+        )
+        .select(F.col("w.start").alias("ws"), "n", "avg_value_e4")
+    )
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream–static join: per-microbatch hash join against a static dim
+    (broadcast — the dim is small and immutable for the query's life)."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def write_foreach_batch(events: DataFrame, out_dir: str) -> None:
+    """Exactly-once file sink via foreachBatch: each micro-batch is
+    written transactionally keyed by batch id (idempotent on replay)."""
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={epoch_id}")
+
+    q = events.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming frame to completion into a memory sink (local
     test harness; the parquet source feeds finite input so
@@ -160,9 +195,15 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w_latest.select("user_id", "n", "total_value").orderBy("user_id")
 
 
+def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(sliding_counts(read_events_stream(spark, sf_dir)))
+    return out.withColumn("ws", F.col("ws").cast("timestamp_ntz")).orderBy("ws")
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_stateful_user_totals": stream_stateful_user_totals,
+    "stream_sliding_hourly": stream_sliding_hourly,
 }
 
 ORACLES = {
@@ -180,5 +221,20 @@ ORACLES = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    # identical oracle as the batch sliding-window query
+    "stream_sliding_hourly": """
+        SELECT ws, count(*) AS n,
+               CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 100)
+                    // count(*) AS BIGINT) AS avg_value_e4
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL 30 MINUTE]) AS ws
+                 , value
+            FROM events
+        )
+        GROUP BY ws
+        ORDER BY ws
     """,
 }
