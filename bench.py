@@ -33,6 +33,11 @@ HEADLINE = [
     "ev_session_windows",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "q9_product_profit",
+    "asof_purchase_last_view",
+    "text_quality",
+    "sim_lsh_hyperplane",
+    "dedup_simhash",
 ]
 
 

@@ -78,6 +78,23 @@ class Engine:
             raise UndefinedTable(f"table {name!r} does not exist")
         shutil.rmtree(tdir)
 
+    def describe(self, name: str) -> list[dict]:
+        """DESCRIBE TABLE: ordered attribute list from the manifest (the
+        reference loads kb_attribute ordered by attnum — rel.rs:84-122)."""
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        m = mf.read_manifest(tdir)
+        schema = T.StructType.fromDDL(m["schema"])
+        return [
+            {
+                "column": f.name,
+                "type": f.dataType.simpleString(),
+                "not_null": f.name in m["not_null"],
+            }
+            for f in schema.fields
+        ]
+
     def tables(self) -> list[str]:
         return sorted(
             d

@@ -121,6 +121,16 @@ def test_ddl_errors(engine):
         engine.drop_table("t")
 
 
+def test_describe(engine):
+    engine.create_table("t", SCHEMA, not_null=["a"])
+    d = engine.describe("t")
+    assert d == [
+        {"column": "a", "type": "int", "not_null": True},
+        {"column": "b", "type": "smallint", "not_null": False},
+        {"column": "c", "type": "string", "not_null": False},
+    ]
+
+
 def test_copy_csv_mode(engine, tmp_path):
     engine.create_table("t", SCHEMA)
     path = _write(tmp_path, "in.csv", ['1,2,"x,y"', "3,4,plain"])
