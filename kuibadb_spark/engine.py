@@ -152,6 +152,50 @@ class Engine:
         # metadata-only count over the committed files (parquet row counts)
         return self.spark.read.parquet(*new_files).count() if new_files else 0
 
+    # -- maintenance -----------------------------------------------------------
+    def compact(self, name: str, target_files: int = 1) -> int:
+        """Rewrite the table's files into `target_files` larger ones (the
+        small-file compaction every append-heavy parquet table needs; the
+        reference's L0→L1 merge, src/access/sv.rs levels). Old files stay
+        until gc() — pinned snapshots keep reading them. Returns the new
+        file count."""
+        tdir = self._table_dir(name)
+        m = mf.read_manifest(tdir)
+        if not m["files"]:
+            return 0
+        schema = T.StructType.fromDDL(m["schema"])
+        df = self.spark.read.schema(schema).parquet(*m["files"])
+        staging = os.path.join(tdir, f"compact-{uuid.uuid4().hex[:12]}")
+        df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+        new_files = [
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        ]
+        mf.replace_files(tdir, new_files, m["version"])
+        return len(new_files)
+
+    def gc(self, name: str) -> int:
+        """Delete data files no longer referenced by the current manifest
+        (safe once pinned readers are done). Returns files removed."""
+        tdir = self._table_dir(name)
+        live = set(mf.read_manifest(tdir)["files"])
+        removed = 0
+        for seg in os.listdir(tdir):
+            seg_path = os.path.join(tdir, seg)
+            if not os.path.isdir(seg_path):
+                continue
+            for f in os.listdir(seg_path):
+                p = os.path.join(seg_path, f)
+                if p not in live and f.endswith(".parquet"):
+                    os.remove(p)
+                    removed += 1
+            if not any(x.endswith(".parquet") for x in os.listdir(seg_path)):
+                import shutil
+
+                shutil.rmtree(seg_path)
+        return removed
+
     # -- helpers ---------------------------------------------------------------
     def _table_dir(self, name: str) -> str:
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):

@@ -222,6 +222,28 @@ _BYTEA_OPS = [
     ("bin_lt", "CAST(s AS BINARY) < CAST('N' AS BINARY)",
      "encode(s) < encode('N')"),
     ("bin_hex", "hex(CAST(s AS BINARY))", "hex(encode(s))"),
+    # bytealike (initdb @890): LIKE over the byte string's text form
+    ("bin_like", "CAST(CAST(s AS BINARY) AS STRING) LIKE 'A%'",
+     "decode(encode(s)) LIKE 'A%'"),
+]
+
+# Decimal arithmetic is EXACT — sums/products have no float-order issues.
+# Outputs are cast back to DOUBLE (the exact decimal value survives) so
+# the comparison is representation-independent; division is excluded
+# (Spark and DuckDB derive different result scales).
+_DECIMALS = [
+    ("dec_add", "CAST(CAST(f8 AS DECIMAL(18,2)) + CAST(f4 AS DECIMAL(18,2))"
+     " AS DOUBLE)", None),
+    ("dec_sub", "CAST(CAST(f8 AS DECIMAL(18,2)) - CAST(42.5 AS DECIMAL(4,1))"
+     " AS DOUBLE)", None),
+    ("dec_mul", "CAST(CAST(f8 AS DECIMAL(18,2)) * CAST(2.5 AS DECIMAL(4,1))"
+     " AS DOUBLE)", None),
+    ("dec_cmp", "CAST(f8 AS DECIMAL(18,2)) > CAST(100 AS DECIMAL(18,2))", None),
+    ("dec_round", "CAST(round(CAST(f8 AS DECIMAL(18,2)), 1) AS DOUBLE)", None),
+    ("dec_neg", "CAST(-CAST(f8 AS DECIMAL(18,2)) AS DOUBLE)", None),
+    ("dec_abs", "CAST(abs(CAST(f8 AS DECIMAL(18,2))) AS DOUBLE)", None),
+    ("dec_str", "CAST(CAST(f8 AS DECIMAL(18,2)) AS STRING)",
+     "CAST(CAST(f8 AS DECIMAL(18,2)) AS VARCHAR)"),
 ]
 
 _CONDITIONALS = [
@@ -266,6 +288,7 @@ _FAMILIES = {
     "scalar_bytea_ops": _BYTEA_OPS,
     "scalar_conditionals": _CONDITIONALS,
     "scalar_casts": _CASTS,
+    "scalar_decimals": _DECIMALS,
 }
 
 QUERIES = {}

@@ -59,6 +59,22 @@ def commit_files(table_dir: str, new_files: list[str], base_version: int) -> dic
     return m
 
 
+def replace_files(table_dir: str, new_files: list[str], base_version: int) -> dict:
+    """Atomically swap the whole file list (compaction commit). Old files
+    stay on disk — pinned readers still see them (snapshot isolation);
+    gc() reclaims them later. This is the reference's L0→L1 merge shape
+    (src/access/sv.rs levels) on immutable parquet."""
+    m = read_manifest(table_dir)
+    if m["version"] != base_version:
+        raise SerializationFailure(
+            f"manifest moved: base v{base_version}, now v{m['version']}"
+        )
+    m["version"] += 1
+    m["files"] = list(new_files)
+    _persist(table_dir, m)
+    return m
+
+
 def _persist(table_dir: str, m: dict) -> None:
     # temp file + fsync + rename + dir fsync (reference src/utils.rs:287-301)
     tmp = manifest_path(table_dir) + ".tmp"

@@ -136,3 +136,25 @@ def test_copy_csv_mode(engine, tmp_path):
     path = _write(tmp_path, "in.csv", ['1,2,"x,y"', "3,4,plain"])
     assert engine.copy_from("t", path, delimiter=",", csv=True) == 2
     assert {r.c for r in engine.table("t").collect()} == {"x,y", "plain"}
+
+
+def test_compact_and_gc(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", [f"{i}|{i % 10}|r{i}" for i in range(60)])
+    for _ in range(3):  # 3 appends × parallel 4 → 12 small files
+        engine.copy_from("t", path, delimiter="|", parallel=4)
+    from kuibadb_spark.plans import manifest as mf
+
+    before = len(mf.read_manifest(engine._table_dir("t"))["files"])
+    assert before >= 9
+    snap = engine.table("t")  # pin the pre-compaction version
+
+    assert engine.compact("t", target_files=2) == 2
+    after = mf.read_manifest(engine._table_dir("t"))
+    assert len(after["files"]) == 2
+    assert engine.table("t").count() == 180
+    assert snap.count() == 180  # pinned reader unaffected (old files intact)
+
+    removed = engine.gc("t")
+    assert removed == before
+    assert engine.table("t").count() == 180  # current version survives gc
