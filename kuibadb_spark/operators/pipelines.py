@@ -1,0 +1,165 @@
+"""Composed pipelines — the queries a training-data curation job actually
+runs: multiple operators from this engine chained in one plan. These are
+the integration proof that the operator surface composes (filter →
+dedup → stats in a single Catalyst plan, no materialization between
+stages).
+
+Scale notes: the curation pipeline is scan → narrow filters → one
+hash-groupBy (dedup) → one groupBy (stats): two shuffles total at any
+corpus size. The funnel is a single per-user aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kuibadb_spark.catalog import load
+
+
+# --------------------------------------------------------------------------
+# curation pipeline: quality gate → language allowlist → exact dedup →
+# per-language corpus statistics
+# --------------------------------------------------------------------------
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.withColumn("toks", F.split("text", r"\s+"))
+    quality = toks.withColumn("n_toks", F.size("toks")).withColumn(
+        "uniq_ratio", F.size(F.array_distinct("toks")) / F.col("n_toks")
+    )
+    gated = quality.filter(
+        (F.col("n_toks") >= 20)
+        & (F.col("uniq_ratio") > 0.3)
+        & F.col("lang").isin("en", "de", "fr")
+    )
+    deduped = (
+        gated.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("n_toks").alias("n_toks"),
+        )
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_toks"),
+            F.expr("(sum(n_toks) * 100) div count(1)").alias("toks_per_doc_e2"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# top-k frequent tokens per language (exact, window top-k)
+# --------------------------------------------------------------------------
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "tok", "n")
+        .orderBy("lang", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# funnel: signup → first purchase conversion per user cohort
+# --------------------------------------------------------------------------
+def ev_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase_ts"
+        ),
+    )
+    converted = per_user.withColumn(
+        "converted",
+        F.col("signup_ts").isNotNull()
+        & F.col("first_purchase_ts").isNotNull()
+        & (F.col("first_purchase_ts") > F.col("signup_ts")),
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("signup_ts").isNotNull(), 1).otherwise(0)).alias(
+            "n_signed_up"
+        ),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("n_converted"),
+    )
+
+
+QUERIES = {
+    "pipeline_curation": pipeline_curation,
+    "text_top_tokens": text_top_tokens,
+    "ev_funnel_signup_purchase": ev_funnel_signup_purchase,
+}
+
+ORACLES = {
+    "pipeline_curation": """
+        WITH toks AS (
+            SELECT doc_id, lang, text,
+                   string_split_regex(text, '\\s+') AS toks
+            FROM documents
+        ), quality AS (
+            SELECT doc_id, lang, text, len(toks) AS n_toks,
+                   len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                       AS uniq_ratio
+            FROM toks
+        ), gated AS (
+            SELECT * FROM quality
+            WHERE n_toks >= 20 AND uniq_ratio > 0.3
+              AND lang IN ('en', 'de', 'fr')
+        ), deduped AS (
+            SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                   min(lang) AS lang, min(n_toks) AS n_toks
+            FROM gated GROUP BY md5(text)
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_toks,
+               CAST((sum(n_toks) * 100) // count(*) AS BIGINT) AS toks_per_doc_e2
+        FROM deduped
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "text_top_tokens": """
+        WITH counts AS (
+            SELECT lang, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ), agg AS (
+            SELECT lang, tok, count(*) AS n FROM counts GROUP BY lang, tok
+        )
+        SELECT lang, rank, tok, n FROM (
+            SELECT lang, tok, n,
+                   CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY n DESC, tok ASC) AS INTEGER) AS rank
+            FROM agg)
+        WHERE rank <= 5
+        ORDER BY lang, rank
+    """,
+    "ev_funnel_signup_purchase": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS first_purchase_ts
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN signup_ts IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signed_up,
+               CAST(sum(CASE WHEN signup_ts IS NOT NULL
+                             AND first_purchase_ts IS NOT NULL
+                             AND first_purchase_ts > signup_ts
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        FROM per_user
+    """,
+}

@@ -15,6 +15,7 @@ from kuibadb_spark.operators import (
     dedup,
     events,
     multimodal,
+    pipelines,
     relational,
     relational2,
     similarity,
@@ -39,6 +40,7 @@ _MODULES = [
     temporal,
     collections,
     udfs,
+    pipelines,
 ]
 
 
