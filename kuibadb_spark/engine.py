@@ -103,14 +103,20 @@ class Engine:
         )
 
     # -- reads ---------------------------------------------------------------
-    def table(self, name: str) -> DataFrame:
-        """Snapshot read: pins the current manifest version's file list —
-        later commits are invisible to this DataFrame (reference:
-        Snapshot visibility, src/access/xact.rs:76-99, by construction)."""
+    def table(self, name: str, version: int | None = None) -> DataFrame:
+        """Snapshot read: pins a manifest version's file list — later
+        commits are invisible to this DataFrame (reference: Snapshot
+        visibility, src/access/xact.rs:76-99, by construction).
+        `version=` reads a historical snapshot (time travel); old
+        versions stay readable until gc() reclaims their files."""
         tdir = self._table_dir(name)
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
-        m = mf.read_manifest(tdir)
+        m = (
+            mf.read_manifest(tdir)
+            if version is None
+            else mf.read_manifest_version(tdir, version)
+        )
         schema = T.StructType.fromDDL(m["schema"])
         if not m["files"]:
             return self.spark.createDataFrame([], schema)
@@ -151,6 +157,59 @@ class Engine:
         mf.commit_files(tdir, new_files, m["version"])
         # metadata-only count over the committed files (parquet row counts)
         return self.spark.read.parquet(*new_files).count() if new_files else 0
+
+    def insert(self, name: str, df: DataFrame) -> int:
+        """INSERT INTO: append a DataFrame through the same atomic
+        manifest commit as COPY (task files + swap)."""
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        m = mf.read_manifest(tdir)
+        schema = T.StructType.fromDDL(m["schema"])
+        aligned = df.select(
+            *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        from kuibadb_spark.sources.copy import check_not_null
+
+        check_not_null(aligned, m["not_null"])
+        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        aligned.write.mode("overwrite").parquet(staging)
+        new_files = [
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        ]
+        mf.commit_files(tdir, new_files, m["version"])
+        return self.spark.read.parquet(*new_files).count() if new_files else 0
+
+    def analyze(self, name: str) -> dict:
+        """ANALYZE: collect table statistics (row count, per-column
+        null count / min / max / approx NDV) into the manifest props —
+        the PG ANALYZE analog over immutable snapshots."""
+        from pyspark.sql import functions as F
+
+        df = self.table(name)
+        schema = df.schema
+        aggs: list = [F.count(F.lit(1)).alias("__rows")]
+        for f in schema.fields:
+            aggs.append(F.count(F.when(F.col(f.name).isNull(), 1)).alias(f"{f.name}__nulls"))
+            aggs.append(F.approx_count_distinct(f.name).alias(f"{f.name}__ndv"))
+            if not isinstance(f.dataType, (T.BinaryType, T.ArrayType, T.MapType)):
+                aggs.append(F.min(f.name).cast("string").alias(f"{f.name}__min"))
+                aggs.append(F.max(f.name).cast("string").alias(f"{f.name}__max"))
+        row = df.agg(*aggs).head().asDict() if df.head(1) else {"__rows": 0}
+        stats = {"rows": row.get("__rows", 0), "columns": {}}
+        for f in schema.fields:
+            stats["columns"][f.name] = {
+                k: row.get(f"{f.name}__{k}")
+                for k in ("nulls", "ndv", "min", "max")
+                if f"{f.name}__{k}" in row
+            }
+        tdir = self._table_dir(name)
+        m = mf.read_manifest(tdir)
+        m["props"]["stats"] = stats
+        mf._persist(tdir, m)
+        return stats
 
     # -- maintenance -----------------------------------------------------------
     def compact(self, name: str, target_files: int = 1) -> int:

@@ -1,0 +1,140 @@
+"""Iterative graph operator: connected components over the near-duplicate
+graph — the step after pairwise dedup (doc A≈B, B≈C ⇒ {A,B,C} is one
+cluster; a curation pipeline keeps one representative per component).
+
+Spark side: min-label propagation — labels start as node ids, each
+iteration takes the min label across neighbors, loops until a fixpoint
+(driver-controlled convergence on an aggregate; per-iteration work is
+pure joins/groupBys, so each step scales like any shuffle — the classic
+Pregel-on-DataFrames shape). Oracle: DuckDB `WITH RECURSIVE` transitive
+min-label closure — same fixpoint, engine-independent.
+
+Edges are the n-gram Jaccard near-dup pairs (dedup.py) over the
+synthesized dup corpus: base—exact-copy (j=1.0) and base—near-copy
+(j≥0.6) chains make 3-node components, transitively.
+
+Scale notes: iterations are bounded by graph diameter (dup clusters are
+shallow); each iteration is one join + one groupBy on node id. The
+driver loop moves no data — only the converged? count crosses to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kuibadb_spark.operators.dedup import (
+    _DUP_CORPUS_DUCK,
+    _SHINGLES_DUCK,
+    _dup_corpus,
+    _shingles,
+)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(_dup_corpus(spark, sf_dir)).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "src").join(sb, "dst")
+        .filter(
+            F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")) >= 0.6
+        )
+        .select("src", "dst")
+    )
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).persist()
+    # undirected: propagate both ways
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).persist()
+
+    for _ in range(20):  # bound ≥ graph diameter; dup chains are shallow
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.expr("array_sort(collect_list(node))").alias("members"),
+        )
+        .select(F.col("label").alias("cluster_id"), "cluster_size", "members")
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES = {"dedup_connected_components": dedup_connected_components}
+
+ORACLES = {
+    "dedup_connected_components": f"""
+        WITH RECURSIVE {_DUP_CORPUS_DUCK},
+        {_SHINGLES_DUCK},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT src, dst FROM inter
+            JOIN sizes sa ON sa.doc_id = src
+            JOIN sizes sb ON sb.doc_id = dst
+            WHERE i / (sa.sz + sb.sz - i) >= 0.6
+        ),
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT s.src, r.label
+            FROM sym s JOIN reach r ON s.dst = r.node
+        ),
+        final AS (
+            SELECT node, min(label) AS label FROM reach GROUP BY node
+        )
+        SELECT label AS cluster_id,
+               count(*) AS cluster_size,
+               list_sort(list(node)) AS members
+        FROM final
+        GROUP BY label
+        ORDER BY cluster_id
+    """,
+}

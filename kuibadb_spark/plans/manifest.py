@@ -75,6 +75,14 @@ def replace_files(table_dir: str, new_files: list[str], base_version: int) -> di
     return m
 
 
+def read_manifest_version(table_dir: str, version: int) -> dict:
+    """Time travel: read a historical manifest (kept per-version, like the
+    reference's checkpointed control-file copies, wal.rs:88-196)."""
+    p = os.path.join(table_dir, f"manifest.v{version}.json")
+    with open(p) as f:
+        return json.load(f)
+
+
 def _persist(table_dir: str, m: dict) -> None:
     # temp file + fsync + rename + dir fsync (reference src/utils.rs:287-301)
     tmp = manifest_path(table_dir) + ".tmp"
@@ -83,6 +91,9 @@ def _persist(table_dir: str, m: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, manifest_path(table_dir))
+    # retain a per-version copy for time travel (cheap: metadata only)
+    with open(os.path.join(table_dir, f"manifest.v{m['version']}.json"), "w") as f:
+        json.dump(m, f, indent=1)
     dfd = os.open(table_dir, os.O_RDONLY)
     try:
         os.fsync(dfd)

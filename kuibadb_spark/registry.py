@@ -14,6 +14,7 @@ from kuibadb_spark.operators import (
     collections,
     dedup,
     events,
+    graph,
     multimodal,
     pipelines,
     relational,
@@ -41,6 +42,7 @@ _MODULES = [
     collections,
     udfs,
     pipelines,
+    graph,
 ]
 
 

@@ -138,6 +138,24 @@ def test_copy_csv_mode(engine, tmp_path):
     assert {r.c for r in engine.table("t").collect()} == {"x,y", "plain"}
 
 
+def test_insert_time_travel_analyze(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    p = _write(tmp_path, "in.txt", ["1|2|x", "3|4|y"])
+    engine.copy_from("t", p, delimiter="|")          # → v1
+    assert engine.insert("t", engine.spark.sql(
+        "SELECT 9 AS a, CAST(9 AS SMALLINT) AS b, 'z' AS c")) == 1  # → v2
+    assert engine.table("t").count() == 3
+    # time travel: v1 had 2 rows, v0 was empty
+    assert engine.table("t", version=1).count() == 2
+    assert engine.table("t", version=0).count() == 0
+    # analyze: stats land in the manifest props
+    stats = engine.analyze("t")
+    assert stats["rows"] == 3
+    assert stats["columns"]["a"]["min"] == "1"
+    assert stats["columns"]["a"]["max"] == "9"
+    assert stats["columns"]["c"]["nulls"] == 0
+
+
 def test_compact_and_gc(engine, tmp_path):
     engine.create_table("t", SCHEMA)
     path = _write(tmp_path, "in.txt", [f"{i}|{i % 10}|r{i}" for i in range(60)])
