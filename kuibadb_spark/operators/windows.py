@@ -146,7 +146,31 @@ def w_range_frame_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# nth_value + lag/lead with defaults + offset variants
+# --------------------------------------------------------------------------
+def w_nth_lag_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ks_orders_w2")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               nth_value(o_totalprice, 2) OVER wf AS second_price,
+               lag(o_totalprice, 2, -1.0) OVER wo AS lag2_dflt,
+               lead(o_totalprice, 3, 0.0) OVER wo AS lead3_dflt
+        FROM ks_orders_w2
+        WHERE o_custkey < 40
+        WINDOW wf AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wo AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
+
+
 QUERIES = {
+    "w_nth_lag_defaults": w_nth_lag_defaults,
     "w_top3_orders_per_customer": w_top3_orders_per_customer,
     "w_running_revenue_per_supplier": w_running_revenue_per_supplier,
     "w_lag_lead_events": w_lag_lead_events,
@@ -156,6 +180,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "w_nth_lag_defaults": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               nth_value(o_totalprice, 2) OVER wf AS second_price,
+               lag(o_totalprice, 2, -1.0) OVER wo AS lag2_dflt,
+               lead(o_totalprice, 3, 0.0) OVER wo AS lead3_dflt
+        FROM orders
+        WHERE o_custkey < 40
+        WINDOW wf AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wo AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
     "w_top3_orders_per_customer": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,

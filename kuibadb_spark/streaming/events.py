@@ -80,11 +80,16 @@ def session_values(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", "30 minutes")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
             "n_events",
+            "session_value",
         )
     )
 
@@ -200,10 +205,20 @@ def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("ws", F.col("ws").cast("timestamp_ntz")).orderBy("ws")
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(session_values(read_events_stream(spark, sf_dir)))
+    return (
+        out.withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+        .orderBy("user_id", "session_start")
+    )
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_stateful_user_totals": stream_stateful_user_totals,
     "stream_sliding_hourly": stream_sliding_hourly,
+    "stream_session_windows": stream_session_windows,
 }
 
 ORACLES = {
@@ -236,5 +251,33 @@ ORACLES = {
         )
         GROUP BY ws
         ORDER BY ws
+    """,
+    # identical gaps-and-islands oracle as the batch session-window query
+    "stream_session_windows": """
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 10 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM numbered
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
     """,
 }
