@@ -125,8 +125,17 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.bool_or(big).alias("any_big"),
             F.bool_and(big).alias("all_big"),
-            F.max_by("event_id", "value").alias("top_event"),
-            F.min_by("event_id", "value").alias("bottom_event"),
+            # argmax with unique tie-break: bare max_by(value) is
+            # nondeterministic when values tie (bit us at sf0.1); the key is
+            # zero-padded (cents, event_id) so lexicographic == numeric
+            F.expr(
+                "max_by(event_id, concat(lpad(CAST(CAST(round(value * 100) AS BIGINT)"
+                " AS STRING), 12, '0'), lpad(CAST(event_id AS STRING), 12, '0')))"
+            ).alias("top_event"),
+            F.expr(
+                "min_by(event_id, concat(lpad(CAST(CAST(round(value * 100) AS BIGINT)"
+                " AS STRING), 12, '0'), lpad(CAST(event_id AS STRING), 12, '0')))"
+            ).alias("bottom_event"),
         )
         .orderBy("event_type")
     )
@@ -238,8 +247,12 @@ ORACLES = {
                    AS sum_big,
                bool_or(value > 100.0)  AS any_big,
                bool_and(value > 100.0) AS all_big,
-               arg_max(event_id, value) AS top_event,
-               arg_min(event_id, value) AS bottom_event
+               arg_max(event_id, lpad(CAST(CAST(round(value * 100, 0) AS BIGINT)
+                       AS VARCHAR), 12, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS top_event,
+               arg_min(event_id, lpad(CAST(CAST(round(value * 100, 0) AS BIGINT)
+                       AS VARCHAR), 12, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS bottom_event
         FROM events
         GROUP BY event_type
         ORDER BY event_type

@@ -197,7 +197,7 @@ ORACLES = {
         WITH bands AS (
             SELECT band_id, band_id * 50.0 AS band_lo,
                    band_id * 50.0 + 50.0 AS band_hi
-            FROM (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS band_id)
+            FROM (SELECT CAST(unnest(generate_series(0, 99)) AS INTEGER) AS band_id)
         )
         SELECT band_id, band_lo, band_hi,
                count(*) AS n,
