@@ -97,13 +97,54 @@ def ev_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# retention cohorts: signup week × weeks-since-signup activity matrix
+# --------------------------------------------------------------------------
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("WEEK", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.join(first_seen, "user_id").withColumn(
+        "week_offset",
+        F.expr(
+            "CAST(timestampdiff(DAY, cohort_week, date_trunc('WEEK', ts)) div 7"
+            " AS INT)"
+        ),
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 QUERIES = {
+    "ev_retention_cohorts": ev_retention_cohorts,
     "pipeline_curation": pipeline_curation,
     "text_top_tokens": text_top_tokens,
     "ev_funnel_signup_purchase": ev_funnel_signup_purchase,
 }
 
 ORACLES = {
+    "ev_retention_cohorts": """
+        WITH first_seen AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT e.user_id, f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7
+                        AS INTEGER) AS week_offset
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week, week_offset,
+               count(DISTINCT user_id) AS active_users
+        FROM activity
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
     "pipeline_curation": """
         WITH toks AS (
             SELECT doc_id, lang, text,
