@@ -119,7 +119,32 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# data profiling: per-column nulls / exact NDV / extrema in one pass shape
+# --------------------------------------------------------------------------
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    parts = []
+    for c in cols:
+        parts.append(
+            l.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias("n_nulls"),
+                F.countDistinct(c).alias("ndv"),
+                F.min(c).cast("string").alias("min_s"),
+                F.max(c).cast("string").alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col_name")
+
+
 QUERIES = {
+    "profile_lineitem": profile_lineitem,
     "ev_retention_cohorts": ev_retention_cohorts,
     "pipeline_curation": pipeline_curation,
     "text_top_tokens": text_top_tokens,
@@ -127,6 +152,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "profile_lineitem": """
+        SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+               count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_nulls,
+               count(DISTINCT l_orderkey) AS ndv,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_s
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(*),
+               count(CASE WHEN l_quantity IS NULL THEN 1 END),
+               count(DISTINCT l_quantity),
+               CAST(CAST(min(l_quantity) AS DOUBLE) AS VARCHAR),
+               CAST(CAST(max(l_quantity) AS DOUBLE) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*),
+               count(CASE WHEN l_returnflag IS NULL THEN 1 END),
+               count(DISTINCT l_returnflag),
+               min(l_returnflag), max(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', count(*),
+               count(CASE WHEN l_shipdate IS NULL THEN 1 END),
+               count(DISTINCT l_shipdate),
+               strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+        FROM lineitem
+        ORDER BY col_name
+    """,
     "ev_retention_cohorts": """
         WITH first_seen AS (
             SELECT user_id,
