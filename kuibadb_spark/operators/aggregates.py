@@ -153,6 +153,48 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long): per-returnflag metric columns melted into
+    (metric, value) rows via stack()."""
+    l = load(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+    )
+    return (
+        wide.selectExpr(
+            "l_returnflag",
+            "stack(3, 'qty', qty, 'price', price, 'disc', disc)"
+            " AS (metric, val)",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+def subq_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with NULLs in the subquery (3-valued logic): a NULL in the
+    IN-list makes NOT IN never-true — the classic SQL trap, same in PG,
+    Spark, and DuckDB. The NULL-stripped variant returns rows."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("ks_cust_ni")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ks_ord_ni")
+    return spark.sql(
+        """
+        WITH keys AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM ks_ord_ni
+        )
+        SELECT
+            (SELECT count(*) FROM ks_cust_ni
+             WHERE c_custkey NOT IN (SELECT k FROM keys)) AS with_nulls,
+            (SELECT count(*) FROM ks_cust_ni
+             WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL))
+                AS without_nulls
+        """
+    )
+
+
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates (rows-only check: HLL++/KLL estimates are
     engine-specific by design — the 100 TB substitute for exact distincts).
@@ -177,6 +219,8 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_conditional": agg_conditional,
     "agg_pivot": agg_pivot,
+    "agg_unpivot": agg_unpivot,
+    "subq_not_in_nulls": subq_not_in_nulls,
     "agg_approx_sketches": agg_approx_sketches,
 }
 
@@ -256,6 +300,32 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "agg_unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS qty,
+                   round(sum(l_extendedprice), 2) AS price,
+                   round(sum(l_discount), 2) AS disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty' AS metric, qty AS val FROM wide
+        UNION ALL SELECT l_returnflag, 'price', price FROM wide
+        UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
+        ORDER BY l_returnflag, metric
+    """,
+    "subq_not_in_nulls": """
+        WITH keys AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM orders
+        )
+        SELECT
+            (SELECT count(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM keys)) AS with_nulls,
+            (SELECT count(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL))
+                AS without_nulls
     """,
     "agg_pivot": """
         SELECT l_returnflag,
