@@ -19,6 +19,7 @@ from kuibadb_spark.operators import (
     pipelines,
     relational,
     relational2,
+    relational3,
     similarity,
     temporal,
     text,
@@ -29,6 +30,7 @@ from kuibadb_spark.streaming import events as streaming_events
 _MODULES = [
     relational,
     relational2,
+    relational3,
     windows,
     aggregates,
     scalar,
