@@ -152,20 +152,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _K = 12
 _BANDS = 4  # 3 rows per band
+_P = 2147483647  # Mersenne prime 2^31-1: keeps i*b products far from 2^63
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(_dup_corpus(spark, sf_dir))
+    """k=12 signature via universal hashing h_i = (a + i*b) mod P over ONE
+    md5 per shingle (a, b = two 30-bit halves of the digest) — the textbook
+    one-hash MinHash family, 12× cheaper than hashing every shingle k
+    times. No distinct on shingles: min() is duplicate-insensitive, so the
+    set semantics are free and the dedup shuffle is skipped; the only
+    shuffle is the partial-aggregated 12-column min per doc_id."""
+    c = _dup_corpus(spark, sf_dir)
+    toks = c.withColumn("w", F.split("text", r"\s+"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) < 3 THEN array() "
+                "ELSE transform(sequence(1, size(w) - 2), "
+                "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1),"
+                " element_at(w, i+2))) END"
+            )
+        ).alias("shingle"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint") % _P).alias("ha"),
+        (F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint") % _P).alias("hb"),
+    )
     # sig feeds three plan branches (bands + both sides of the candidate
     # re-join); persist so the shingle explode + 12 min-aggs run once
-    sig = sh.groupBy("doc_id").agg(
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            F.min((F.col("ha") + i * F.col("hb")) % _P).alias(f"h{i}")
             for i in range(_K)
         ]
     ).persist()
     band_exprs = ", ".join(
-        f"{j}, md5(concat(h{3*j}, h{3*j+1}, h{3*j+2}))" for j in range(_BANDS)
+        f"{j}, concat_ws(':', h{3*j}, h{3*j+1}, h{3*j+2})" for j in range(_BANDS)
     )
     bands = sig.selectExpr(
         "doc_id",
@@ -210,29 +234,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     unweighted (distinct-token) variant collides massively — term counts
     carry the signal, so each token votes ±count on every bit."""
     c = _dup_corpus(spark, sf_dir)
-    toks = (
-        c.withColumn("tok", F.explode(F.split("text", r"\s+")))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("wt"))
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
-        )
-    )
-    bits = toks.select(
-        "doc_id",
-        "h",
-        "wt",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    toks = c.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
     ).withColumn(
-        "contrib",
-        F.when(F.expr("(h >> b) & 1") == 1, F.col("wt")).otherwise(-F.col("wt")),
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    )
+    # One shuffle total: summing ±1 per token OCCURRENCE per bit equals the
+    # frequency-weighted (±count per distinct token) form, so the
+    # (doc_id, tok) count pass and the 32× bit-explode both collapse into
+    # 32 conditional sums in a single partial-aggregated groupBy(doc_id).
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    sh_expr = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for b in range(32)
     )
     simhash = (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, 1).otherwise(0))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("CAST(bit AS BIGINT) * CAST(pow(2, b) AS BIGINT)")).alias("sh"))
+        toks.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", sh_expr.alias("sh"))
     )
     simhash = simhash.persist()  # feeds both sides of the byte-band join
     bytes_df = simhash.selectExpr(
@@ -307,11 +333,11 @@ QUERIES = {
 }
 
 _SIG_COLS = ",\n               ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_K)
+    f"min((ha + {i} * hb) % {_P}) AS h{i}" for i in range(_K)
 )
 _BAND_ROWS = " UNION ALL ".join(
     f"SELECT doc_id, {j} AS band_idx,"
-    f" md5(h{3*j} || h{3*j+1} || h{3*j+2}) AS band_hash FROM sig"
+    f" h{3*j} || ':' || h{3*j+1} || ':' || h{3*j+2} AS band_hash FROM sig"
     for j in range(_BANDS)
 )
 _AGREE = " + ".join(
@@ -350,10 +376,16 @@ ORACLES = {
     "dedup_minhash_lsh": f"""
         WITH {_DUP_CORPUS_DUCK},
         {_SHINGLES_DUCK},
+        hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {_P} AS ha,
+                   CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % {_P} AS hb
+            FROM shingles
+        ),
         sig AS (
             SELECT doc_id,
                {_SIG_COLS}
-            FROM shingles GROUP BY doc_id
+            FROM hashed GROUP BY doc_id
         ),
         bands AS ({_BAND_ROWS}),
         cand AS (
