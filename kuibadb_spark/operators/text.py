@@ -171,11 +171,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 5. TF-IDF: corpus-wide document frequencies → top-3 terms per doc
+# ---------------------------------------------------------------------------
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF with smoothed idf = ln((N+1)/(df+1)). Ranking orders
+    by the ROUNDED score (ties then broken by token) so the top-3 choice
+    can't flip on a last-ulp ln() difference between engines.
+
+    Scale: tf is one partial-aggregated shuffle on (doc_id, tok); df is a
+    re-aggregation of tf (already small); N is a single-row broadcast. The
+    top-k window partitions by doc_id — same shuffle key as tf, and the
+    doc filter prunes before the window."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") % 100 == 0)
+        .join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. percentile length-band curation: keep docs inside the P05–P95 token-
+#    count band (the standard outlier trim before training)
+# ---------------------------------------------------------------------------
+def text_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", r"size(split(text, '\\s+')) AS n_toks"
+    )
+    band = d.agg(
+        F.expr("percentile(n_toks, 0.05)").alias("p05"),
+        F.expr("percentile(n_toks, 0.95)").alias("p95"),
+    )
+    return (
+        d.crossJoin(F.broadcast(band))
+        .withColumn(
+            "kept", (F.col("n_toks") >= F.col("p05")) & (F.col("n_toks") <= F.col("p95"))
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_token_stats": text_token_stats,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_length_band_filter": text_length_band_filter,
 }
 
 _SCORES_DUCK = ", ".join(_score_exprs_duck())
@@ -235,6 +301,52 @@ ORACLES = {
         FROM per_doc
         GROUP BY source
         ORDER BY source
+    """,
+    "text_tfidf_top_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, tok,
+                   round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+            FROM tf JOIN df USING (tok) CROSS JOIN n
+            WHERE doc_id % 100 = 0
+        ),
+        ranked AS (
+            SELECT doc_id, tok, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, tok) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, tok, tfidf
+        FROM ranked WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """,
+    "text_length_band_filter": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(text, '\\s+')) AS n_toks
+            FROM documents
+        ),
+        band AS (
+            SELECT quantile_cont(n_toks, 0.05) AS p05,
+                   quantile_cont(n_toks, 0.95) AS p95
+            FROM d
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_toks >= p05 AND n_toks <= p95
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN n_toks >= p05 AND n_toks <= p95
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM d CROSS JOIN band
+        GROUP BY lang
+        ORDER BY lang
     """,
     "text_fingerprint": """
         WITH corpus AS (
