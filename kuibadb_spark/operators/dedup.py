@@ -324,12 +324,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 6. fuzzy dedup: prefix-blocking + edit-distance verify
+# ---------------------------------------------------------------------------
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy dedup: candidate pairs share a 40-char text prefix
+    (an equi-join key, so candidate generation is one hash shuffle), then
+    the expensive O(m·n) levenshtein verify runs only within blocks.
+    Catches exact copies (dist 0) and the appended-token near-dups
+    (dist = len(' zzduptoken') = 11).
+
+    Scale: the verify cost is bounded by block sizes, not corpus size; at
+    100 TB you'd union several blocking keys (prefix, length-band,
+    minhash band) to raise recall — each is still an equi-join."""
+    c = _dup_corpus(spark, sf_dir).withColumn("blk", F.substring("text", 1, 40))
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 15)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_fuzzy_levenshtein": dedup_fuzzy_levenshtein,
 }
 
 _SIG_COLS = ",\n               ".join(
@@ -439,6 +472,18 @@ ORACLES = {
         FROM bytes a JOIN bytes b
           ON a.band_idx = b.band_idx AND a.byte = b.byte AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 1
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_fuzzy_levenshtein": f"""
+        WITH {_DUP_CORPUS_DUCK},
+        blocked AS (
+            SELECT doc_id, text, substr(text, 1, 40) AS blk FROM corpus
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 15
         ORDER BY doc_a, doc_b
     """,
     "dedup_embedding_cosine": """

@@ -122,12 +122,47 @@ def ev_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# anomaly detection: hourly counts per type vs the type's own z-score
+# --------------------------------------------------------------------------
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flags hours whose event count deviates ≥1.5σ from that event
+    type's hourly mean. mu/sigma use the integer-exact moment formula
+    (sum, sum-of-squares are exact BIGINTs; var = E[n²] − mu², all
+    remaining ops are single IEEE operations) — deterministic across
+    engines, unlike stddev_pop whose partial-merge order varies.
+
+    Scale: two partial-aggregated shuffles (hour×type, then type); the
+    per-type stats table is tiny → broadcast back onto the hourly counts."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    mu = F.col("s1") / F.col("cnt")
+    var = F.col("s2") / F.col("cnt") - mu * mu
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("mu", F.round(mu, 4))
+        .withColumn("z", F.round((F.col("n") - mu) / F.sqrt(var), 4))
+        .filter(F.abs(F.col("z")) >= 1.5)
+        .select("event_type", "hr", "n", "mu", "z")
+        .orderBy("event_type", "hr")
+    )
+
+
 QUERIES = {
     "ev_json_extract": ev_json_extract,
     "ev_tumbling_hourly": ev_tumbling_hourly,
     "ev_sliding_hourly": ev_sliding_hourly,
     "ev_session_windows": ev_session_windows,
     "ev_dedup_exact": ev_dedup_exact,
+    "ev_anomaly_zscore": ev_anomaly_zscore,
 }
 
 _SESSION_GAI = """
@@ -189,6 +224,25 @@ ORACLES = {
         )
         GROUP BY ws
         ORDER BY ws
+    """,
+    "ev_anomaly_zscore": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+            FROM events GROUP BY hr, event_type
+        ),
+        stats AS (
+            SELECT event_type, sum(n) AS s1, sum(n * n) AS s2,
+                   count(*) AS cnt
+            FROM hourly GROUP BY event_type
+        )
+        SELECT event_type, hr, n,
+               round(s1 / cnt, 4) AS mu,
+               round((n - s1 / cnt)
+                     / sqrt(s2 / cnt - (s1 / cnt) * (s1 / cnt)), 4) AS z
+        FROM hourly JOIN stats USING (event_type)
+        WHERE abs(round((n - s1 / cnt)
+                  / sqrt(s2 / cnt - (s1 / cnt) * (s1 / cnt)), 4)) >= 1.5
+        ORDER BY event_type, hr
     """,
     "ev_session_windows": _SESSION_GAI,
     "ev_dedup_exact": """
