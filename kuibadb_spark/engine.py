@@ -182,6 +182,112 @@ class Engine:
         mf.commit_files(tdir, new_files, m["version"])
         return self.spark.read.parquet(*new_files).count() if new_files else 0
 
+    def delete(self, name: str, where: str) -> int:
+        """DELETE FROM name WHERE … — copy-on-write: only files that
+        actually contain matching rows are rewritten; untouched files are
+        carried into the new manifest version as-is (the Delta/Iceberg COW
+        shape). Semantics mirror the reference's MVCC xmax
+        (src/access/csmvcc.rs:151-163 stores per-row xmax arrays: a delete
+        stamps visibility, old snapshots still see the row) — here, prior
+        manifest versions keep serving the deleted rows via time travel.
+
+        3-valued logic: rows are removed only where the predicate is TRUE;
+        FALSE and NULL rows are kept (PG DELETE semantics). Returns the
+        deleted row count (`DELETE n`)."""
+        touched, untouched, df = self._touched_files(name, where)
+        if not touched:
+            return 0
+        from pyspark.sql import functions as F
+
+        tdir = self._table_dir(name)
+        m = mf.read_manifest(tdir)
+        deleted = df.filter(F.expr(where)).count()
+        kept = df.filter(~F.expr(where).eqNullSafe(F.lit(True)))
+        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        kept.write.mode("overwrite").parquet(staging)
+        new_files = [
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        ]
+        mf.replace_files(tdir, untouched + new_files, m["version"])
+        return deleted
+
+    def update(self, name: str, set: dict[str, str], where: str = "true") -> int:
+        """UPDATE name SET col = expr, … WHERE … — copy-on-write over
+        touched files only, same shape as delete(). SET expressions are
+        SQL strings evaluated per matching row; non-matching rows in a
+        touched file are rewritten unchanged. Returns updated row count."""
+        touched, untouched, df = self._touched_files(name, where)
+        if not touched:
+            return 0
+        from pyspark.sql import functions as F
+
+        tdir = self._table_dir(name)
+        m = mf.read_manifest(tdir)
+        schema = T.StructType.fromDDL(m["schema"])
+        bad = set.keys() - {f.name for f in schema.fields}
+        if bad:
+            raise ValueError(f"unknown columns in SET: {sorted(bad)}")
+        updated = df.filter(F.expr(where)).count()
+        match = F.expr(where).eqNullSafe(F.lit(True))
+        out = df.select(
+            *[
+                (
+                    F.when(match, F.expr(set[f.name]).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in set
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        check_not_null(out, m["not_null"])
+        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        out.write.mode("overwrite").parquet(staging)
+        new_files = [
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        ]
+        mf.replace_files(tdir, untouched + new_files, m["version"])
+        return updated
+
+    def _touched_files(self, name: str, where: str):
+        """Split the current snapshot's files into (touched, untouched) by
+        whether any row matches `where` — ONE distributed job: the scan
+        gets the predicate pushed down and the distinct file list shipped
+        back is metadata-sized (file names, not rows)."""
+        from pyspark.sql import functions as F
+
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        m = mf.read_manifest(tdir)
+        if not m["files"]:
+            return [], [], None
+        schema = T.StructType.fromDDL(m["schema"])
+        full = self.spark.read.schema(schema).parquet(*m["files"])
+        hit_uris = {
+            r["__f"]
+            for r in full.filter(F.expr(where))
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        }
+        # input_file_name() returns URIs (file:///…, %-encoded); compare on
+        # the decoded path part
+        from urllib.parse import unquote, urlparse
+
+        hit_paths = {unquote(urlparse(u).path) if "://" in u else u for u in hit_uris}
+        touched = [f for f in m["files"] if f in hit_paths or f in hit_uris]
+        untouched = [f for f in m["files"] if f not in set(touched)]
+        df = (
+            self.spark.read.schema(schema).parquet(*touched) if touched else None
+        )
+        return touched, untouched, df
+
     def analyze(self, name: str) -> dict:
         """ANALYZE: collect table statistics (row count, per-column
         null count / min / max / approx NDV) into the manifest props —

@@ -180,48 +180,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint") % _P).alias("ha"),
         (F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint") % _P).alias("hb"),
     )
-    # sig feeds three plan branches (bands + both sides of the candidate
-    # re-join); persist so the shingle explode + 12 min-aggs run once
+    # persist: the sketch table is tiny (one ~100-byte row per doc) but its
+    # producer (shingle explode + md5 + 12 min-aggs) is the expensive linear
+    # pass — without the persist the band self-join computes it once PER
+    # SIDE (AQE broadcasts one side, so no Exchange reuse is possible).
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.col("ha") + i * F.col("hb")) % _P).alias(f"h{i}")
             for i in range(_K)
         ]
     ).persist()
+    # Band rows CARRY the full signature array: the candidate self-join then
+    # computes est_sim in place — no re-join back to sig (saves two shuffle
+    # joins; the extra 12 bigints per band row are cheap vs two more
+    # hash-join exchanges).
     band_exprs = ", ".join(
         f"{j}, concat_ws(':', h{3*j}, h{3*j+1}, h{3*j+2})" for j in range(_BANDS)
     )
     bands = sig.selectExpr(
         "doc_id",
+        f"array({', '.join(f'h{i}' for i in range(_K))}) AS hs",
         f"stack({_BANDS}, {band_exprs}) AS (band_idx, band_hash)",
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    agree = sum(
+        F.when(F.expr(f"a.hs[{i}] = b.hs[{i}]"), 1).otherwise(0) for i in range(_K)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(agree / F.lit(float(_K)), 4).alias("est_sim"),
+        )
         .distinct()
-    )
-    siga = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(_K)]
-    )
-    sigb = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_K)]
-    )
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(_K)
-    )
-    return (
-        cand.join(siga, "doc_a")
-        .join(sigb, "doc_b")
-        .withColumn("est_sim", F.round(agree / F.lit(float(_K)), 4))
         .filter(F.col("est_sim") >= 0.5)
-        .select("doc_a", "doc_b", "est_sim")
         .orderBy("doc_a", "doc_b")
     )
 

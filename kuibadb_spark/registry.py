@@ -20,6 +20,7 @@ from kuibadb_spark.operators import (
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
     temporal,
     text,
@@ -31,6 +32,7 @@ _MODULES = [
     relational,
     relational2,
     relational3,
+    relational4,
     windows,
     aggregates,
     scalar,

@@ -176,3 +176,68 @@ def test_compact_and_gc(engine, tmp_path):
     removed = engine.gc("t")
     assert removed == before
     assert engine.table("t").count() == 180  # current version survives gc
+
+
+def test_delete_copy_on_write(engine, tmp_path):
+    """DELETE rewrites only files containing matching rows; prior
+    versions still serve the deleted rows (reference xmax semantics,
+    src/access/csmvcc.rs:151-163, via manifest time travel)."""
+    engine.create_table("t", SCHEMA)
+    # two segments: a in 0..9 and a in 100..109
+    engine.copy_from("t", _write(tmp_path, "lo.txt",
+                                 [f"{i}|{i % 5}|r{i}" for i in range(10)]),
+                     delimiter="|")
+    engine.copy_from("t", _write(tmp_path, "hi.txt",
+                                 [f"{i}|{i % 5}|r{i}" for i in range(100, 110)]),
+                     delimiter="|")
+    from kuibadb_spark.plans import manifest as mf
+
+    before = mf.read_manifest(engine._table_dir("t"))
+    pre_version = before["version"]
+    lo_files = [f for f in before["files"]]
+
+    snap = engine.table("t")  # pin pre-delete snapshot
+    assert engine.delete("t", "a < 5") == 5
+    after = mf.read_manifest(engine._table_dir("t"))
+    # untouched hi segment's files carried over verbatim (COW)
+    carried = set(before["files"]) & set(after["files"])
+    assert carried, "expected the non-matching file(s) to be reused"
+    assert engine.table("t").count() == 15
+    assert engine.table("t").filter("a < 5").count() == 0
+    assert snap.count() == 20                        # pinned reader
+    assert engine.table("t", version=pre_version).count() == 20  # time travel
+
+    # 3VL: NULL predicate rows are kept
+    engine.create_table("n", SCHEMA)
+    engine.copy_from("n", _write(tmp_path, "n.txt", ["1|2|x", r"3|\N|y"]),
+                     delimiter="|")
+    assert engine.delete("n", "b > 1") == 1          # b=NULL row survives
+    assert {r["a"] for r in engine.table("n").collect()} == {3}
+
+    # no matches → no new version
+    v = mf.read_manifest(engine._table_dir("t"))["version"]
+    assert engine.delete("t", "a = -1") == 0
+    assert mf.read_manifest(engine._table_dir("t"))["version"] == v
+
+
+def test_update_copy_on_write(engine, tmp_path):
+    engine.create_table("t", SCHEMA)
+    engine.copy_from("t", _write(tmp_path, "in.txt",
+                                 [f"{i}|{i % 5}|r{i}" for i in range(10)]),
+                     delimiter="|")
+    n = engine.update("t", {"c": "upper(c)", "b": "CAST(b + 100 AS SMALLINT)"},
+                      where="a >= 8")
+    assert n == 2
+    rows = {tuple(r) for r in engine.table("t").filter("a >= 8").collect()}
+    assert rows == {(8, 103, "R8"), (9, 104, "R9")}
+    # non-matching rows untouched
+    assert engine.table("t").filter("a < 8 AND c LIKE 'r%'").count() == 8
+
+    with pytest.raises(ValueError):
+        engine.update("t", {"nope": "1"})
+
+    # NOT NULL is enforced on the rewritten rows
+    engine.create_table("nn", SCHEMA, not_null=["c"])
+    engine.copy_from("nn", _write(tmp_path, "nn.txt", ["1|2|x"]), delimiter="|")
+    with pytest.raises(NotNullViolation):
+        engine.update("nn", {"c": "CAST(NULL AS STRING)"}, where="a = 1")
