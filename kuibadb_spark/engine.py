@@ -254,6 +254,67 @@ class Engine:
         mf.replace_files(tdir, untouched + new_files, m["version"])
         return updated
 
+    def merge(self, name: str, source: DataFrame, on: list[str]) -> tuple[int, int]:
+        """MERGE (upsert): rows in `source` replace target rows with equal
+        key columns `on`; unmatched source rows are inserted. Copy-on-write
+        like delete()/update(): only target files containing matched keys
+        are rewritten, the rest carry into the new version untouched.
+        Returns (updated, inserted).
+
+        Scale shape: one shuffle join target⋈source on the key to find
+        touched files (metadata-sized result), one anti-join of the
+        touched rows against the source for the rewrite — the standard
+        Delta/Iceberg COW MERGE plan."""
+        from pyspark.sql import functions as F
+
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        m = mf.read_manifest(tdir)
+        schema = T.StructType.fromDDL(m["schema"])
+        aligned = source.select(
+            *[source[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        check_not_null(aligned, m["not_null"])
+        keys = aligned.select(*on).distinct()
+
+        full = (
+            self.spark.read.schema(schema).parquet(*m["files"])
+            if m["files"]
+            else self.spark.createDataFrame([], schema)
+        )
+        matched = full.join(keys, on, "semi")  # AQE broadcasts small key sets
+        updated = matched.count()
+        inserted = keys.count() - matched.select(*on).distinct().count()
+
+        hit_uris = {
+            r["__f"]
+            for r in matched.select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        }
+        from urllib.parse import unquote, urlparse
+
+        hit_paths = {unquote(urlparse(u).path) if "://" in u else u for u in hit_uris}
+        touched = [f for f in m["files"] if f in hit_paths or f in hit_uris]
+        untouched = [f for f in m["files"] if f not in set(touched)]
+
+        survivors = (
+            self.spark.read.schema(schema).parquet(*touched).join(keys, on, "anti")
+            if touched
+            else self.spark.createDataFrame([], schema)
+        )
+        out = survivors.unionByName(aligned)
+        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        out.write.mode("overwrite").parquet(staging)
+        new_files = [
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        ]
+        mf.replace_files(tdir, untouched + new_files, m["version"])
+        return updated, inserted
+
     def _touched_files(self, name: str, where: str):
         """Split the current snapshot's files into (touched, untouched) by
         whether any row matches `where` — ONE distributed job: the scan

@@ -210,8 +210,35 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# equi-width histogram: 20 fixed buckets over customer balances — the
+# data-profiling primitive (bucket key derived per row, one small shuffle)
+# --------------------------------------------------------------------------
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    lo, hi, n = 0.0, 10000.0, 20
+    width = (hi - lo) / n
+    bucket = F.least(
+        F.greatest(F.floor((F.col("c_acctbal") - lo) / width), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("int")
+    return (
+        c.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .withColumn("bucket_lo", F.round(F.col("bucket") * width + lo, 2))
+        .withColumn("bucket_hi", F.round(F.col("bucket") * width + lo + width, 2))
+        .select("bucket", "bucket_lo", "bucket_hi", "n", "avg_bal")
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "agg_rollup": agg_rollup,
+    "agg_histogram": agg_histogram,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_multi_distinct": agg_multi_distinct,
@@ -225,6 +252,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_histogram": """
+        WITH bucketed AS (
+            SELECT CAST(least(greatest(floor((c_acctbal - 0.0) / 500.0), 0), 19)
+                        AS INTEGER) AS bucket,
+                   c_acctbal
+            FROM customer
+        )
+        SELECT bucket,
+               round(bucket * 500.0, 2) AS bucket_lo,
+               round(bucket * 500.0 + 500.0, 2) AS bucket_hi,
+               count(*) AS n,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM bucketed
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
     "agg_rollup": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
                round(sum(l_quantity), 2) AS sum_qty,

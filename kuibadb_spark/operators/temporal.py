@@ -147,11 +147,67 @@ def rollup_multigranularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# gap fill + LOCF: dense hourly spine per event_type, carry last observation
+# forward into empty hours (the TimescaleDB time_bucket_gapfill/locf shape)
+# --------------------------------------------------------------------------
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly series: hours with no events get the previous
+    hour's value (LOCF), leading gaps get 0. Integer-cents sums — float
+    sum order differs across engines.
+
+    Scale shape: the hourly aggregate is ONE shuffle of events; the spine
+    is sequence() over a two-row global min/max (broadcast), exploded per
+    event_type — spine size = types × hours, metadata-scale no matter the
+    event count. The LOCF window shuffles only the dense spine, not the
+    raw events."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type"), F.date_trunc("HOUR", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+
+    bounds = e.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("lo"),
+        F.date_trunc("HOUR", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            (F.col("cents").isNull()).alias("filled"),
+            F.coalesce(
+                F.last("cents", ignorenulls=True).over(w), F.lit(0)
+            ).alias("cents_locf"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
 QUERIES = {
     "time_scalar_family": time_scalar_family,
     "asof_purchase_last_view": asof_purchase_last_view,
     "range_join_value_bands": range_join_value_bands,
     "rollup_multigranularity": rollup_multigranularity,
+    "ts_gap_fill_locf": ts_gap_fill_locf,
 }
 
 ORACLES = {
@@ -226,5 +282,30 @@ ORACLES = {
         FROM base
         GROUP BY GROUPING SETS ((h), (d), (mo))
         ORDER BY granularity, bucket
+    """,
+    "ts_gap_fill_locf": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM (SELECT DISTINCT event_type FROM events) t, bounds
+        )
+        SELECT s.event_type, s.h,
+               cents IS NULL AS filled,
+               coalesce(
+                   last_value(cents IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   0) AS cents_locf
+        FROM spine s LEFT JOIN hourly USING (event_type, h)
+        ORDER BY s.event_type, s.h
     """,
 }

@@ -241,3 +241,33 @@ def test_update_copy_on_write(engine, tmp_path):
     engine.copy_from("nn", _write(tmp_path, "nn.txt", ["1|2|x"]), delimiter="|")
     with pytest.raises(NotNullViolation):
         engine.update("nn", {"c": "CAST(NULL AS STRING)"}, where="a = 1")
+
+
+def test_merge_upsert_copy_on_write(engine, tmp_path):
+    """MERGE: matched keys replaced, unmatched inserted, untouched files
+    carried over (COW), prior versions time-travel intact."""
+    engine.create_table("t", SCHEMA)
+    engine.copy_from("t", _write(tmp_path, "lo.txt",
+                                 [f"{i}|{i % 5}|r{i}" for i in range(5)]),
+                     delimiter="|")
+    engine.copy_from("t", _write(tmp_path, "hi.txt",
+                                 [f"{i}|{i % 5}|r{i}" for i in range(100, 105)]),
+                     delimiter="|")
+    from kuibadb_spark.plans import manifest as mf
+
+    before = mf.read_manifest(engine._table_dir("t"))
+    src = engine.spark.sql(
+        "SELECT * FROM VALUES (3, CAST(99 AS SMALLINT), 'updated'),"
+        " (200, CAST(1 AS SMALLINT), 'new') AS v(a, b, c)"
+    )
+    updated, inserted = engine.merge("t", src, on=["a"])
+    assert (updated, inserted) == (1, 1)
+    after = mf.read_manifest(engine._table_dir("t"))
+    # the hi segment had no matched keys → its files reused verbatim
+    assert set(before["files"]) & set(after["files"])
+    assert engine.table("t").count() == 11
+    got = {tuple(r) for r in engine.table("t").filter("a IN (3, 200)").collect()}
+    assert got == {(3, 99, "updated"), (200, 1, "new")}
+    # time travel still shows the pre-merge row
+    pre = engine.table("t", version=before["version"]).filter("a = 3").collect()
+    assert [(r["b"], r["c"]) for r in pre] == [(3, "r3")]
