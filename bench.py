@@ -57,9 +57,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # steady-state: best of 2 full executions, cache cleared between —
+        # run 1 pays codegen JIT; clearCache drops any persist() a query
+        # did internally so run 2 re-executes the whole plan, not a cache.
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

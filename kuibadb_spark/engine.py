@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, types as T
 
 from kuibadb_spark.errors import DuplicateTable, UndefinedTable
-from kuibadb_spark.plans import manifest as mf
+from kuibadb_spark.plans import manifest as mf, zonemap
 from kuibadb_spark.session import get_spark
 from kuibadb_spark.sources.copy import check_not_null, parse_typed
 
@@ -103,12 +103,20 @@ class Engine:
         )
 
     # -- reads ---------------------------------------------------------------
-    def table(self, name: str, version: int | None = None) -> DataFrame:
+    def table(
+        self, name: str, version: int | None = None, where: str | None = None
+    ) -> DataFrame:
         """Snapshot read: pins a manifest version's file list — later
         commits are invisible to this DataFrame (reference: Snapshot
         visibility, src/access/xact.rs:76-99, by construction).
         `version=` reads a historical snapshot (time travel); old
-        versions stay readable until gc() reclaims their files."""
+        versions stay readable until gc() reclaims their files.
+
+        `where=` filters — and first prunes whole FILES via the
+        manifest's zone maps (plans/zonemap.py): files whose per-column
+        min/max can't satisfy the predicate are never given to Spark.
+        The full predicate is always re-applied as a filter, so pruning
+        is purely a scan reduction."""
         tdir = self._table_dir(name)
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
@@ -118,9 +126,16 @@ class Engine:
             else mf.read_manifest_version(tdir, version)
         )
         schema = T.StructType.fromDDL(m["schema"])
-        if not m["files"]:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*m["files"])
+        files = m["files"]
+        if where is not None and files:
+            files = zonemap.prune(files, m.get("stats_by_file", {}), where)
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        if where is not None:
+            df = df.filter(where)
+        return df
 
     # -- ingest ---------------------------------------------------------------
     def copy_from(
@@ -154,7 +169,8 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.commit_files(tdir, new_files, m["version"])
+        mf.commit_files(tdir, new_files, m["version"],
+                        stats=zonemap.collect_file_stats(new_files))
         # metadata-only count over the committed files (parquet row counts)
         return self.spark.read.parquet(*new_files).count() if new_files else 0
 
@@ -179,7 +195,8 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.commit_files(tdir, new_files, m["version"])
+        mf.commit_files(tdir, new_files, m["version"],
+                        stats=zonemap.collect_file_stats(new_files))
         return self.spark.read.parquet(*new_files).count() if new_files else 0
 
     def delete(self, name: str, where: str) -> int:
@@ -210,7 +227,8 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.replace_files(tdir, untouched + new_files, m["version"])
+        mf.replace_files(tdir, untouched + new_files, m["version"],
+                         stats=zonemap.collect_file_stats(new_files))
         return deleted
 
     def update(self, name: str, set: dict[str, str], where: str = "true") -> int:
@@ -251,7 +269,8 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.replace_files(tdir, untouched + new_files, m["version"])
+        mf.replace_files(tdir, untouched + new_files, m["version"],
+                         stats=zonemap.collect_file_stats(new_files))
         return updated
 
     def merge(self, name: str, source: DataFrame, on: list[str]) -> tuple[int, int]:
@@ -312,7 +331,8 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.replace_files(tdir, untouched + new_files, m["version"])
+        mf.replace_files(tdir, untouched + new_files, m["version"],
+                         stats=zonemap.collect_file_stats(new_files))
         return updated, inserted
 
     def _touched_files(self, name: str, where: str):
@@ -398,7 +418,8 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.replace_files(tdir, new_files, m["version"])
+        mf.replace_files(tdir, new_files, m["version"],
+                         stats=zonemap.collect_file_stats(new_files))
         return len(new_files)
 
     def gc(self, name: str) -> int:

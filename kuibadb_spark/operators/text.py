@@ -125,6 +125,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         r"size(split(text, '\\s+')) AS ws_toks",
         r"size(regexp_extract_all(text, '[a-z]+', 0)) AS re_toks",
+        # GPT-2-style BPE pre-tokenizer shape: a leading space binds to the
+        # following word/number run; other rune runs stand alone
+        r"size(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+', 0))"
+        " AS bpe_toks",
         "length(text) AS chars",
     )
     return (
@@ -133,6 +137,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("ws_toks").alias("total_ws_toks"),
             F.sum("re_toks").alias("total_re_toks"),
+            F.sum("bpe_toks").alias("total_bpe_toks"),
             F.sum("chars").alias("total_chars"),
             F.expr("(sum(ws_toks) * 1000) div count(1)").alias("toks_per_doc_e3"),
         )
@@ -289,6 +294,8 @@ ORACLES = {
             SELECT doc_id, source,
                    len(string_split_regex(text, '\\s+')) AS ws_toks,
                    len(regexp_extract_all(text, '[a-z]+')) AS re_toks,
+                   len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+'))
+                       AS bpe_toks,
                    length(text) AS chars
             FROM documents
         )
@@ -296,6 +303,7 @@ ORACLES = {
                count(*) AS n_docs,
                CAST(sum(ws_toks) AS BIGINT) AS total_ws_toks,
                CAST(sum(re_toks) AS BIGINT) AS total_re_toks,
+               CAST(sum(bpe_toks) AS BIGINT) AS total_bpe_toks,
                CAST(sum(chars) AS BIGINT) AS total_chars,
                CAST((sum(ws_toks) * 1000) // count(*) AS BIGINT) AS toks_per_doc_e3
         FROM per_doc

@@ -46,8 +46,11 @@ def init_manifest(table_dir: str, schema_ddl: str, not_null: list[str],
     return m
 
 
-def commit_files(table_dir: str, new_files: list[str], base_version: int) -> dict:
-    """Atomically append files; optimistic check against concurrent commits."""
+def commit_files(table_dir: str, new_files: list[str], base_version: int,
+                 stats: dict | None = None) -> dict:
+    """Atomically append files; optimistic check against concurrent commits.
+    `stats` = per-file zone maps for the new files ({file: {col: [min,max]}},
+    plans/zonemap.py) carried in the manifest for scan-time file skipping."""
     m = read_manifest(table_dir)
     if m["version"] != base_version:
         raise SerializationFailure(
@@ -55,11 +58,13 @@ def commit_files(table_dir: str, new_files: list[str], base_version: int) -> dic
         )
     m["version"] += 1
     m["files"] = m["files"] + list(new_files)
+    m.setdefault("stats_by_file", {}).update(stats or {})
     _persist(table_dir, m)
     return m
 
 
-def replace_files(table_dir: str, new_files: list[str], base_version: int) -> dict:
+def replace_files(table_dir: str, new_files: list[str], base_version: int,
+                  stats: dict | None = None) -> dict:
     """Atomically swap the whole file list (compaction commit). Old files
     stay on disk — pinned readers still see them (snapshot isolation);
     gc() reclaims them later. This is the reference's L0→L1 merge shape
@@ -71,6 +76,11 @@ def replace_files(table_dir: str, new_files: list[str], base_version: int) -> di
         )
     m["version"] += 1
     m["files"] = list(new_files)
+    old_stats = m.get("stats_by_file", {})
+    m["stats_by_file"] = {
+        f: old_stats[f] for f in new_files if f in old_stats
+    }
+    m["stats_by_file"].update(stats or {})
     _persist(table_dir, m)
     return m
 

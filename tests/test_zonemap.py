@@ -1,0 +1,103 @@
+"""Zone-map file skipping: per-file min/max in the manifest (commit-time,
+footer-only) prune whole files from Engine.table(where=…) scans — the
+manifest-level analog of the reference's per-block metadata
+(/root/reference/src/access/cs.rs:91-107) and Delta/Iceberg file skipping.
+Pruning must never change results (full predicate re-applied as filter).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kuibadb_spark.engine import Engine
+from kuibadb_spark.plans import manifest as mf, zonemap
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_parse_conjuncts():
+    got = zonemap.parse_conjuncts(
+        "a < 5 AND b BETWEEN 10 AND 20 AND c = 'x' AND weird(d) > 1 AND e >= 2.5"
+    )
+    assert ("a", "<", 5, None) in got
+    assert ("b", "between", 10, 20) in got
+    assert ("c", "=", "x", None) in got
+    assert ("e", ">=", 2.5, None) in got
+    assert len(got) == 4  # the function-call conjunct is skipped
+
+
+def test_prune_logic():
+    stats = {
+        "f1": {"a": [0, 9], "s": ["aa", "mm"]},
+        "f2": {"a": [10, 19]},
+        "f3": {},  # no stats for any column
+    }
+    files = ["f1", "f2", "f3", "f4"]  # f4 absent from stats entirely
+    assert zonemap.prune(files, stats, "a < 5") == ["f1", "f3", "f4"]
+    assert zonemap.prune(files, stats, "a >= 10") == ["f2", "f3", "f4"]
+    assert zonemap.prune(files, stats, "a BETWEEN 8 AND 12") == files
+    assert zonemap.prune(files, stats, "s = 'zz'") == ["f2", "f3", "f4"]
+    # type mismatch (string literal vs numeric stats) prunes nothing
+    assert zonemap.prune(files, stats, "a = 'x'") == files
+    # unparseable predicate prunes nothing
+    assert zonemap.prune(files, stats, "some_udf(a) = 1") == files
+
+
+def test_engine_file_skipping(engine, tmp_path):
+    engine.create_table("t", "a INT, b SMALLINT, c STRING")
+    # three disjoint segments by a-range
+    for lo in (0, 100, 200):
+        engine.copy_from(
+            "t",
+            _write(tmp_path, f"seg{lo}.txt",
+                   [f"{lo + i}|{i % 5}|r{lo + i}" for i in range(10)]),
+            delimiter="|",
+        )
+    m = mf.read_manifest(engine._table_dir("t"))
+    assert len(m["files"]) >= 3
+    assert all(f in m["stats_by_file"] for f in m["files"])
+
+    pruned = engine.table("t", where="a BETWEEN 100 AND 109")
+    full = engine.table("t").filter("a BETWEEN 100 AND 109")
+    # correctness: identical rows
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+    # scan reduction: only the middle segment's files are opened
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+
+    # string-column pruning
+    pruned_s = engine.table("t", where="c = 'r205'")
+    assert [r["a"] for r in pruned_s.collect()] == [205]
+    assert len(pruned_s.inputFiles()) < len(m["files"])
+
+    # predicate matching nothing → zero files, empty result, right schema
+    none = engine.table("t", where="a > 9999")
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["a", "b", "c"]
+
+    # compaction rewrites stats for the new file
+    engine.compact("t", target_files=1)
+    m2 = mf.read_manifest(engine._table_dir("t"))
+    assert len(m2["files"]) == 1
+    assert m2["files"][0] in m2["stats_by_file"]
+    assert engine.table("t", where="a BETWEEN 100 AND 109").count() == 10
+
+
+def test_delete_keeps_pruning_correct(engine, tmp_path):
+    engine.create_table("t", "a INT, b SMALLINT, c STRING")
+    engine.copy_from("t", _write(tmp_path, "x.txt",
+                                 [f"{i}|1|v{i}" for i in range(20)]),
+                     delimiter="|")
+    engine.delete("t", "a >= 10")
+    m = mf.read_manifest(engine._table_dir("t"))
+    assert all(f in m["stats_by_file"] for f in m["files"])
+    assert engine.table("t", where="a < 5").count() == 5
+    assert engine.table("t", where="a >= 10").count() == 0
