@@ -399,12 +399,24 @@ class Engine:
         return stats
 
     # -- maintenance -----------------------------------------------------------
-    def compact(self, name: str, target_files: int = 1) -> int:
+    def compact(
+        self, name: str, target_files: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the table's files into `target_files` larger ones (the
         small-file compaction every append-heavy parquet table needs; the
         reference's L0→L1 merge, src/access/sv.rs levels). Old files stay
         until gc() — pinned snapshots keep reading them. Returns the new
-        file count."""
+        file count.
+
+        `sort_by=` CLUSTERS the rewrite: a range-partitioned global sort
+        puts disjoint key ranges in separate files, so the manifest zone
+        maps (plans/zonemap.py) can skip ~(1 - 1/target_files) of the
+        table on a point/range predicate over those columns. Append-time
+        files interleave key ranges (every file spans the whole domain ⇒
+        zone maps prune nothing); periodic clustered compaction is how a
+        100 TB table keeps scans proportional to the predicate, not the
+        table."""
         tdir = self._table_dir(name)
         m = mf.read_manifest(tdir)
         if not m["files"]:
@@ -412,7 +424,15 @@ class Engine:
         schema = T.StructType.fromDDL(m["schema"])
         df = self.spark.read.schema(schema).parquet(*m["files"])
         staging = os.path.join(tdir, f"compact-{uuid.uuid4().hex[:12]}")
-        df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+        if sort_by:
+            # repartitionByRange: one shuffle, disjoint sorted ranges per
+            # output file (sortWithinPartitions keeps parquet row-group
+            # stats tight inside each file too)
+            df = df.repartitionByRange(target_files, *sort_by) \
+                   .sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(target_files)
+        df.write.mode("overwrite").parquet(staging)
         new_files = [
             os.path.join(staging, f)
             for f in os.listdir(staging)

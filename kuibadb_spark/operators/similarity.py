@@ -299,3 +299,138 @@ ORACLES = {
         ORDER BY q_id, rank
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# 4. k-means (Lloyd's) over embeddings — iterative clustering
+# ---------------------------------------------------------------------------
+_K = 4
+_ROUNDS = 3  # assignment rounds; centroid updates after rounds 1 and 2
+_SCALE = 1_000_000  # coordinates → exact integers (floor(x * 1e6))
+
+
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, K=4, deterministic init (vectors 0..3), exactly
+    3 assignment rounds — the canonical iterative-refinement algorithm
+    (reference has no iterative ops; this is the LLM-pipeline extra the
+    blueprint adds, SURVEY.md §2.3).
+
+    Cross-engine determinism: coordinates become EXACT integers
+    (floor(x·1e6) as BIGINT) so centroid sums are order-independent;
+    distances are sequential left-fold doubles over identical integer
+    inputs, bit-identical in Spark and DuckDB; argmin ties break on
+    min cid via (min dist → min cid), not arg_min.
+
+    Scale: assignment is a broadcast cross join against K=4 centroids
+    (K·64 ints — trivially broadcastable at any corpus size); the update
+    is one partial-aggregated groupBy per round. The per-round driver
+    collect is K rows — the standard Lloyd's loop shape (MLlib does the
+    same); corpus never leaves the executors.
+    """
+    vec = (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id",
+            f"transform(embedding, x -> bigint(floor(x * {_SCALE}D))) AS xi",
+            "label",
+        )
+        .persist()
+    )
+    sums = [F.sum(F.expr(f"xi[{d}]")).alias(f"s{d}") for d in range(_DIM)]
+    cent = vec.filter(F.col("vec_id") < _K).selectExpr(
+        "int(vec_id) AS cid", "1L AS n", "xi AS s"
+    )
+    best = None
+    for r in range(_ROUNDS):
+        # K rows of 64 ints — literal re-broadcast each round keeps the
+        # plan flat (no 3-round lineage explosion)
+        cdf = spark.createDataFrame(
+            [(row["cid"], row["n"], row["s"]) for row in cent.collect()],
+            "cid INT, n BIGINT, s ARRAY<BIGINT>",
+        )
+        dist = vec.crossJoin(F.broadcast(cdf)).withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(xi, s, (x, m) -> (x - m / n) * (x - m / n)),"
+                " 0D, (acc, t) -> acc + t)"
+            ),
+        )
+        mind = dist.groupBy("vec_id").agg(F.min("dist").alias("md"))
+        best = (
+            dist.join(mind, "vec_id")
+            .filter("dist = md")
+            .groupBy("vec_id")
+            .agg(F.min("cid").alias("cid"))
+        )
+        if r < _ROUNDS - 1:
+            cent = (
+                best.join(vec, "vec_id")
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"), *sums)
+                .selectExpr(
+                    "cid", "n",
+                    "array(" + ",".join(f"s{d}" for d in range(_DIM)) + ") AS s",
+                )
+            )
+    return (
+        best.join(vec, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("first_member"))
+        .select(F.col("cid").alias("cluster_id"), "label", "n_vecs", "first_member")
+        .orderBy("cluster_id", "label")
+    )
+
+
+def _kmeans_duck() -> str:
+    """Generate the mirrored fixed-3-round Lloyd's as chained CTEs."""
+    s_list = ", ".join(
+        f"CAST(sum(v.xi[{d}]) AS BIGINT)" for d in range(1, _DIM + 1)
+    )
+    parts = [
+        f"""vec AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * {_SCALE}) AS BIGINT)) AS xi,
+                   label
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT CAST(vec_id AS INTEGER) AS cid, CAST(1 AS BIGINT) AS n,
+                   xi AS s
+            FROM vec WHERE vec_id < {_K}
+        )"""
+    ]
+    for r in range(1, _ROUNDS + 1):
+        parts.append(f"""dist{r} AS (
+            SELECT v.vec_id, c.cid,
+                   list_reduce(list_transform(range(1, {_DIM + 1}),
+                       d -> (v.xi[d] - c.s[d] / c.n) * (v.xi[d] - c.s[d] / c.n)),
+                       (a, b) -> a + b) AS dist
+            FROM vec v CROSS JOIN cent{r - 1} c
+        ),
+        mind{r} AS (SELECT vec_id, min(dist) AS md FROM dist{r} GROUP BY vec_id),
+        asn{r} AS (
+            SELECT d.vec_id, min(d.cid) AS cid
+            FROM dist{r} d JOIN mind{r} m
+              ON d.vec_id = m.vec_id AND d.dist = m.md
+            GROUP BY d.vec_id
+        )""")
+        if r < _ROUNDS:
+            parts.append(f"""cent{r} AS (
+            SELECT a.cid, CAST(count(*) AS BIGINT) AS n, [{s_list}] AS s
+            FROM asn{r} a JOIN vec v ON v.vec_id = a.vec_id
+            GROUP BY a.cid
+        )""")
+    return (
+        "WITH " + ",\n        ".join(parts) + f"""
+        SELECT a.cid AS cluster_id, v.label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               min(v.vec_id) AS first_member
+        FROM asn{_ROUNDS} a JOIN vec v ON v.vec_id = a.vec_id
+        GROUP BY a.cid, v.label
+        ORDER BY cluster_id, label
+    """)
+
+
+QUERIES["sim_kmeans_lloyd"] = sim_kmeans_lloyd
+ORACLES["sim_kmeans_lloyd"] = _kmeans_duck()

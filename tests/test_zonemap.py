@@ -91,6 +91,39 @@ def test_engine_file_skipping(engine, tmp_path):
     assert engine.table("t", where="a BETWEEN 100 AND 109").count() == 10
 
 
+def test_clustered_compaction_enables_pruning(engine, tmp_path):
+    """Append-order files interleave the key domain (every file spans
+    [0,120) ⇒ zone maps prune nothing); compact(sort_by=) range-clusters
+    the rewrite so a narrow predicate opens ~1/target_files of the table —
+    the maintenance loop a 100 TB table needs to keep scans proportional
+    to the predicate."""
+    engine.create_table("t", "a INT, c STRING")
+    # 3 appends, each covering the FULL key range 0..119 (interleaved)
+    for seg in range(3):
+        engine.copy_from(
+            "t",
+            _write(tmp_path, f"s{seg}.txt",
+                   [f"{i}|x{seg}_{i}" for i in range(seg, 120, 3)]),
+            delimiter="|",
+        )
+    m = mf.read_manifest(engine._table_dir("t"))
+    # interleaved: zone maps keep every file for a narrow range predicate
+    assert len(zonemap.prune(m["files"], m["stats_by_file"],
+                             "a BETWEEN 10 AND 19")) == len(m["files"])
+
+    engine.compact("t", target_files=4, sort_by=["a"])
+    m2 = mf.read_manifest(engine._table_dir("t"))
+    assert len(m2["files"]) == 4
+    kept = zonemap.prune(m2["files"], m2["stats_by_file"],
+                         "a BETWEEN 10 AND 19")
+    # clustered: a 10/120 range predicate touches at most 2 of 4 files
+    assert len(kept) <= 2
+    # correctness unchanged through the clustered rewrite
+    df = engine.table("t", where="a BETWEEN 10 AND 19")
+    assert sorted(r["a"] for r in df.collect()) == list(range(10, 20))
+    assert len(df.inputFiles()) <= 2
+
+
 def test_delete_keeps_pruning_correct(engine, tmp_path):
     engine.create_table("t", "a INT, b SMALLINT, c STRING")
     engine.copy_from("t", _write(tmp_path, "x.txt",
