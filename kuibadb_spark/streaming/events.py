@@ -281,3 +281,25 @@ ORACLES = {
         ORDER BY user_id, session_start
     """,
 }
+
+
+def run_resumable(df: DataFrame, sink_dir: str, checkpoint_dir: str,
+                  mode: str = "append") -> None:
+    """Drive a streaming frame over all currently-available input into a
+    parquet sink WITH a checkpoint, then stop. Calling it again after new
+    input arrives resumes from the checkpoint: already-committed source
+    files are not reprocessed (exactly-once sink) and stateful operators
+    recover their state store — the restart-safety contract a production
+    pipeline needs (the reference's WAL-replay durability analog;
+    src/access/wal.rs — here Spark's checkpoint/WAL does the replay)."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

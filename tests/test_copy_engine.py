@@ -271,3 +271,33 @@ def test_merge_upsert_copy_on_write(engine, tmp_path):
     # time travel still shows the pre-merge row
     pre = engine.table("t", version=before["version"]).filter("a = 3").collect()
     assert [(r["b"], r["c"]) for r in pre] == [(3, "r3")]
+
+
+def test_copy_to_round_trip(engine, tmp_path):
+    """copy_to exports the snapshot in copy_from's dialect — a
+    copy_to → copy_from round trip is lossless, including NULLs
+    (the reference rejects COPY TO, copy.rs:276; we complete the
+    surface)."""
+    engine.create_table("t", SCHEMA)
+    engine.copy_from(
+        "t",
+        _write(tmp_path, "in.txt", ["1|2|x", r"3|\N|y", r"5|6|\N"]),
+        delimiter="|",
+    )
+    out = str(tmp_path / "export")
+    n = engine.copy_to("t", out, delimiter="|", parallel=2)
+    assert n == 3
+
+    engine.create_table("t2", SCHEMA)
+    import glob
+    total = 0
+    for part in sorted(glob.glob(out + "/part-*")):
+        total += engine.copy_from("t2", part, delimiter="|")
+    assert total == 3
+    assert {tuple(r) for r in engine.table("t2").collect()} == {
+        tuple(r) for r in engine.table("t").collect()
+    }
+
+    # filtered export goes through zone-map pruning
+    out2 = str(tmp_path / "export2")
+    assert engine.copy_to("t", out2, delimiter="|", where="a >= 3") == 2
