@@ -379,3 +379,137 @@ ORACLES = {
         ORDER BY kept_doc_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# full-text search: inverted postings + conjunctive query, integer tf-idf
+# ---------------------------------------------------------------------------
+_FTS_TERMS = ("hash", "join", "stream")
+
+
+def text_search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean full-text search: docs containing ALL query terms, ranked
+    by tf·idf. The postings list (doc_id, term, tf) IS the inverted
+    index — built by one explode+groupBy; the conjunctive query is a
+    HAVING count(term)=|q| over postings restricted to query terms.
+
+    idf is the EXACT integer (1e6·N) div df — cross-engine-stable where
+    ln(N/df) is not, and rank-order-equivalent for a fixed N (both are
+    monotone decreasing in df).
+
+    Scale: the term filter hits the scan (predicate on the exploded
+    token), so postings are built only for query terms — the shuffle is
+    |q| terms × matching docs, not the corpus vocabulary. df and N are
+    K-row broadcasts. At 100 TB one would persist the full postings
+    table partitioned by term and skip straight to the join; the query
+    side of the plan is identical."""
+    docs = load(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in _FTS_TERMS)
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .filter(F.expr(f"term IN ({terms})"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("w", F.expr("tf * ((1000000 * n_docs) div df)"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("w").alias("score"))
+        .filter(F.col("n_terms") == len(_FTS_TERMS))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+QUERIES["text_search_conjunctive"] = text_search_conjunctive
+ORACLES["text_search_conjunctive"] = f"""
+    WITH postings AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents
+        )
+        WHERE term IN ({", ".join(f"'{t}'" for t in _FTS_TERMS)})
+        GROUP BY doc_id, term
+    ),
+    df_t AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id,
+           CAST(sum(tf * ((1000000 * n_docs) // df)) AS BIGINT) AS score
+    FROM postings JOIN df_t USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    HAVING count(*) = {len(_FTS_TERMS)}
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition quality rule: duplicate word-trigram ratio per document
+# ---------------------------------------------------------------------------
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-repetitive documents by duplicate word-trigram ratio — the
+    Gopher-style repetition rule used to cull boilerplate/spam from
+    training corpora. Entirely per-row array math (sequence →
+    transform → array_distinct): zero shuffles before the final top-k,
+    and the trigram arrays never materialize outside the row —
+    at 100 TB this runs at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            r"split(lower(text), '\\s+') AS toks",
+        )
+        .filter(F.expr("size(toks) >= 3"))
+        .selectExpr(
+            "doc_id",
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tg",
+        )
+        .selectExpr(
+            "doc_id",
+            "size(tg) AS n_tg",
+            "size(tg) - size(array_distinct(tg)) AS n_dup",
+        )
+        .selectExpr(
+            "doc_id", "n_tg", "n_dup",
+            "(bigint(n_dup) * 1000000) div n_tg AS rep_e6",
+        )
+        .orderBy(F.desc("rep_e6"), "doc_id")
+        .limit(20)
+    )
+
+
+QUERIES["text_repetition"] = text_repetition
+ORACLES["text_repetition"] = r"""
+    WITH tg AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(lower(text), '\s+') AS toks
+            FROM documents
+        )
+        WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(tg) AS INTEGER) AS n_tg,
+           CAST(len(tg) - len(list_distinct(tg)) AS INTEGER) AS n_dup,
+           CAST((CAST(len(tg) - len(list_distinct(tg)) AS BIGINT) * 1000000)
+                // len(tg) AS BIGINT) AS rep_e6
+    FROM tg
+    ORDER BY rep_e6 DESC, doc_id
+    LIMIT 20
+"""
