@@ -138,3 +138,112 @@ ORACLES = {
         ORDER BY cluster_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-duplicate graph (exact-integer, fixed rounds)
+# ---------------------------------------------------------------------------
+_PR_S = 1_000_000_000_000  # rank scale: ranks are ints in [0, 1e12]
+_PR_ROUNDS = 3
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 rounds) over the undirected near-dup
+    graph — ranks duplicate-cluster "centers" (the doc most linked by
+    near-copies), e.g. to pick the canonical representative.
+
+    All arithmetic is scaled-integer with truncating division (`div` ==
+    DuckDB `//`), so every intermediate is exact and the DuckDB oracle
+    hash-matches — the same trick as sim_kmeans_lloyd, where floats
+    would drift across engines.
+
+    Scale: each round is one join (contrib = rank div outdeg along
+    edges) + one groupBy(dst) — the Pregel-on-DataFrames shape; node
+    state is (node, rank) — linear, shuffled on node id. No driver
+    collect at all (fixed rounds, no convergence check)."""
+    edges = _edges(spark, sf_dir)
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # every node starts at S div N
+    pr = deg.crossJoin(F.broadcast(n)).selectExpr(
+        "src AS node", f"{_PR_S} div n_nodes AS rank", "n_nodes"
+    )
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            sym.join(pr, sym.src == pr.node)
+            .join(deg, "src")
+            .selectExpr("dst", "rank div outdeg AS c", "n_nodes")
+        )
+        pr = (
+            contrib.groupBy("dst", "n_nodes")
+            .agg(F.sum("c").alias("inflow"))
+            .selectExpr(
+                "dst AS node",
+                f"(15 * {_PR_S}) div (100 * n_nodes)"
+                " + (85 * inflow) div 100 AS rank",
+                "n_nodes",
+            )
+        )
+    return (
+        pr.select("node", "rank")
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+QUERIES["graph_pagerank"] = graph_pagerank
+
+
+def _pagerank_duck() -> str:
+    parts = [f"""{_DUP_CORPUS_DUCK},
+        {_SHINGLES_DUCK},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT src, dst FROM inter
+            JOIN sizes sa ON sa.doc_id = src
+            JOIN sizes sb ON sb.doc_id = dst
+            WHERE i / (sa.sz + sb.sz - i) >= 0.6
+        ),
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                FROM sym GROUP BY src),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        pr0 AS (
+            SELECT src AS node, {_PR_S} // n_nodes AS rank, n_nodes
+            FROM deg CROSS JOIN n
+        )"""]
+    for r in range(1, _PR_ROUNDS + 1):
+        parts.append(f"""pr{r} AS (
+            SELECT dst AS node,
+                   (15 * {_PR_S}) // (100 * n_nodes)
+                     + (85 * CAST(sum(c) AS BIGINT)) // 100 AS rank,
+                   n_nodes
+            FROM (
+                SELECT s.dst, p.rank // d.outdeg AS c, p.n_nodes
+                FROM sym s
+                JOIN pr{r - 1} p ON s.src = p.node
+                JOIN deg d ON s.src = d.src
+            )
+            GROUP BY dst, n_nodes
+        )""")
+    return ("WITH RECURSIVE " + ",\n        ".join(parts) + f"""
+        SELECT node, CAST(rank AS BIGINT) AS rank
+        FROM pr{_PR_ROUNDS}
+        ORDER BY rank DESC, node
+        LIMIT 20
+    """)
+
+
+ORACLES["graph_pagerank"] = _pagerank_duck()
