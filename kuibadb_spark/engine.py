@@ -31,6 +31,42 @@ _TXN_RE = re.compile(
     r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|END|ABORT|ROLLBACK|LOCK\s+.+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+((?:VALUES|SELECT)\s+.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren depth 0 and outside string literals —
+    enough for an UPDATE's SET list (exprs may contain calls/strings)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, in_str = 0, False
+    for ch in s:
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
 
 
 class Engine:
@@ -43,9 +79,39 @@ class Engine:
     def sql(self, text: str) -> DataFrame | None:
         """Run SQL. Registered tables resolve by name; txn/lock statements
         are accepted no-ops (returns None), like the reference's utility
-        path but without the machinery (SURVEY.md §2.4)."""
+        path but without the machinery (SURVEY.md §2.4).
+
+        DML (INSERT INTO … VALUES/SELECT, DELETE FROM, UPDATE … SET) is
+        routed to the engine's manifest-transactional methods — the SQL
+        front door a reference user expects, over the same copy-on-write
+        commits as the Python API. DML returns a 1-row DataFrame with the
+        affected row count (the reference's command-tag count)."""
         if _TXN_RE.match(text):
             return None
+        m = _INSERT_RE.match(text)
+        if m:
+            name, body = m.group(1), m.group(2)
+            self._register_all()
+            q = f"SELECT * FROM ({body})" if body[:6].upper() == "VALUES" else body
+            src = self.spark.sql(q)
+            schema = T.StructType.fromDDL(
+                mf.read_manifest(self._table_dir(name))["schema"]
+            )
+            # positional column matching, like INSERT without a column list
+            n = self.insert(name, src.toDF(*[f.name for f in schema.fields]))
+            return self.spark.createDataFrame([(n,)], "count BIGINT")
+        m = _DELETE_RE.match(text)
+        if m and m.group(1).upper() != "SELECT":
+            n = self.delete(m.group(1), m.group(2) or "true")
+            return self.spark.createDataFrame([(n,)], "count BIGINT")
+        m = _UPDATE_RE.match(text)
+        if m:
+            assignments = {}
+            for part in _split_top_level(m.group(2)):
+                col, expr = part.split("=", 1)
+                assignments[col.strip()] = expr.strip()
+            n = self.update(m.group(1), assignments, m.group(3) or "true")
+            return self.spark.createDataFrame([(n,)], "count BIGINT")
         self._register_all()
         return self.spark.sql(text)
 

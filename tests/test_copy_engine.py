@@ -301,3 +301,28 @@ def test_copy_to_round_trip(engine, tmp_path):
     # filtered export goes through zone-map pruning
     out2 = str(tmp_path / "export2")
     assert engine.copy_to("t", out2, delimiter="|", where="a >= 3") == 2
+
+
+def test_sql_dml_routing(engine, tmp_path):
+    """INSERT/DELETE/UPDATE through the SQL front door hit the same
+    manifest-transactional paths as the Python API (command-tag counts,
+    snapshot versions advance, time travel intact)."""
+    engine.create_table("t", SCHEMA)
+    assert engine.sql("INSERT INTO t VALUES (1, 2, 'x'), (3, 4, 'y')") \
+        .collect()[0]["count"] == 2
+    assert engine.sql(
+        "INSERT INTO t SELECT a + 10, b, upper(c) FROM t WHERE a = 1"
+    ).collect()[0]["count"] == 1
+    assert engine.sql("SELECT count(*) AS n FROM t").collect()[0].n == 3
+
+    assert engine.sql("UPDATE t SET b = b + 1, c = concat(c, '!') WHERE a = 3") \
+        .collect()[0]["count"] == 1
+    assert engine.sql("SELECT b, c FROM t WHERE a = 3").collect()[0][:] == (5, "y!")
+
+    assert engine.sql("DELETE FROM t WHERE a >= 10").collect()[0]["count"] == 1
+    rows = {tuple(r) for r in engine.table("t").collect()}
+    assert rows == {(1, 2, "x"), (3, 5, "y!")}
+
+    # pre-DML snapshots still readable (time travel over SQL DML commits)
+    assert engine.table("t", version=1).count() == 2  # after first INSERT
+    assert engine.table("t", version=2).count() == 3  # after INSERT…SELECT
