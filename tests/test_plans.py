@@ -48,3 +48,43 @@ def test_q1_partial_aggregation(spark):
     # partial (map-side) + final HashAggregate pair around the exchange
     assert p.count("HashAggregate") >= 2
     assert "Exchange" in p
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning: a selective dim filter injects
+    a bloom_filter_agg on the dim side and a might_contain condition on
+    the FACT side's scan — at 100 TB this skips fact rows whose join key
+    can't match, before the shuffle. (Off by default in OSS Spark; we
+    pin that enabling it produces the filter so the conf is a knob, not
+    a hope.)"""
+    from kuibadb_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF, "lineitem")
+        orders = load(spark, SF, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        p = _plan(j)
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -134,3 +134,65 @@ def test_delete_keeps_pruning_correct(engine, tmp_path):
     assert all(f in m["stats_by_file"] for f in m["files"])
     assert engine.table("t", where="a < 5").count() == 5
     assert engine.table("t", where="a >= 10").count() == 0
+
+
+# -- property tests: pruning is sound for ANY stats/predicate ---------------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _val = st.one_of(st.integers(-50, 50),
+                     st.text(alphabet="abc", min_size=0, max_size=3))
+    _col = st.sampled_from(["a", "b", "c"])
+    _op = st.sampled_from(["<", "<=", "=", ">", ">="])
+
+    def _matches(row, conj):
+        col, op, v, v2 = conj
+        x = row.get(col)
+        if x is None or isinstance(x, str) != isinstance(v, str):
+            return False
+        if op == "between":
+            return (not (isinstance(x, str) != isinstance(v2, str))
+                    and v <= x <= v2)
+        return {"<": x < v, "<=": x <= v, "=": x == v,
+                ">": x > v, ">=": x >= v}[op]
+
+    @given(
+        rows=st.lists(
+            st.fixed_dictionaries(
+                {}, optional={"a": st.integers(-50, 50),
+                              "b": st.integers(-50, 50),
+                              "c": st.text("abc", max_size=3)},
+            ),
+            min_size=1, max_size=8,
+        ),
+        col=_col, op=_op, v=_val,
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_prune_never_loses_matching_rows(rows, col, op, v):
+        """Soundness: any row matching the predicate lives in a file the
+        pruner keeps — for arbitrary data and any parseable conjunct."""
+        # one "file" per row, with truthful stats (min=max=value)
+        stats = {
+            f"f{i}": {k: [row[k], row[k]] for k in row}
+            for i, row in enumerate(rows)
+        }
+        files = list(stats)
+        lit = f"'{v}'" if isinstance(v, str) else str(v)
+        kept = set(zonemap.prune(files, stats, f"{col} {op} {lit}"))
+        for i, row in enumerate(rows):
+            if _matches(row, (col, op, v, None)):
+                assert f"f{i}" in kept
+
+    @given(
+        lo=st.integers(-50, 50), width=st.integers(0, 30),
+        fmin=st.integers(-50, 50), fwidth=st.integers(0, 30),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_prune_between_is_interval_overlap(lo, width, fmin, fwidth):
+        stats = {"f": {"a": [fmin, fmin + fwidth]}}
+        kept = zonemap.prune(["f"], stats,
+                             f"a BETWEEN {lo} AND {lo + width}")
+        overlap = not (fmin + fwidth < lo or fmin > lo + width)
+        assert (kept == ["f"]) == overlap
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
