@@ -43,6 +43,11 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+"
+    r"(?:ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)|DROP\s+COLUMN\s+(\w+))\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -100,6 +105,13 @@ class Engine:
             # positional column matching, like INSERT without a column list
             n = self.insert(name, src.toDF(*[f.name for f in schema.fields]))
             return self.spark.createDataFrame([(n,)], "count BIGINT")
+        m = _ALTER_RE.match(text)
+        if m:
+            if m.group(2):
+                self.add_column(m.group(1), m.group(2), m.group(3).strip())
+            else:
+                self.drop_column(m.group(1), m.group(4))
+            return None
         m = _DELETE_RE.match(text)
         if m and m.group(1).upper() != "SELECT":
             n = self.delete(m.group(1), m.group(2) or "true")
@@ -160,6 +172,43 @@ class Engine:
             }
             for f in schema.fields
         ]
+
+    def add_column(self, name: str, col: str, dtype: str) -> None:
+        """ALTER TABLE … ADD COLUMN — metadata-only: no file is touched;
+        existing rows read as NULL for the new column (the parquet reader
+        null-fills fields missing from a file's footer), new appends
+        carry it. The new column is necessarily nullable (there is no
+        backfill), like Delta/Iceberg schema evolution. Old snapshot
+        versions keep their schema (time travel shows the table as it
+        was)."""
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        m = mf.read_manifest(tdir)
+        schema = T.StructType.fromDDL(m["schema"])
+        if col in schema.fieldNames():
+            raise ValueError(f"column {col!r} already exists")
+        mf.update_schema(tdir, f"{m['schema']}, {col} {dtype}",
+                         m["not_null"], m["version"])
+
+    def drop_column(self, name: str, col: str) -> None:
+        """ALTER TABLE … DROP COLUMN — metadata-only: the column vanishes
+        from the current schema (scans simply stop projecting it; parquet
+        column pruning means it is never read), data files keep the bytes
+        for older pinned versions."""
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        m = mf.read_manifest(tdir)
+        schema = T.StructType.fromDDL(m["schema"])
+        if col not in schema.fieldNames():
+            raise ValueError(f"no such column {col!r}")
+        kept = [f for f in schema.fields if f.name != col]
+        if not kept:
+            raise ValueError("cannot drop the last column")
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in kept)
+        mf.update_schema(tdir, ddl,
+                         [c for c in m["not_null"] if c != col], m["version"])
 
     def tables(self) -> list[str]:
         return sorted(

@@ -109,3 +109,20 @@ def _persist(table_dir: str, m: dict) -> None:
         os.fsync(dfd)
     finally:
         os.close(dfd)
+
+
+def update_schema(table_dir: str, new_ddl: str, not_null: list[str],
+                  base_version: int) -> dict:
+    """Metadata-only schema change (ALTER TABLE): files untouched, schema
+    swapped, version bumped — readers of pinned versions keep the schema
+    their snapshot had. Same optimistic check as data commits."""
+    m = read_manifest(table_dir)
+    if m["version"] != base_version:
+        raise SerializationFailure(
+            f"concurrent commit: base {base_version}, now {m['version']}"
+        )
+    m["version"] += 1
+    m["schema"] = new_ddl
+    m["not_null"] = list(not_null)
+    _persist(table_dir, m)
+    return m

@@ -326,3 +326,47 @@ def test_sql_dml_routing(engine, tmp_path):
     # pre-DML snapshots still readable (time travel over SQL DML commits)
     assert engine.table("t", version=1).count() == 2  # after first INSERT
     assert engine.table("t", version=2).count() == 3  # after INSERT…SELECT
+
+
+def test_alter_table_schema_evolution(engine, tmp_path):
+    """ADD/DROP COLUMN are metadata-only: no file rewrite, old rows
+    null-fill new columns, pinned versions keep their era's schema."""
+    from kuibadb_spark.plans import manifest as mf
+
+    engine.create_table("t", SCHEMA)
+    engine.copy_from("t", _write(tmp_path, "a.txt", ["1|2|x"]), delimiter="|")
+    files_before = set(mf.read_manifest(engine._table_dir("t"))["files"])
+
+    engine.add_column("t", "d", "double")
+    # no rewrite happened
+    assert set(mf.read_manifest(engine._table_dir("t"))["files"]) == files_before
+    assert engine.table("t").collect()[0][:] == (1, 2, "x", None)
+
+    engine.sql("INSERT INTO t VALUES (9, 9, 'z', 1.5)")
+    rows = {tuple(r) for r in engine.table("t").collect()}
+    assert rows == {(1, 2, "x", None), (9, 9, "z", 1.5)}
+
+    # time travel: pre-ALTER snapshot has the old schema
+    assert [f.name for f in engine.table("t", version=1).schema.fields] \
+        == ["a", "b", "c"]
+
+    engine.drop_column("t", "b")
+    assert [f.name for f in engine.table("t").schema.fields] == ["a", "c", "d"]
+    assert {tuple(r) for r in engine.table("t").collect()} == {
+        (1, "x", None), (9, "z", 1.5)
+    }
+
+    # errors
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        engine.add_column("t", "c", "int")
+    with _pt.raises(ValueError):
+        engine.drop_column("t", "nope")
+
+    # SQL front door for ALTER
+    engine.sql("ALTER TABLE t ADD COLUMN e decimal(10,2)")
+    assert engine.describe("t")[-1] == {
+        "column": "e", "type": "decimal(10,2)", "not_null": False
+    }
+    engine.sql("ALTER TABLE t DROP COLUMN e")
+    assert [c["column"] for c in engine.describe("t")] == ["a", "c", "d"]
