@@ -50,6 +50,26 @@ _ALTER_RE = re.compile(
 )
 
 
+def _phys_schema(ddl: str) -> T.StructType:
+    """Physical schema for reads/writes: varchar(n)/char(n) run as string
+    (parquet + Spark writers reject char/varchar as a physical type). The
+    typmod stays in the manifest DDL — visible in describe() — matching
+    the reference, where varchar's typmod is catalog metadata with no
+    runtime length check (fmgr implements only the int4 family;
+    src/utils/fmgr.rs:44-53 — varcharin is a catalog row, not code)."""
+    s = T.StructType.fromDDL(ddl)
+    return T.StructType([
+        T.StructField(
+            f.name,
+            T.StringType()
+            if isinstance(f.dataType, (T.VarcharType, T.CharType))
+            else f.dataType,
+            f.nullable,
+        )
+        for f in s.fields
+    ])
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas at paren depth 0 and outside string literals —
     enough for an UPDATE's SET list (exprs may contain calls/strings)."""
@@ -163,7 +183,7 @@ class Engine:
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
         m = mf.read_manifest(tdir)
-        schema = T.StructType.fromDDL(m["schema"])
+        schema = T.StructType.fromDDL(m["schema"])  # declared types (typmod)
         return [
             {
                 "column": f.name,
@@ -185,7 +205,7 @@ class Engine:
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
         m = mf.read_manifest(tdir)
-        schema = T.StructType.fromDDL(m["schema"])
+        schema = _phys_schema(m["schema"])
         if col in schema.fieldNames():
             raise ValueError(f"column {col!r} already exists")
         mf.update_schema(tdir, f"{m['schema']}, {col} {dtype}",
@@ -200,6 +220,8 @@ class Engine:
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
         m = mf.read_manifest(tdir)
+        # declared schema, not physical: keep varchar typmods through the
+        # DDL rebuild
         schema = T.StructType.fromDDL(m["schema"])
         if col not in schema.fieldNames():
             raise ValueError(f"no such column {col!r}")
@@ -240,7 +262,7 @@ class Engine:
             if version is None
             else mf.read_manifest_version(tdir, version)
         )
-        schema = T.StructType.fromDDL(m["schema"])
+        schema = _phys_schema(m["schema"])
         files = m["files"]
         if where is not None and files:
             files = zonemap.prune(files, m.get("stats_by_file", {}), where)
@@ -270,7 +292,7 @@ class Engine:
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
         m = mf.read_manifest(tdir)
-        schema = T.StructType.fromDDL(m["schema"])
+        schema = _phys_schema(m["schema"])
 
         df = parse_typed(self.spark, path, schema, delimiter, null_marker, csv)
         if parallel:
@@ -329,7 +351,7 @@ class Engine:
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
         m = mf.read_manifest(tdir)
-        schema = T.StructType.fromDDL(m["schema"])
+        schema = _phys_schema(m["schema"])
         aligned = df.select(
             *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
         )
@@ -391,7 +413,7 @@ class Engine:
 
         tdir = self._table_dir(name)
         m = mf.read_manifest(tdir)
-        schema = T.StructType.fromDDL(m["schema"])
+        schema = _phys_schema(m["schema"])
         bad = set.keys() - {f.name for f in schema.fields}
         if bad:
             raise ValueError(f"unknown columns in SET: {sorted(bad)}")
@@ -438,7 +460,7 @@ class Engine:
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
         m = mf.read_manifest(tdir)
-        schema = T.StructType.fromDDL(m["schema"])
+        schema = _phys_schema(m["schema"])
         aligned = source.select(
             *[source[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
         )
@@ -496,7 +518,7 @@ class Engine:
         m = mf.read_manifest(tdir)
         if not m["files"]:
             return [], [], None
-        schema = T.StructType.fromDDL(m["schema"])
+        schema = _phys_schema(m["schema"])
         full = self.spark.read.schema(schema).parquet(*m["files"])
         hit_uris = {
             r["__f"]
@@ -569,7 +591,7 @@ class Engine:
         m = mf.read_manifest(tdir)
         if not m["files"]:
             return 0
-        schema = T.StructType.fromDDL(m["schema"])
+        schema = _phys_schema(m["schema"])
         df = self.spark.read.schema(schema).parquet(*m["files"])
         staging = os.path.join(tdir, f"compact-{uuid.uuid4().hex[:12]}")
         if sort_by:

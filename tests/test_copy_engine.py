@@ -370,3 +370,22 @@ def test_alter_table_schema_evolution(engine, tmp_path):
     }
     engine.sql("ALTER TABLE t DROP COLUMN e")
     assert [c["column"] for c in engine.describe("t")] == ["a", "c", "d"]
+
+
+def test_varchar_typmod_tables(engine, tmp_path):
+    """varchar(n): typmod is catalog metadata (describe shows it); data
+    runs physically as string with NO runtime length check — matching
+    the reference, whose fmgr implements only the int4 family
+    (src/utils/fmgr.rs:44-53); varcharin is a catalog row, not code."""
+    engine.create_table("vt", "a INT, b VARCHAR(5)")
+    assert engine.describe("vt")[1] == {
+        "column": "b", "type": "varchar(5)", "not_null": False
+    }
+    p = _write(tmp_path, "v.txt", ["1|short", "2|waytoolongvalue"])
+    assert engine.copy_from("vt", p, delimiter="|") == 2
+    assert {r.b for r in engine.table("vt").collect()} == {
+        "short", "waytoolongvalue"
+    }
+    assert engine.sql("SELECT max(length(b)) AS m FROM vt").collect()[0].m == 15
+    engine.sql("UPDATE vt SET b = upper(b) WHERE a = 1")
+    assert engine.table("vt", where="a = 1").collect()[0].b == "SHORT"
