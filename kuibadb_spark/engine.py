@@ -572,6 +572,7 @@ class Engine:
     def compact(
         self, name: str, target_files: int = 1,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite the table's files into `target_files` larger ones (the
         small-file compaction every append-heavy parquet table needs; the
@@ -586,7 +587,16 @@ class Engine:
         files interleave key ranges (every file spans the whole domain ⇒
         zone maps prune nothing); periodic clustered compaction is how a
         100 TB table keeps scans proportional to the predicate, not the
-        table."""
+        table.
+
+        `zorder_by=` is the multi-column form (Delta OPTIMIZE ZORDER
+        analog): each column is bucketed by its own sampled quantiles
+        (equi-depth, so skew can't collapse buckets), the bucket ids are
+        bit-interleaved into a z-value, and the rewrite range-partitions
+        on it — every listed column stays partially clustered, so zone
+        maps prune on ANY of them, where a lexicographic sort serves
+        only its leading column. Quantiles come from approxQuantile
+        (sampled — boundary count crosses the driver, never data)."""
         tdir = self._table_dir(name)
         m = mf.read_manifest(tdir)
         if not m["files"]:
@@ -594,7 +604,14 @@ class Engine:
         schema = _phys_schema(m["schema"])
         df = self.spark.read.schema(schema).parquet(*m["files"])
         staging = os.path.join(tdir, f"compact-{uuid.uuid4().hex[:12]}")
-        if sort_by:
+        if zorder_by:
+            df = self._with_zvalue(df, zorder_by)
+            df = (
+                df.repartitionByRange(target_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_by:
             # repartitionByRange: one shuffle, disjoint sorted ranges per
             # output file (sortWithinPartitions keeps parquet row-group
             # stats tight inside each file too)
@@ -611,6 +628,35 @@ class Engine:
         mf.replace_files(tdir, new_files, m["version"],
                          stats=zonemap.collect_file_stats(new_files))
         return len(new_files)
+
+    _Z_BITS = 4  # 16 equi-depth buckets per z-ordered column
+
+    def _with_zvalue(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        """Append `_z`: bit-interleaved equi-depth bucket ids. Quantile
+        boundaries are computed by sampling (approxQuantile) — only
+        (2^bits − 1) numbers per column reach the driver. Bucket lookup
+        is a JVM-side fold over the literal boundary array; interleaving
+        is integer shifts — the whole z-value stays in codegen."""
+        from pyspark.sql import functions as F
+
+        nb = 1 << self._Z_BITS
+        probs = [i / nb for i in range(1, nb)]
+        ncols = len(cols)
+        buckets = []
+        for ci, c in enumerate(cols):
+            bounds = df.stat.approxQuantile(c, probs, 0.01)
+            arr = ", ".join(repr(float(b)) for b in bounds)
+            # rank of c among its quantile boundaries = equi-depth bucket
+            buckets.append(
+                f"aggregate(array({arr}), 0, "
+                f"(acc, b) -> acc + IF(CAST({c} AS DOUBLE) > b, 1, 0))"
+            )
+        z_terms = [
+            f"(((({bexpr}) >> {bit}) & 1) << {bit * ncols + ci})"
+            for ci, bexpr in enumerate(buckets)
+            for bit in range(self._Z_BITS)
+        ]
+        return df.withColumn("_z", F.expr(" + ".join(z_terms)))
 
     def gc(self, name: str) -> int:
         """Delete data files no longer referenced by the current manifest

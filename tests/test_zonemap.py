@@ -196,3 +196,37 @@ try:
         assert (kept == ["f"]) == overlap
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_zorder_compaction_prunes_on_both_columns(engine, tmp_path):
+    """Z-order clustering: after compact(zorder_by=["a","b"]), zone maps
+    prune on predicates over EITHER column — a lexicographic sort serves
+    only its leading column."""
+    engine.create_table("t", "a INT, b INT")
+    # a and b independent: (i*7)%120 walks b over the full range per file
+    for seg in range(3):
+        engine.copy_from(
+            "t",
+            _write(tmp_path, f"z{seg}.txt",
+                   [f"{i}|{(i * 7) % 120}" for i in range(seg, 120, 3)]),
+            delimiter="|",
+        )
+    engine.compact("t", target_files=16, zorder_by=["a", "b"])
+    m = mf.read_manifest(engine._table_dir("t"))
+    # empty z-ranges write no file; near-target count is the contract
+    assert 12 <= len(m["files"]) <= 16
+
+    kept_a = zonemap.prune(m["files"], m["stats_by_file"], "a BETWEEN 0 AND 14")
+    kept_b = zonemap.prune(m["files"], m["stats_by_file"], "b BETWEEN 0 AND 14")
+    # an eighth of the domain on EITHER axis skips a meaningful share of
+    # files (z-order trades per-axis sharpness for both-axes coverage; a
+    # lexicographic sort on a would leave kept_b == all files)
+    assert len(kept_a) <= len(m["files"]) * 2 // 3
+    assert len(kept_b) <= len(m["files"]) * 2 // 3
+
+    # correctness through the z-ordered rewrite
+    assert sorted(r["a"] for r in
+                  engine.table("t", where="a BETWEEN 0 AND 14").collect()) \
+        == list(range(0, 15))
+    assert engine.table("t", where="b BETWEEN 0 AND 14").count() == \
+        sum(1 for i in range(120) if (i * 7) % 120 <= 14)
