@@ -297,9 +297,10 @@ def run_resumable(df: DataFrame, sink_dir: str, checkpoint_dir: str,
         .format("parquet")
         .option("path", sink_dir)
         .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)  # bounded incremental batch, then stop
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()
