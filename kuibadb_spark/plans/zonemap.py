@@ -82,7 +82,12 @@ _CMP_RE = re.compile(
 _BETWEEN_RE = re.compile(
     rf"^\s*({_IDENT})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})\s*$", re.IGNORECASE
 )
+_IN_RE = re.compile(
+    rf"^\s*({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)\s*$",
+    re.IGNORECASE,
+)
 _AND_SPLIT = re.compile(r"\bAND\b", re.IGNORECASE)
+_OR_SPLIT = re.compile(r"\bOR\b", re.IGNORECASE)
 
 
 def _lit(tok: str):
@@ -114,7 +119,16 @@ def parse_conjuncts(where: str) -> list[tuple[str, str, object, object]]:
         m = _CMP_RE.match(piece)
         if m:
             out.append((m.group(1), m.group(2), _lit(m.group(3)), None))
+            continue
+        m = _IN_RE.match(piece)
+        if m:
+            vals = [_lit(v) for v in _split_literals(m.group(2))]
+            out.append((m.group(1), "in", vals, None))
     return out
+
+
+def _split_literals(s: str) -> list[str]:
+    return re.findall(_LIT, s)
 
 
 # ---------------------------------------------------------------------------
@@ -146,13 +160,36 @@ def _may_match(stats: dict, col: str, op: str, v, v2) -> bool:
         return hi >= v
     if op == "between":
         return not (hi < v or lo > v2)
+    if op == "in":
+        return any(
+            _comparable(lo, x) and lo <= x <= hi for x in v
+        ) or any(not _comparable(lo, x) for x in v)
     return True
 
 
 def prune(files: list[str], stats_by_file: dict, where: str) -> list[str]:
     """Files that may contain rows matching `where` (conjuncts the
     grammar can't parse prune nothing). Files absent from stats_by_file
-    are always kept."""
+    are always kept.
+
+    Top-level OR splits into disjuncts and keeps the UNION of each
+    disjunct's survivors — sound even when parentheses defeat the
+    textual split, because any piece the grammar can't parse keeps every
+    file, and the union only ever grows the kept set. (SQL precedence —
+    AND binds tighter than OR — matches the textual split for the
+    paren-free case.)"""
+    disjuncts = _OR_SPLIT.split(where)
+    if len(disjuncts) > 1:
+        keep: set = set()
+        for d in disjuncts:
+            keep.update(_prune_conjunctive(files, stats_by_file, d))
+        return [f for f in files if f in keep]
+    return _prune_conjunctive(files, stats_by_file, where)
+
+
+def _prune_conjunctive(
+    files: list[str], stats_by_file: dict, where: str
+) -> list[str]:
     conjuncts = parse_conjuncts(where)
     if not conjuncts:
         return list(files)

@@ -230,3 +230,53 @@ def test_zorder_compaction_prunes_on_both_columns(engine, tmp_path):
         == list(range(0, 15))
     assert engine.table("t", where="b BETWEEN 0 AND 14").count() == \
         sum(1 for i in range(120) if (i * 7) % 120 <= 14)
+
+
+def test_prune_or_and_in():
+    stats = {
+        "f1": {"a": [0, 9], "s": ["aa", "mm"]},
+        "f2": {"a": [10, 19]},
+        "f3": {"a": [20, 29]},
+    }
+    files = ["f1", "f2", "f3"]
+    # OR: union of disjunct survivors
+    assert zonemap.prune(files, stats, "a < 5 OR a > 25") == ["f1", "f3"]
+    # disjunct 1 keeps f1; disjunct 2 keeps f2/f3 (no s stats) → union = all
+    assert zonemap.prune(files, stats, "a < 5 OR s = 'zz'") == files
+    # IN-list: any member inside [min,max] keeps the file
+    assert zonemap.prune(files, stats, "a IN (3, 25)") == ["f1", "f3"]
+    assert zonemap.prune(files, stats, "a IN (50, 60)") == []
+    # IN with AND
+    assert zonemap.prune(files, stats, "a IN (3, 25) AND a >= 20") == ["f3"]
+    # parenthesized OR degrades safely (never unsound)
+    got = zonemap.prune(files, stats, "(a < 5 OR a > 25) AND a != 7")
+    assert set(got) >= {"f1", "f3"}
+
+
+def test_prune_or_in_soundness_property():
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        vals=st.lists(st.integers(-20, 20), min_size=1, max_size=6),
+        ranges=st.lists(
+            st.tuples(st.integers(-20, 20), st.integers(0, 10)),
+            min_size=1, max_size=6,
+        ),
+        inlist=st.lists(st.integers(-20, 20), min_size=1, max_size=4),
+        cut=st.integers(-20, 20),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(vals, ranges, inlist, cut):
+        stats = {f"f{i}": {"a": [lo, lo + w]} for i, (lo, w) in enumerate(ranges)}
+        files = list(stats)
+        ins = ", ".join(map(str, inlist))
+        pred = f"a IN ({ins}) OR a > {cut}"
+        kept = set(zonemap.prune(files, stats, pred))
+        for i, (lo, w) in enumerate(ranges):
+            # any point in [lo, lo+w] satisfying the predicate ⇒ file kept
+            sat = any(
+                (x in inlist or x > cut) for x in range(lo, lo + w + 1)
+            )
+            if sat:
+                assert f"f{i}" in kept
+    check()
