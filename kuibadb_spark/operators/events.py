@@ -258,3 +258,57 @@ ORACLES = {
         ORDER BY event_type
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# trending: hour-over-hour rank movement per event type (lag over rank)
+# --------------------------------------------------------------------------
+def ev_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types are rising or falling hour over hour: rank types
+    by count within each hour, then diff against the type's previous
+    hour's rank (window-over-window composition). Integer-only outputs.
+
+    Scale: both windows partition on high-cardinality keys (hour;
+    event_type) — no single-reducer stage; the hourly pre-aggregation
+    is a partial-agged groupBy that shrinks data before any window."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("hr").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    w_prev = Window.partitionBy("event_type").orderBy("hr")
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("prev_rnk", F.lag("rnk").over(w_prev))
+        .withColumn("delta", F.coalesce(F.col("prev_rnk") - F.col("rnk"),
+                                        F.lit(0)))
+        .select("hr", "event_type", "n", "rnk", "prev_rnk", "delta")
+        .orderBy("hr", "rnk")
+    )
+
+
+QUERIES["ev_trending_types"] = ev_trending_types
+ORACLES["ev_trending_types"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY hr, event_type
+    ),
+    ranked AS (
+        SELECT hr, event_type, n,
+               CAST(row_number() OVER (PARTITION BY hr
+                    ORDER BY n DESC, event_type ASC) AS INTEGER) AS rnk
+        FROM hourly
+    )
+    SELECT hr, event_type, n, rnk,
+           CAST(lag(rnk) OVER (PARTITION BY event_type ORDER BY hr)
+                AS INTEGER) AS prev_rnk,
+           CAST(coalesce(lag(rnk) OVER (PARTITION BY event_type
+                ORDER BY hr) - rnk, 0) AS INTEGER) AS delta
+    FROM ranked
+    ORDER BY hr, rnk
+"""
