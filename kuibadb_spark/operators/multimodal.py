@@ -219,3 +219,50 @@ ORACLES = {
         ORDER BY doc_id, frame_idx
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# exact binary dedup: content-hash groupBy over the payload column
+# ---------------------------------------------------------------------------
+def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate media detection: group payloads by content digest,
+    emit every group with >1 file — the first pass of any image/audio
+    dedup pipeline (identical bytes are ~free to catch before perceptual
+    hashing). Runs over the synthesized dup corpus (dedup.py), whose
+    exact copies exist at every SF, as binary payloads. The shuffle key
+    is the 256-bit digest: uniformly distributed by construction, so no
+    skew at any corpus size; payload bytes never shuffle (digest
+    computed at scan, map-side)."""
+    from kuibadb_spark.operators.dedup import _dup_corpus
+
+    p = _dup_corpus(spark, sf_dir).selectExpr(
+        "doc_id", "CAST(text AS BINARY) AS payload"
+    )
+    return (
+        p.select("doc_id", F.sha2("payload", 256).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.expr("array_sort(collect_list(doc_id))").alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("digest", "n_copies", "doc_ids",
+                F.expr("doc_ids[0]").alias("keeper"))
+        .orderBy("digest")
+    )
+
+
+QUERIES["mm_dedup_binary"] = mm_dedup_binary
+from kuibadb_spark.operators.dedup import _DUP_CORPUS_DUCK as _DUP_DUCK
+
+ORACLES["mm_dedup_binary"] = f"""
+    WITH {_DUP_DUCK}
+    SELECT sha256(text) AS digest,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           list_sort(list(doc_id)) AS doc_ids,
+           min(doc_id) AS keeper
+    FROM corpus
+    GROUP BY digest
+    HAVING count(*) > 1
+    ORDER BY digest
+"""
