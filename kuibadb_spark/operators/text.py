@@ -513,3 +513,47 @@ ORACLES["text_repetition"] = r"""
     ORDER BY rep_e6 DESC, doc_id
     LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates: most frequent adjacent token pairs
+# ---------------------------------------------------------------------------
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary induction: count adjacent token
+    pairs across the corpus and rank merge candidates. Pure row-local
+    array math (zip tokens with their own tail) before one
+    partial-agged groupBy — at 100 TB the pair explosion is linear in
+    corpus tokens, the same cost as reading the text."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.selectExpr(
+        r"split(lower(text), '\\s+') AS toks"
+    ).selectExpr(
+        "explode(zip_with(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> concat(a, ' ', b))) AS pair"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+QUERIES["text_bpe_merge_candidates"] = text_bpe_merge_candidates
+ORACLES["text_bpe_merge_candidates"] = r"""
+    WITH toks AS (
+        SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS pair
+        FROM toks
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+"""
