@@ -38,6 +38,8 @@ HEADLINE = [
     "text_quality",
     "sim_lsh_hyperplane",
     "dedup_simhash",
+    "graph_pagerank",
+    "text_search_conjunctive",
 ]
 
 
