@@ -166,6 +166,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # outdeg is loop-invariant: attach it to the edge list ONCE, so each
+    # round is a single join + groupBy instead of two joins
+    sym_deg = sym.join(deg, "src").persist()
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     # every node starts at S div N
     pr = deg.crossJoin(F.broadcast(n)).selectExpr(
@@ -173,8 +176,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_PR_ROUNDS):
         contrib = (
-            sym.join(pr, sym.src == pr.node)
-            .join(deg, "src")
+            sym_deg.join(pr, sym_deg.src == pr.node)
             .selectExpr("dst", "rank div outdeg AS c", "n_nodes")
         )
         pr = (
