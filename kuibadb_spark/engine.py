@@ -274,6 +274,30 @@ class Engine:
             df = df.filter(where)
         return df
 
+    def stream(self, name: str) -> DataFrame:
+        """Streaming read over an engine table: every parquet file that
+        appears under the table directory becomes streamable input, so
+        each committed COPY/INSERT segment is picked up as a micro-batch
+        — the Delta-streaming-source shape (append-only CDC) on the same
+        manifest-versioned layout. Combine with a checkpointed sink
+        (streaming/events.py::run_resumable) for incremental pipelines
+        that resume across restarts.
+
+        Semantics: append-only. Copy-on-write rewrites (DELETE/UPDATE/
+        MERGE/compact) write NEW files containing surviving rows — a
+        downstream stream would observe those as appends, so run GC-aware
+        streams only on append-only tables (the common ingest case)."""
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        m = mf.read_manifest(tdir)
+        schema = _phys_schema(m["schema"])
+        return (
+            self.spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(tdir, "seg-*"))
+        )
+
     # -- ingest ---------------------------------------------------------------
     def copy_from(
         self,

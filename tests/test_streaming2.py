@@ -157,3 +157,33 @@ def test_checkpoint_recovery_stateful(spark, tmp_path):
             for r in spark.read.parquet(latest).collect()}
     # user 1's post-restart emission includes the pre-restart event
     assert rows[1] == (2, 4.0)
+
+
+def test_engine_table_as_stream_source(spark, tmp_path):
+    """Engine tables are streaming sources: each committed COPY segment
+    arrives as a micro-batch; a checkpointed sink consumes increments
+    across restarts (append-only CDC, the Delta streaming-source
+    shape)."""
+    from kuibadb_spark.engine import Engine
+    from kuibadb_spark.streaming.events import run_resumable
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.create_table("t", "a INT, b STRING")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def feed(tag, n):
+        p = tmp_path / f"{tag}.txt"
+        p.write_text("\n".join(f"{i}|{tag}{i}" for i in range(n)) + "\n")
+        eng.copy_from("t", str(p), delimiter="|")
+
+    feed("x", 3)
+    run_resumable(eng.stream("t"), out, ck)
+    assert spark.read.parquet(out).count() == 3
+
+    feed("y", 2)  # new commit → new micro-batch on resume
+    run_resumable(eng.stream("t"), out, ck)
+    got = spark.read.parquet(out)
+    assert got.count() == 5  # no re-read of the first segment
+    assert {r.b for r in got.collect()} == {
+        "x0", "x1", "x2", "y0", "y1"
+    }
