@@ -589,6 +589,15 @@ class Engine:
         tdir = self._table_dir(name)
         m = mf.read_manifest(tdir)
         m["props"]["stats"] = stats
+        # backfill zone maps for any file missing them (tables written
+        # before zone maps existed, or by external writers) — footer-only
+        # reads, so ANALYZE stays metadata-priced
+        missing = [f for f in m["files"]
+                   if f not in m.get("stats_by_file", {})]
+        if missing:
+            m.setdefault("stats_by_file", {}).update(
+                zonemap.collect_file_stats(missing)
+            )
         mf._persist(tdir, m)
         return stats
 

@@ -280,3 +280,28 @@ def test_prune_or_in_soundness_property():
             if sat:
                 assert f"f{i}" in kept
     check()
+
+
+def test_analyze_backfills_zone_maps(engine, tmp_path):
+    """ANALYZE backfills zone maps for files that predate them (or came
+    from external writers): after dropping stats_by_file, one ANALYZE
+    restores whole-file skipping."""
+    engine.create_table("t", "a INT, c STRING")
+    for lo in (0, 100):
+        engine.copy_from(
+            "t",
+            _write(tmp_path, f"b{lo}.txt",
+                   [f"{lo + i}|v{lo + i}" for i in range(10)]),
+            delimiter="|",
+        )
+    tdir = engine._table_dir("t")
+    m = mf.read_manifest(tdir)
+    m.pop("stats_by_file")  # simulate a pre-zonemap table
+    mf._persist(tdir, m)
+
+    engine.analyze("t")
+    m2 = mf.read_manifest(tdir)
+    assert all(f in m2["stats_by_file"] for f in m2["files"])
+    df = engine.table("t", where="a >= 100")
+    assert df.count() == 10
+    assert len(df.inputFiles()) < len(m2["files"])
