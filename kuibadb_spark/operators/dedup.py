@@ -116,18 +116,41 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 2. n-gram Jaccard near-dup: shared-shingle candidates → exact Jaccard
 # ---------------------------------------------------------------------------
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # shingles feed three branches (both join sides + sizes): persist
-    sh = _shingles(_dup_corpus(spark, sf_dir)).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+def _shared_shingle_pairs(sh: DataFrame) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) with shared-shingle counts.
+
+    Shape: groupBy(shingle) + row-local pair expansion, NOT a shingle
+    self-join. The self-join shuffles every (doc, shingle) row twice and
+    sort-merges on a wide string key; this shuffles each row once,
+    generates the C(n,2) pairs inside the row (posting lists per shingle
+    are short for real text; capping/dropping stop-shingles is the
+    100 TB lever, same as any LSH bucket cap), then aggregates on a
+    compact (int, int) key. Output is set-identical to the self-join,
+    so DuckDB oracles that spell the self-join still hash-match.
+    """
+    return (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingles feed two branches (pair expansion + sizes): persist
+    sh = _shingles(_dup_corpus(spark, sf_dir)).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = _shared_shingle_pairs(sh)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (

@@ -27,6 +27,7 @@ from kuibadb_spark.operators.dedup import (
     _DUP_CORPUS_DUCK,
     _SHINGLES_DUCK,
     _dup_corpus,
+    _shared_shingle_pairs,
     _shingles,
 )
 
@@ -34,12 +35,8 @@ from kuibadb_spark.operators.dedup import (
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(_dup_corpus(spark, sf_dir)).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    inter = _shared_shingle_pairs(sh).withColumnsRenamed(
+        {"doc_a": "src", "doc_b": "dst", "inter": "i"}
     )
     sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
