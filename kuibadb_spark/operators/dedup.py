@@ -81,20 +81,31 @@ _SHINGLES_DUCK = """
 """
 
 
-def _shingles(corpus: DataFrame) -> DataFrame:
+def _doc_shingles(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shs: array<string>) — each doc's DISTINCT shingle set,
+    computed row-locally. array_distinct inside the row is equivalent to
+    the global DISTINCT on exploded (doc_id, shingle) — one whole shuffle
+    cheaper, and set sizes become size(shs) with no shuffle at all.
+
+    The trailing repartition is load-bearing twice over: (1) any later
+    explode of `shs` sees a post-exchange ATTRIBUTE, not the shingle
+    expression — otherwise CollapseProject folds this projection into the
+    Generate node and the whole tokenize+shingle pipeline is re-evaluated
+    once per EMITTED shingle (measured 15.5s vs 1.2s at sf0.1); (2) it
+    spreads the rows across all cores when the local scan is only a few
+    input splits. The shuffled payload is one compact array row per doc."""
     toks = corpus.withColumn("w", F.split("text", r"\s+"))
-    sh = toks.select(
+    return toks.select(
         "doc_id",
-        F.explode(
+        F.array_distinct(
             F.expr(
                 "CASE WHEN size(w) < 3 THEN array() "
                 "ELSE transform(sequence(1, size(w) - 2), "
                 "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1),"
                 " element_at(w, i+2))) END"
             )
-        ).alias("shingle"),
-    )
-    return sh.distinct()
+        ).alias("shs"),
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -116,47 +127,60 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 2. n-gram Jaccard near-dup: shared-shingle candidates → exact Jaccard
 # ---------------------------------------------------------------------------
-def _shared_shingle_pairs(sh: DataFrame) -> DataFrame:
-    """Candidate pairs (doc_a < doc_b) with shared-shingle counts.
+def _pair_stats(d: DataFrame) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) with shared-shingle counts AND both
+    set sizes: (doc_a, doc_b, sz_a, sz_b, inter).
 
-    Shape: groupBy(shingle) + row-local pair expansion, NOT a shingle
-    self-join. The self-join shuffles every (doc, shingle) row twice and
-    sort-merges on a wide string key; this shuffles each row once,
-    generates the C(n,2) pairs inside the row (posting lists per shingle
-    are short for real text; capping/dropping stop-shingles is the
-    100 TB lever, same as any LSH bucket cap), then aggregates on a
-    compact (int, int) key. Output is set-identical to the self-join,
-    so DuckDB oracles that spell the self-join still hash-match.
+    Shape: groupBy(shingle) over an inverted-postings view + row-local
+    pair expansion — NOT a shingle self-join. The self-join shuffles
+    every (doc, shingle) row twice and sort-merges on a wide string key;
+    this shuffles each row once, generates the C(n,2) pairs inside the
+    row (posting lists per shingle are short for real text; capping or
+    dropping stop-shingles is the 100 TB lever, same as any LSH bucket
+    cap), then aggregates on a compact int key. Carrying sz through the
+    postings also deletes both doc-size joins from the final plan. The
+    pair set is identical to the self-join's, so DuckDB oracles that
+    spell the self-join still hash-match.
     """
+    # explode_outer, not explode: InferFiltersFromGenerate rewrites a
+    # plain explode into a filter containing the generator's WHOLE child
+    # expression (size(expr)>0 AND isnotnull(expr)), which lands below
+    # the exchange and re-evaluates the shingle pipeline per row in
+    # interpreted mode — measured 13s vs 1.5s at sf0.1. The rule skips
+    # outer generates; the isNotNull on the emitted attribute restores
+    # exact explode semantics (our arrays never contain null elements).
+    sh = d.select(
+        "doc_id",
+        F.size("shs").alias("sz"),
+        F.explode_outer("shs").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     return (
         sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds")
+        )
         .filter(F.size("ds") > 1)
         .select(
-            F.explode(
+            F.explode_outer(  # outer: see explode_outer note above
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds)), "
-                    "y -> struct(x AS a, y AS b))))"
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.sz AS sz_a, y.sz AS sz_b))))"
                 )
             ).alias("p")
         )
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.doc_a", "p.doc_b", "p.sz_a", "p.sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+        .select("doc_a", "doc_b", "sz_a", "sz_b", "inter")
     )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # shingles feed two branches (pair expansion + sizes): persist
-    sh = _shingles(_dup_corpus(spark, sf_dir)).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = _shared_shingle_pairs(sh)
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    pairs = _pair_stats(_doc_shingles(_dup_corpus(spark, sf_dir)))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("inter")
@@ -187,9 +211,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the partial-aggregated 12-column min per doc_id."""
     c = _dup_corpus(spark, sf_dir)
     toks = c.withColumn("w", F.split("text", r"\s+"))
+    # explode_outer + isNotNull == explode, minus the
+    # InferFiltersFromGenerate rewrite that would re-evaluate the whole
+    # shingle expression inside an interpreted scan filter (see
+    # _pair_stats); the isNotNull also keeps <3-word docs out of the
+    # signature table, exactly as plain explode did.
     sh = toks.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "CASE WHEN size(w) < 3 THEN array() "
                 "ELSE transform(sequence(1, size(w) - 2), "
@@ -197,7 +226,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " element_at(w, i+2))) END"
             )
         ).alias("shingle"),
-    )
+    ).filter(F.col("shingle").isNotNull())
     hashed = sh.select(
         "doc_id",
         (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint") % _P).alias("ha"),

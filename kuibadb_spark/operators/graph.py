@@ -26,26 +26,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from kuibadb_spark.operators.dedup import (
     _DUP_CORPUS_DUCK,
     _SHINGLES_DUCK,
+    _doc_shingles,
     _dup_corpus,
-    _shared_shingle_pairs,
-    _shingles,
+    _pair_stats,
 )
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(_dup_corpus(spark, sf_dir)).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = _shared_shingle_pairs(sh).withColumnsRenamed(
-        {"doc_a": "src", "doc_b": "dst", "inter": "i"}
-    )
-    sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
+    pairs = _pair_stats(_doc_shingles(_dup_corpus(spark, sf_dir)))
     return (
-        inter.join(sa, "src").join(sb, "dst")
-        .filter(
-            F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i")) >= 0.6
+        pairs.filter(
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")) >= 0.6
         )
-        .select("src", "dst")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
 
 
