@@ -170,9 +170,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym_deg.join(pr, sym_deg.src == pr.node)
             .selectExpr("dst", "rank div outdeg AS c", "n_nodes")
         )
+        # groupBy(dst) ALONE (n_nodes rides along via first): the round's
+        # output is then hash-partitioned on dst == next round's join key,
+        # so each subsequent join reuses the partitioning instead of
+        # re-exchanging both sides — one shuffle per round, not two
         pr = (
-            contrib.groupBy("dst", "n_nodes")
-            .agg(F.sum("c").alias("inflow"))
+            contrib.groupBy("dst")
+            .agg(
+                F.sum("c").alias("inflow"),
+                F.first("n_nodes").alias("n_nodes"),
+            )
             .selectExpr(
                 "dst AS node",
                 f"(15 * {_PR_S}) div (100 * n_nodes)"
