@@ -17,6 +17,7 @@ from kuibadb_spark.operators import (
     graph,
     multimodal,
     pipelines,
+    recursive,
     relational,
     relational2,
     relational3,
@@ -47,6 +48,7 @@ _MODULES = [
     udfs,
     pipelines,
     graph,
+    recursive,
 ]
 
 
