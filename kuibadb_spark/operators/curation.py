@@ -1,0 +1,364 @@
+"""Training-data curation operators over `documents` / `embeddings` —
+the LLM-pipeline surface beyond dedup/similarity (BASELINE.json north
+star; the reference engine has no analog — SURVEY.md §2.3 maps this
+whole family to DataFrame ops):
+
+- test-set decontamination : n-gram overlap between the corpus and a
+  held-out benchmark set (the doc_id%17 slice stands in for an eval
+  benchmark) — the standard pre-training hygiene pass
+- sequence packing         : documents packed into fixed token-budget
+  training sequences by cumulative-offset assignment
+- mixture sampling         : per-language target sampling rates applied
+  via deterministic hash buckets (data-mixture reweighting)
+- embedding quantization   : per-vector symmetric int8 quantization with
+  exact integer round-trip stats (the ANN-index compaction step)
+
+All row-path computation is JVM-side expressions; every query has a
+DuckDB oracle with an identical expression tree (IEEE double ops are
+exactly specified, integer folds are order-independent), so results
+hash-match across engines.
+
+Scale notes (100 TB):
+- decontamination is a broadcast semi-join: the benchmark shingle set is
+  tiny (benchmarks are MBs, corpora are TBs), so the corpus side stays
+  map-side — one partial-agg groupBy(doc_id) is the only shuffle.
+- packing partitions by a hash bucket and runs an in-bucket window
+  cumsum — buckets are independent, so parallelism is the bucket count
+  and no global sort exists.
+- mixture sampling is a pure map-side filter + partial-agg groupBy —
+  the same shape as any cleaning pass.
+- quantization is embarrassingly parallel per vector (narrow transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kuibadb_spark.catalog import load
+
+# ---------------------------------------------------------------------------
+# shared: per-doc distinct 3-word shingle arrays (row-local, no shuffle)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_ARR_SPARK = (
+    "array_distinct(CASE WHEN size(w) < 3 THEN array() "
+    "ELSE transform(sequence(1, size(w) - 2), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), "
+    "element_at(w, i+2))) END)"
+)
+
+_SHINGLES_DUCK = r"""
+    toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM toks
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. test-set decontamination: corpus vs benchmark shingle overlap
+# ---------------------------------------------------------------------------
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every corpus document, the count of its distinct 3-gram
+    shingles that also appear in the benchmark slice (doc_id%17==0), and
+    a contamination flag (≥10 shared shingles, or ≥20% of the doc's
+    shingles shared).
+
+    Scale: the benchmark shingle set is broadcast (eval benchmarks are
+    MB-scale; the corpus is the 100 TB side), so corpus shingles are
+    probed map-side with no shuffle; the per-doc count is one
+    partial-aggregated groupBy(doc_id)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        d.withColumn("w", F.split("text", r"\s+"))
+        .select("doc_id", F.expr(_SHINGLE_ARR_SPARK).alias("shs"))
+        # explode_outer + isNotNull == explode without the
+        # InferFiltersFromGenerate clone of the shingle expression into
+        # an interpreted scan filter (see operators/dedup.py)
+        .select("doc_id", F.explode_outer("shs").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 17 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corp = sh.filter(F.col("doc_id") % 17 != 0)
+    return (
+        corp.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.count("hit").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "sz",
+            "n_shared",
+            (
+                (F.col("n_shared") >= 10)
+                | (F.col("n_shared") * 5 >= F.col("sz"))
+            )
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. sequence packing: cumulative-offset assignment into 256-token packs
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 256
+_PACK_BUCKETS = 8
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-budget training sequences: docs are
+    sharded into hash buckets (doc_id % 8), ordered by doc_id within a
+    bucket, and assigned pack_id = floor(start_offset / 256) where
+    start_offset is the running token count before the doc — the
+    deterministic "concat-and-chop" packing every pre-training pipeline
+    runs. Output is one row per pack with doc/token totals.
+
+    Scale: the window cumsum partitions by bucket — no global sort, and
+    bucket count is the parallelism knob (thousands at 100 TB). Each
+    bucket's packing is sequential by construction (packing IS a running
+    sum), which is exactly why the bucket sharding exists."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.selectExpr(
+        "doc_id",
+        f"doc_id % {_PACK_BUCKETS} AS bucket",
+        r"size(split(text, '\\s+')) AS tok",
+    )
+    packed = toks.selectExpr(
+        "bucket",
+        "doc_id",
+        "tok",
+        "sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id "
+        f"ROWS UNBOUNDED PRECEDING) - tok AS start",
+    ).selectExpr("bucket", "doc_id", "tok", f"start div {_PACK_BUDGET} AS pack_id")
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bucket", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. mixture sampling: per-language target rates via md5 hash buckets
+# ---------------------------------------------------------------------------
+_MIX_RATES = {"en": 900, "de": 500, "fr": 400, "es": 300, "zh": 200}  # /1000
+
+
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reweight the corpus toward a target language mixture: each doc is
+    kept iff md5('mix'||doc_id) % 1000 < rate(lang) — reproducible under
+    any partitioning (the keep decision is row-local), the same shape as
+    sample_stratified but with the training-mixture framing. Output is
+    per-language totals, kept counts, and achieved per-mille (integer
+    division, exact)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    rate = F.when(F.lit(False), None)
+    for lang, r in _MIX_RATES.items():
+        rate = rate.when(F.col("lang") == lang, r)
+    rate = rate.otherwise(0)
+    return (
+        d.withColumn("kept", (bucket < rate).cast("bigint"))
+        .withColumn("target_per_mille", rate.cast("bigint"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.first("target_per_mille").alias("target_per_mille"),
+        )
+        .selectExpr(
+            "lang",
+            "n_total",
+            "n_kept",
+            "target_per_mille",
+            "(n_kept * 1000) div n_total AS achieved_per_mille",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. symmetric int8 embedding quantization with exact round-trip stats
+# ---------------------------------------------------------------------------
+def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize each embedding to int8 (q = floor(x*127/maxabs + 0.5),
+    the symmetric per-vector scheme ANN indexes ship), then report exact
+    integer stats per label: vector count, total quantized squared norm,
+    total saturated lanes, and the min/max per-vector scale (rounded).
+
+    Every cross-row aggregate is over integers or min/max of doubles —
+    order-independent, so the DuckDB oracle hash-matches despite both
+    engines summing in arbitrary partition order. Scale: narrow per-row
+    transform + one partial-agg groupBy(label)."""
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+    )
+    q = (
+        e.withColumn(
+            "maxabs", F.expr("array_max(transform(v, x -> abs(x)))")
+        )
+        .filter(F.col("maxabs") > 0)
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(v, x -> CAST(floor(x * 127.0D / maxabs + 0.5D)"
+                " AS INT))"
+            ),
+        )
+    )
+    return (
+        q.selectExpr(
+            "label",
+            "aggregate(q, 0L, (acc, x) -> acc + x * x) AS qnorm",
+            "size(filter(q, x -> x = 127 OR x = -127)) AS n_sat",
+            "round(maxabs, 6) AS maxabs6",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("qnorm").alias("sum_qnorm"),
+            F.sum("n_sat").alias("sum_saturated"),
+            F.min("maxabs6").alias("min_scale6"),
+            F.max("maxabs6").alias("max_scale6"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES = {
+    "text_decontaminate": text_decontaminate,
+    "text_pack_sequences": text_pack_sequences,
+    "sample_mixture_weights": sample_mixture_weights,
+    "sim_embedding_quantize": sim_embedding_quantize,
+}
+
+ORACLES = {
+    "text_decontaminate": f"""
+        WITH {_SHINGLES_DUCK},
+        bench AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+        ),
+        corp AS (SELECT * FROM sh WHERE doc_id % 17 <> 0)
+        SELECT c.doc_id,
+               count(*) AS sz,
+               count(b.shingle) AS n_shared,
+               CAST(count(b.shingle) >= 10
+                    OR count(b.shingle) * 5 >= count(*) AS INTEGER)
+                   AS contaminated
+        FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id
+    """,
+    "text_pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   doc_id % {_PACK_BUCKETS} AS bucket,
+                   len(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ),
+        packed AS (
+            SELECT bucket, doc_id, tok,
+                   (sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok)
+                       // {_PACK_BUDGET} AS pack_id
+            FROM toks
+        )
+        SELECT bucket, pack_id,
+               count(*) AS n_docs,
+               sum(tok) AS pack_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM packed
+        GROUP BY bucket, pack_id
+        ORDER BY bucket, pack_id
+    """,
+    "sample_mixture_weights": f"""
+        WITH d AS (
+            SELECT lang,
+                   CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) % 1000 AS bucket,
+                   CASE {' '.join(f"WHEN lang = '{l}' THEN {r}" for l, r in _MIX_RATES.items())}
+                        ELSE 0 END AS target_per_mille
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN bucket < target_per_mille THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(min(target_per_mille) AS BIGINT) AS target_per_mille,
+               (CAST(sum(CASE WHEN bucket < target_per_mille THEN 1 ELSE 0 END)
+                     AS BIGINT) * 1000) // count(*) AS achieved_per_mille
+        FROM d
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "sim_embedding_quantize": """
+        WITH e AS (
+            SELECT label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        m AS (
+            SELECT label, v,
+                   list_max(list_transform(v, x -> abs(x))) AS maxabs
+            FROM e
+            WHERE list_max(list_transform(v, x -> abs(x))) > 0
+        ),
+        q AS (
+            SELECT label, maxabs,
+                   list_transform(v, x ->
+                       CAST(floor(x * 127.0 / maxabs + 0.5) AS INTEGER)) AS q
+            FROM m
+        ),
+        per_vec AS (
+            SELECT label,
+                   CAST(list_sum(list_transform(q, x ->
+                       CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT)
+                       AS qnorm,
+                   len(list_filter(q, x -> x = 127 OR x = -127)) AS n_sat,
+                   round(maxabs, 6) AS maxabs6
+            FROM q
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               CAST(sum(qnorm) AS BIGINT) AS sum_qnorm,
+               CAST(sum(n_sat) AS BIGINT) AS sum_saturated,
+               min(maxabs6) AS min_scale6,
+               max(maxabs6) AS max_scale6
+        FROM per_vec
+        GROUP BY label
+        ORDER BY label
+    """,
+}

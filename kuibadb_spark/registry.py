@@ -12,6 +12,7 @@ from kuibadb_spark.functions import scalar, udfs
 from kuibadb_spark.operators import (
     aggregates,
     collections,
+    curation,
     dedup,
     events,
     graph,
@@ -49,6 +50,7 @@ _MODULES = [
     pipelines,
     graph,
     recursive,
+    curation,
 ]
 
 

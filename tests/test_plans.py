@@ -88,3 +88,29 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark shingle set must reach the corpus side as a
+    broadcast (benchmarks are MB-scale; the corpus is the 100 TB side) —
+    a shuffle join here would shuffle every corpus shingle."""
+    from kuibadb_spark.operators.curation import text_decontaminate
+
+    p = _plan(text_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_pagerank_reuses_edge_exchange_at_runtime(spark):
+    """All pagerank rounds hang off ONE explicit hash(src) exchange over
+    the symmetrized edge list; AQE must dedupe every other consumer into
+    a ReusedExchange at runtime — this is what makes a cold (cache-less)
+    run pay the expensive near-dup pair pipeline once, not once per
+    round. (The pre-execution plan shows no reuse — AQE applies it when
+    stages materialize — so assert on the final adaptive plan.)"""
+    from kuibadb_spark.operators.graph import graph_pagerank
+
+    df = graph_pagerank(spark, SF)
+    df.collect()
+    p = _plan(df)
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p
