@@ -257,14 +257,86 @@ def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 5. C4/Gopher-style quality-filter rule set (integer-exact, row-local)
+# ---------------------------------------------------------------------------
+def text_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard pre-training quality-filter pass (C4 / Gopher rule
+    families), re-expressed as integer-exact row-local predicates so the
+    cross-engine hash matches:
+
+    - r_min_words : ≥ 20 words
+    - r_mean_len  : mean word length in [3, 10] (as 3·n ≤ Σlen ≤ 10·n —
+      integer inequality, no division)
+    - r_stopwords : ≥ 2 stopword occurrences (Gopher's "has function
+      words" signal)
+    - r_repetition: most frequent word ≤ 10% of the doc (10·max_freq ≤ n)
+
+    keep = all four. Everything is a narrow per-row transform over the
+    token array — zero shuffle until the final ORDER BY; at 100 TB this
+    is a pure map-side cleaning pass (the same shape C4 itself ran)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = d.withColumn("w", F.split("text", r"\s+"))
+    scored = w.selectExpr(
+        "doc_id",
+        "size(w) AS n_words",
+        "aggregate(transform(w, t -> length(t)), 0L, (a, x) -> a + x)"
+        " AS sum_len",
+        "size(filter(w, t -> t IN ('the', 'a'))) AS n_stop",
+        "array_max(transform(array_distinct(w),"
+        " x -> size(filter(w, t -> t = x)))) AS max_freq",
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "n_words",
+        "CAST(n_words >= 20 AS INT) AS r_min_words",
+        "CAST(3 * n_words <= sum_len AND sum_len <= 10 * n_words AS INT)"
+        " AS r_mean_len",
+        "CAST(n_stop >= 2 AS INT) AS r_stopwords",
+        "CAST(10 * max_freq <= n_words AS INT) AS r_repetition",
+        "CAST(n_words >= 20 AND 3 * n_words <= sum_len"
+        " AND sum_len <= 10 * n_words AND n_stop >= 2"
+        " AND 10 * max_freq <= n_words AS INT) AS keep",
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
+    "text_c4_quality_filters": text_c4_quality_filters,
     "text_pack_sequences": text_pack_sequences,
     "sample_mixture_weights": sample_mixture_weights,
     "sim_embedding_quantize": sim_embedding_quantize,
 }
 
 ORACLES = {
+    "text_c4_quality_filters": r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(text, '\s+') AS w
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   CAST(list_sum(list_transform(w, t -> length(t)))
+                        AS BIGINT) AS sum_len,
+                   len(list_filter(w, t -> t IN ('the', 'a'))) AS n_stop,
+                   list_max(list_transform(list_distinct(w),
+                       x -> len(list_filter(w, t -> t = x)))) AS max_freq
+            FROM w
+        )
+        SELECT doc_id,
+               n_words,
+               CAST(n_words >= 20 AS INTEGER) AS r_min_words,
+               CAST(3 * n_words <= sum_len AND sum_len <= 10 * n_words
+                    AS INTEGER) AS r_mean_len,
+               CAST(n_stop >= 2 AS INTEGER) AS r_stopwords,
+               CAST(10 * max_freq <= n_words AS INTEGER) AS r_repetition,
+               CAST(n_words >= 20 AND 3 * n_words <= sum_len
+                    AND sum_len <= 10 * n_words AND n_stop >= 2
+                    AND 10 * max_freq <= n_words AS INTEGER) AS keep
+        FROM scored
+        ORDER BY doc_id
+    """,
     "text_decontaminate": f"""
         WITH {_SHINGLES_DUCK},
         bench AS (

@@ -44,7 +44,13 @@ def builder(app_name: str = APP_NAME, extra_conf: dict | None = None):
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            # single-JVM local mode: the driver heap IS the executor heap;
+            # 16g keeps GC out of the bench on the 128 GiB test box (on a
+            # real cluster this is a deploy-time setting, not engine code)
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
