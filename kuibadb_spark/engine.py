@@ -48,6 +48,19 @@ _ALTER_RE = re.compile(
     r"(?:ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)|DROP\s+COLUMN\s+(\w+))\s*;?\s*$",
     re.IGNORECASE,
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\s+.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*"
+    r"(?:WITH\s*\((.*?)\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _phys_schema(ddl: str) -> T.StructType:
@@ -112,6 +125,43 @@ class Engine:
         commits as the Python API. DML returns a 1-row DataFrame with the
         affected row count (the reference's command-tag count)."""
         if _TXN_RE.match(text):
+            return None
+        m = _CTAS_RE.match(text)
+        if m:
+            name, body = m.group(1), m.group(2)
+            self._register_all()
+            src = self.spark.sql(body)
+            self.create_table(name, src.schema)
+            n = self.insert(name, src)
+            return self.spark.createDataFrame([(n,)], "count BIGINT")
+        m = _CREATE_RE.match(text)
+        if m:
+            # column list à la the reference's grammar (tablecmds.rs:103-148):
+            # `name type [NOT NULL]` per column, reloptions via WITH (k=v)
+            name, cols, withopts = m.group(1), m.group(2), m.group(3)
+            ddl_parts, not_null = [], []
+            for part in _split_top_level(cols):
+                part = part.strip()
+                mm = re.match(r"(?i)^(\w+)\s+(.+?)(\s+NOT\s+NULL)?$", part, re.DOTALL)
+                col, dtype, nn = mm.group(1), mm.group(2).strip(), mm.group(3)
+                ddl_parts.append(f"{col} {dtype}")
+                if nn:
+                    not_null.append(col)
+            props = None
+            if withopts:
+                props = {}
+                for kv in _split_top_level(withopts):
+                    k, v = kv.split("=", 1)
+                    props[k.strip()] = v.strip().strip("'\"")
+            self.create_table(name, ", ".join(ddl_parts), not_null, props)
+            return None
+        m = _DROP_RE.match(text)
+        if m:
+            try:
+                self.drop_table(m.group(2))
+            except UndefinedTable:
+                if not m.group(1):  # no IF EXISTS → propagate, like PG
+                    raise
             return None
         m = _INSERT_RE.match(text)
         if m:

@@ -379,3 +379,132 @@ ORACLES = {
         ORDER BY l_returnflag
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# hand-rolled HyperLogLog with EXACT cross-engine parity: md5-keyed
+# 64-register sketch, integer-scaled harmonic sum, per-group sketches
+# merged by register-max — the mergeability that makes sketches the
+# 100 TB answer to COUNT(DISTINCT), here with a DuckDB hash-match (the
+# native approx_count_distinct above stays rows-only: HLL++ internals
+# are engine-specific by design).
+# --------------------------------------------------------------------------
+_HLL_M = 64  # registers (b=6 bits)
+_HLL_ALPHA = 0.709  # alpha_64
+
+
+def agg_hll_handrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag HLL estimate of distinct l_partkey, plus a
+    '__all__' row whose sketch is the MERGE (register-wise max) of the
+    per-flag sketches — the union-without-rescan property that makes
+    sketches composable across partitions/days at 100 TB.
+
+    Exactness across engines: the hash is md5 (identical by
+    construction), rho is branch-free integer bit math, and the harmonic
+    sum is kept as an INTEGER (sum of 2^(55-M_j), register scale 2^55)
+    so no cross-row float accumulation exists; the single final
+    double division is IEEE-exact. countDistinct rides along as the
+    ground truth column."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    hashed = li.selectExpr(
+        "l_returnflag AS grp",
+        "l_partkey",
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) AS h",
+    ).selectExpr("grp", "l_partkey", "h % 64 AS bucket", "h div 64 AS rest")
+    rho = (
+        "least(bit_count((rest & -rest) - 1) + 1, 55)"
+    )
+    regs = (
+        hashed.selectExpr("grp", "bucket", f"{rho} AS rho")
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .selectExpr("'__all__' AS grp", "bucket", "m")
+    )
+    est = (
+        regs.unionAll(merged)
+        .groupBy("grp")
+        .agg(
+            F.expr(
+                "sum(shiftleft(CAST(1 AS BIGINT), 55 - m))"
+            ).alias("sum_present"),
+            F.count(F.lit(1)).alias("n_regs"),
+        )
+        .selectExpr(
+            "grp",
+            "sum_present + (64 - n_regs) * shiftleft(CAST(1 AS BIGINT), 55)"
+            " AS hll_sum_scaled",
+        )
+        .selectExpr(
+            "grp",
+            "hll_sum_scaled",
+            f"round({_HLL_ALPHA}D * {_HLL_M * _HLL_M} * pow(2.0D, 55)"
+            " / hll_sum_scaled, 4) AS hll_estimate",
+        )
+    )
+    exact = (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.countDistinct("l_partkey").alias("n_exact"))
+        .unionAll(
+            li.agg(
+                F.countDistinct("l_partkey").alias("n_exact")
+            ).selectExpr("'__all__' AS grp", "n_exact").select("grp", "n_exact")
+        )
+    )
+    return (
+        est.join(exact, "grp")
+        .select("grp", "n_exact", "hll_sum_scaled", "hll_estimate")
+        .orderBy("grp")
+    )
+
+
+QUERIES["agg_hll_handrolled"] = agg_hll_handrolled
+
+ORACLES["agg_hll_handrolled"] = """
+    WITH hashed AS (
+        SELECT l_returnflag AS grp, l_partkey,
+               CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM lineitem
+    ),
+    br AS (
+        SELECT grp, h % 64 AS bucket, h // 64 AS rest FROM hashed
+    ),
+    regs AS (
+        SELECT grp, bucket,
+               max(least(bit_count((rest & -rest) - 1) + 1, 55)) AS m
+        FROM br GROUP BY grp, bucket
+    ),
+    merged AS (
+        SELECT '__all__' AS grp, bucket, max(m) AS m
+        FROM regs GROUP BY bucket
+    ),
+    allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+    sums AS (
+        SELECT grp,
+               CAST(sum(CAST(1 AS BIGINT) << (55 - m)) AS BIGINT)
+                   + (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
+                   AS hll_sum_scaled
+        FROM allregs GROUP BY grp
+    ),
+    est AS (
+        SELECT grp, hll_sum_scaled,
+               round(CAST(0.709 AS DOUBLE) * 4096 * pow(2.0, 55)
+                     / hll_sum_scaled, 4) AS hll_estimate
+        FROM sums
+    ),
+    exact AS (
+        SELECT l_returnflag AS grp,
+               count(DISTINCT l_partkey) AS n_exact
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT '__all__', count(DISTINCT l_partkey) FROM lineitem
+    )
+    SELECT e.grp, x.n_exact, e.hll_sum_scaled, e.hll_estimate
+    FROM est e JOIN exact x ON e.grp = x.grp
+    ORDER BY e.grp
+"""

@@ -389,3 +389,39 @@ def test_varchar_typmod_tables(engine, tmp_path):
     assert engine.sql("SELECT max(length(b)) AS m FROM vt").collect()[0].m == 15
     engine.sql("UPDATE vt SET b = upper(b) WHERE a = 1")
     assert engine.table("vt", where="a = 1").collect()[0].b == "SHORT"
+
+
+def test_sql_ddl_routing(engine):
+    """CREATE TABLE (NOT NULL constraints + WITH reloptions), CTAS, and
+    DROP TABLE [IF EXISTS] through the SQL front door hit the manifest
+    catalog — the reference's §3.3 DDL path (tablecmds.rs:103-148), not
+    Spark's session catalog."""
+    from kuibadb_spark.errors import UndefinedTable
+    from kuibadb_spark.plans import manifest as mf
+
+    engine.sql(
+        "CREATE TABLE ddl_t (a INT NOT NULL, b BIGINT, c varchar(10))"
+        " WITH (data_blk_rows=65536)"
+    )
+    desc = engine.describe("ddl_t")
+    assert [d["column"] for d in desc] == ["a", "b", "c"]
+    assert desc[0]["not_null"] and not desc[1]["not_null"]
+    assert desc[2]["type"] == "varchar(10)"  # typmod preserved in catalog
+    m = mf.read_manifest(engine._table_dir("ddl_t"))
+    assert m["props"]["data_blk_rows"] == "65536"
+
+    assert engine.sql("INSERT INTO ddl_t VALUES (1, 2, 'x'), (3, 4, 'y')") \
+        .collect()[0]["count"] == 2
+    assert engine.sql(
+        "CREATE TABLE ddl_t2 AS SELECT a, b * 10 AS b10 FROM ddl_t"
+    ).collect()[0]["count"] == 2
+    assert {tuple(r) for r in engine.table("ddl_t2").collect()} == {(1, 20), (3, 40)}
+
+    engine.sql("DROP TABLE IF EXISTS ddl_missing")  # no-op, no error
+    engine.sql("DROP TABLE ddl_t2")
+    try:
+        engine.sql("DROP TABLE ddl_t2")
+        raise AssertionError("expected UndefinedTable")
+    except UndefinedTable:
+        pass
+    engine.sql("DROP TABLE ddl_t")
