@@ -36,10 +36,11 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Parquet scan → Catalyst gets pushdown/pruning.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark rejects
-    by default; we read it as raw nanos (legacy conf, runtime-settable) and
-    truncate to micros — exactly what DuckDB does on the same file, so the
-    oracle comparison stays value-identical.
+    ``events.ts`` has appeared in two fixture generations: TIMESTAMP(NANOS)
+    (which Spark only reads as a raw long under the legacy conf — truncate
+    to micros, exactly what DuckDB does on the same file) and plain
+    TIMESTAMP(MICROS). Detect from the read type and normalize both to
+    timestamp_ntz so the oracle comparison stays value-identical.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -48,9 +49,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
-        )
+        if dict(df.dtypes)["ts"] == "bigint":
+            ts = F.expr("timestamp_micros(ts div 1000)")
+        else:
+            ts = F.col("ts")
+        return df.withColumn("ts", ts.cast("timestamp_ntz"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -26,17 +26,27 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kuibadb_spark.catalog import table_path
 
-# Raw parquet schema: ts is TIMESTAMP(NANOS) → read as long (see catalog.load)
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Fixture generations differ: ts is TIMESTAMP(NANOS) (read as raw long
+    under the legacy conf) in older data, TIMESTAMP(MICROS) in newer. One
+    footer read settles which shim applies (see catalog.load)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    return "ns" in str(t)
+
+
+def _raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -60,8 +70,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast back to timestamp_ntz at the output edge.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.readStream.schema(_RAW_SCHEMA).parquet(_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _events_ts_is_nanos(sf_dir):
+        raw = spark.readStream.schema(_raw_schema(T.LongType())).parquet(
+            _stream_dir(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(_raw_schema(T.TimestampNTZType())).parquet(
+        _stream_dir(sf_dir)
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

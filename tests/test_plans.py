@@ -106,9 +106,13 @@ def test_pagerank_reuses_edge_exchange_at_runtime(spark):
     a ReusedExchange at runtime — this is what makes a cold (cache-less)
     run pay the expensive near-dup pair pipeline once, not once per
     round. (The pre-execution plan shows no reuse — AQE applies it when
-    stages materialize — so assert on the final adaptive plan.)"""
+    stages materialize — so assert on the final adaptive plan.) Clear
+    the cache first: other suites persist the near-dup edge pipeline,
+    and CacheManager would splice InMemoryRelation into this plan,
+    leaving no exchange to reuse."""
     from kuibadb_spark.operators.graph import graph_pagerank
 
+    spark.catalog.clearCache()
     df = graph_pagerank(spark, SF)
     df.collect()
     p = _plan(df)
