@@ -1,0 +1,272 @@
+"""Relational surface, round 5: bag-semantics set ops, boolean
+aggregates, higher-order array lambdas, OHLC time-series downsampling,
+distribution window functions, and correlated scalar subqueries —
+rounding out SURVEY.md §2.3's declared/target surface (the reference
+grammar executes none of the relational surface,
+/root/reference/src/parser/sql.lalrpop:314-318; set ops and scalar
+subqueries are standard PostgreSQL semantics the reference's
+pg_catalog-derived surface implies).
+
+Scale notes (100 TB):
+- setop_bag_semantics: INTERSECT ALL / EXCEPT ALL compile to a single
+  hash aggregation per input (Catalyst rewrites them as counted
+  aggregates + generate) — one shuffle per side on the compare key, no
+  sort, then the per-key recount is map-side partial. No driver work.
+- agg_boolean_aggs: classic partial+final aggregation — bool_and/
+  bool_or/count_if are all associative, so the map-side combine sends
+  one row per (partition, group) across the wire.
+- coll_lambda_ops: every lambda (filter/exists/forall/aggregate/
+  zip_with) is row-local JVM codegen over the token array — zero
+  shuffle until the final ORDER BY of the 500-row-per-SF result;
+  at 100 TB this is the pure map-stage shape, like text_quality.
+- ts_ohlc_downsample: one shuffle on the bucket key; open/close come
+  from a row_number window partitioned by the same key, so the window
+  sort and the aggregation share a single exchange (AQE coalesces).
+  Downsampling is the canonical 100 TB → dashboard reduction: output
+  cardinality is time-buckets × symbols, independent of input rows.
+- w_distribution_funcs: one shuffle on the partition key; percent_rank/
+  cume_dist/ntile share one window sort. Ranks divide row counts —
+  integer-over-integer IEEE division is bit-identical across engines.
+- subq_scalar_correlated: Catalyst decorrelates both scalar subqueries
+  into one aggregate-then-join on c_nationkey — no per-row re-execution
+  (the same shape as q17's decorrelation). The acctbal-vs-nation-mean
+  comparison is cross-multiplied in integer cents, so the predicate is
+  exact on both engines (no float-mean boundary flips).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kuibadb_spark.catalog import load
+
+
+# --------------------------------------------------------------------------
+# bag-semantics set operations: INTERSECT ALL / EXCEPT ALL / UNION ALL
+# --------------------------------------------------------------------------
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset semantics (duplicates preserved): suppkey occurrences on
+    returned lines vs finished lines. Distinct-set ops are in
+    setop_union_intersect_except; this exercises the ALL variants, which
+    Catalyst rewrites into counted hash aggregates (no sort)."""
+    l = load(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = l.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return (
+            df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(op).alias("op"), "k", "n")
+        )
+
+    return (
+        counted(a.intersectAll(b), "intersect_all")
+        .unionAll(counted(a.exceptAll(b), "except_all"))
+        .unionAll(counted(a.unionAll(b), "union_all"))
+        .orderBy("op", "k")
+    )
+
+
+# --------------------------------------------------------------------------
+# boolean aggregates: bool_and / bool_or / count_if
+# --------------------------------------------------------------------------
+def agg_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.bool_and(F.col("o_totalprice") > 5000).alias("all_over_5k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# higher-order array lambdas: filter / exists / forall / aggregate / zip_with
+# --------------------------------------------------------------------------
+def coll_lambda_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda family over token arrays. Every expression is row-local
+    whole-stage codegen (no UDF, no shuffle); zip_with pairs each token
+    with its 1-based position for a position-weighted length sum."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("toks", F.expr("split(text, ' ')"))
+        .select(
+            "doc_id",
+            F.expr("size(filter(toks, t -> length(t) > 4))").alias("n_long"),
+            F.expr("exists(toks, t -> length(t) >= 8)").alias("has_verylong"),
+            F.expr("forall(toks, t -> length(t) <= 10)").alias("all_short"),
+            F.expr("aggregate(toks, 0, (acc, t) -> acc + length(t))").alias(
+                "total_len"
+            ),
+            F.expr(
+                "aggregate(zip_with(toks, sequence(1, size(toks)),"
+                " (t, i) -> i * length(t)), 0L, (acc, x) -> acc + x)"
+            ).alias("pos_weighted_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# OHLC downsampling: per-hour open/high/low/close/volume over events
+# --------------------------------------------------------------------------
+def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick reduction of the event stream: first/last value by
+    (ts, event_id) order — deterministic under duplicate timestamps —
+    plus min/max/count/volume per hour bucket."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "hr", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    )
+    w_a = Window.partitionBy("hr").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("hr").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("hr")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .orderBy("hr")
+    )
+
+
+# --------------------------------------------------------------------------
+# distribution window functions: percent_rank / cume_dist / ntile
+# --------------------------------------------------------------------------
+def w_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+# --------------------------------------------------------------------------
+# correlated scalar subqueries: customers above their nation's mean balance
+# --------------------------------------------------------------------------
+def subq_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("ks_customer_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM ks_customer_sq c2
+                 WHERE c2.c_nationkey = c.c_nationkey) AS nation_peers
+        FROM ks_customer_sq c
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+                * (SELECT count(*) FROM ks_customer_sq c2
+                    WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                   FROM ks_customer_sq c2
+                  WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+QUERIES = {
+    "setop_bag_semantics": setop_bag_semantics,
+    "agg_boolean_aggs": agg_boolean_aggs,
+    "coll_lambda_ops": coll_lambda_ops,
+    "ts_ohlc_downsample": ts_ohlc_downsample,
+    "w_distribution_funcs": w_distribution_funcs,
+    "subq_scalar_correlated": subq_scalar_correlated,
+}
+
+ORACLES = {
+    "setop_bag_semantics": """
+        WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+             b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F')
+        SELECT op, k, n FROM (
+            SELECT 'intersect_all' AS op, k, count(*) AS n
+            FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+            UNION ALL
+            SELECT 'except_all' AS op, k, count(*) AS n
+            FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+            UNION ALL
+            SELECT 'union_all' AS op, k, count(*) AS n
+            FROM (SELECT k FROM a UNION ALL SELECT k FROM b) GROUP BY k
+        )
+        ORDER BY op, k
+    """,
+    "agg_boolean_aggs": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               bool_and(o_totalprice > 5000) AS all_over_5k,
+               bool_or(o_totalprice > 400000) AS any_over_400k,
+               count_if(o_orderstatus = 'F') AS n_finished
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "coll_lambda_ops": """
+        SELECT doc_id,
+               CAST(len(list_filter(toks, t -> length(t) > 4)) AS INTEGER)
+                   AS n_long,
+               len(list_filter(toks, t -> length(t) >= 8)) > 0
+                   AS has_verylong,
+               len(list_filter(toks, t -> length(t) > 10)) = 0
+                   AS all_short,
+               CAST(list_sum(list_transform(toks, t -> length(t)))
+                    AS INTEGER) AS total_len,
+               CAST(list_sum(list_transform(toks, (t, i) -> i * length(t)))
+                    AS BIGINT) AS pos_weighted_len
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ORDER BY doc_id
+    """,
+    "ts_ohlc_downsample": """
+        SELECT hr,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n_events,
+               round(sum(value), 2) AS volume
+        FROM (
+            SELECT date_trunc('hour', ts) AS hr, value,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        GROUP BY hr
+        ORDER BY hr
+    """,
+    "w_distribution_funcs": """
+        SELECT p_brand, p_partkey,
+               percent_rank() OVER w AS price_pct_rank,
+               cume_dist() OVER w AS price_cume_dist,
+               ntile(4) OVER w AS price_quartile
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+        ORDER BY p_brand, p_partkey
+    """,
+    "subq_scalar_correlated": """
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey) AS nation_peers
+        FROM customer c
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+                * (SELECT count(*) FROM customer c2
+                    WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                             AS BIGINT)
+                   FROM customer c2
+                  WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+    """,
+}

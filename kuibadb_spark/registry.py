@@ -23,6 +23,7 @@ from kuibadb_spark.operators import (
     relational2,
     relational3,
     relational4,
+    relational5,
     similarity,
     temporal,
     text,
@@ -35,6 +36,7 @@ _MODULES = [
     relational2,
     relational3,
     relational4,
+    relational5,
     windows,
     aggregates,
     scalar,
