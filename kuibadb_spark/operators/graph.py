@@ -268,3 +268,78 @@ def _pagerank_duck() -> str:
 
 
 ORACLES["graph_pagerank"] = _pagerank_duck()
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-duplicate graph
+# ---------------------------------------------------------------------------
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the undirected near-dup graph
+    — triangles are tightly-coupled duplicate clusters (A≈B≈C≈A), the
+    signal for collapsing a whole clique to one representative rather
+    than pairwise-dropping.
+
+    Shape: edges are canonical (src < dst, from _pair_stats), so each
+    triangle {a<b<c} is found exactly once by the two-hop join
+    (a,b)⋈(b,c)⋈(a,c) — the standard distributed triangle enumeration;
+    both joins are equi-joins on node ids (hash shuffles, no broadcast
+    needed: the edge list is the SMALL side here, the expensive part is
+    the shared near-dup pair pipeline, which Spark computes once and
+    ReuseExchange fans out to e1/e2/e3). Row-local explode of the
+    triangle's three corners + one groupBy gives per-node counts.
+
+    100 TB note: real-world triangle counts explode on high-degree
+    nodes; the production lever is degree-ordering (orient edges from
+    low- to high-degree node), which bounds join fan-out by max degree —
+    canonical id-ordering here plays that role for the shallow dup graph.
+    """
+    e = _edges(spark, sf_dir).repartition("src")
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+QUERIES["graph_triangle_count"] = graph_triangle_count
+
+ORACLES["graph_triangle_count"] = f"""
+    WITH {_DUP_CORPUS_DUCK},
+    {_SHINGLES_DUCK},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT src, dst FROM inter
+        JOIN sizes sa ON sa.doc_id = src
+        JOIN sizes sb ON sb.doc_id = dst
+        WHERE i / (sa.sz + sb.sz - i) >= 0.6
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY node
+    ORDER BY node
+"""
