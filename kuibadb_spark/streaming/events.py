@@ -157,6 +157,32 @@ def sliding_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_hourly(events: DataFrame) -> DataFrame:
+    """Incremental per-hour OHLC candlesticks: open/close via min_by/
+    max_by on the (ts, event_id) struct — a purely declarative aggregate,
+    so it runs in a streaming groupBy (no window-function rank, which
+    streaming can't do) and converges to the batch ts_ohlc_downsample
+    answer. State per hour bucket is O(1): the running min/max structs
+    and sum/count — the canonical always-on metrics-rollup shape."""
+    key = F.struct("ts", "event_id")
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("hr"),
+            "open", "high", "low", "close", "n_events", "volume",
+        )
+    )
+
+
 def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream–static join: per-microbatch hash join against a static dim
     (broadcast — the dim is small and immutable for the query's life)."""
@@ -231,14 +257,41 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(ohlc_hourly(read_events_stream(spark, sf_dir)))
+    return out.withColumn("hr", F.col("hr").cast("timestamp_ntz")).orderBy("hr")
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
+    "stream_ohlc_hourly": stream_ohlc_hourly,
     "stream_stateful_user_totals": stream_stateful_user_totals,
     "stream_sliding_hourly": stream_sliding_hourly,
     "stream_session_windows": stream_session_windows,
 }
 
 ORACLES = {
+    # identical oracle as the batch OHLC query — streaming min_by/max_by
+    # on (ts, event_id) == batch row_number open/close
+    "stream_ohlc_hourly": """
+        SELECT hr,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n_events,
+               round(sum(value), 2) AS volume
+        FROM (
+            SELECT date_trunc('hour', ts) AS hr, value,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        GROUP BY hr
+        ORDER BY hr
+    """,
     # identical oracle as the batch tumbling query — the streaming pipeline
     # must converge to the batch answer (complete mode, finite source)
     "stream_tumbling_hourly": """
