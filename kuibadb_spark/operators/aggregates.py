@@ -508,3 +508,111 @@ ORACLES["agg_hll_handrolled"] = """
     FROM est e JOIN exact x ON e.grp = x.grp
     ORDER BY e.grp
 """
+
+
+# ---------------------------------------------------------------------------
+# hand-rolled Count-Min sketch: heavy-hitter frequencies with exact parity
+# ---------------------------------------------------------------------------
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+
+
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows x w=256 counters) over lineitem
+    l_partkey, probed for the top-20 exact heavy hitters — estimate =
+    min over rows of the hashed counter, always >= exact (one-sided
+    error), with the overcount emitted so the oracle checks the sketch
+    CONTENT, not just the winners.
+
+    Like agg_hll_handrolled, the whole sketch is exact across engines:
+    md5-keyed buckets, integer counters, no floats anywhere. The sketch
+    is a 1,024-cell aggregate — mergeable cell-wise across partitions /
+    days / tables (same property as the HLL register row), which is why
+    a 100 TB deployment keeps one per ingest window and answers
+    frequency probes without rescanning anything. Build is one
+    explode(d)+groupBy shuffle of (row, bucket) ints; probes broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("r").cast("string"),
+                        F.col("l_partkey").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+    cells = (
+        li.select("l_partkey", rows)
+        .withColumn("bucket", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_exact"))
+    # top-k via orderBy+limit => TakeOrderedAndProject (per-partition
+    # partial top-20, merged on the driver) — NOT a global row_number
+    # window, which would single-partition the whole count table
+    cand = counts.orderBy(F.desc("n_exact"), "l_partkey").limit(20)
+    probes = cand.select("l_partkey", "n_exact", rows).withColumn(
+        "bucket", bucket
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("l_partkey", "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+        .selectExpr(
+            "l_partkey",
+            "n_exact",
+            "cms_est",
+            "cms_est - n_exact AS overcount",
+        )
+        .orderBy("l_partkey")
+    )
+
+
+QUERIES["agg_cms_heavy_hitters"] = agg_cms_heavy_hitters
+
+ORACLES["agg_cms_heavy_hitters"] = f"""
+    WITH keyed AS (SELECT l_partkey FROM lineitem),
+    rows_ AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+    cells AS (
+        SELECT r,
+               CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                    CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+                   % {_CMS_W} AS bucket,
+               count(*) AS cnt
+        FROM keyed CROSS JOIN rows_
+        GROUP BY 1, 2
+    ),
+    counts AS (
+        SELECT l_partkey, count(*) AS n_exact FROM keyed GROUP BY l_partkey
+    ),
+    cand AS (
+        SELECT l_partkey, n_exact FROM (
+            SELECT l_partkey, n_exact,
+                   row_number() OVER (ORDER BY n_exact DESC, l_partkey) AS rn
+            FROM counts
+        ) WHERE rn <= 20
+    )
+    SELECT c.l_partkey, c.n_exact, min(s.cnt) AS cms_est,
+           min(s.cnt) - c.n_exact AS overcount
+    FROM cand c
+    CROSS JOIN rows_ rr
+    JOIN cells s
+      ON s.r = rr.r
+     AND s.bucket = CAST('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' ||
+                         CAST(c.l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+                    % {_CMS_W}
+    GROUP BY c.l_partkey, c.n_exact
+    ORDER BY c.l_partkey
+"""
