@@ -434,3 +434,113 @@ ORACLES = {
         ORDER BY label
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed importance weights (data selection for LM pretraining)
+# ---------------------------------------------------------------------------
+_DSIR_B = 1024  # hashed feature buckets
+
+
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023), the
+    hashed n-gram variant, integer-exact: score each document by how
+    much its hashed-bigram distribution looks like the TARGET slice
+    (lang='en' here stands in for "high-quality domain") vs the full
+    corpus background.
+
+    Importance weight per doc = Σ_features [ ilog2(1 + target_cnt[f])
+    − ilog2(1 + background_cnt[f]) ] with ilog2 = floor(log2) computed
+    by BIT LENGTH (length(bin(x)) − 1) — a branch-free integer log both
+    engines evaluate identically, sidestepping float-log ulp drift the
+    same way the HLL/kmeans/pagerank ops do.
+
+    Scale shape: the two count tables are bounded by B=1024 buckets
+    regardless of corpus size — they broadcast; the corpus side is one
+    row-local bigram explode + two map-side-combined groupBys + a
+    per-doc sum. No shuffle touches anything wider than (doc_id, int).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # same explode_outer + post-exchange-attribute discipline as
+    # dedup._pair_stats (InferFiltersFromGenerate re-evaluation trap)
+    arr = d.withColumn("w", F.split("text", r"\s+")).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN size(w) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(w) - 1), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i+1))) END"
+        ).alias("bgs"),
+    ).repartition(d.sparkSession.sparkContext.defaultParallelism)
+    feats = (
+        arr.select("doc_id", "lang", F.explode_outer("bgs").alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .withColumn(
+            "f",
+            F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("bigint")
+            % _DSIR_B,
+        )
+        .drop("bg")
+    )
+    tcnt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    bcnt = feats.groupBy("f").agg(F.count(F.lit(1)).alias("b"))
+    ilog2 = "length(bin(1 + {})) - 1"
+    return (
+        feats.join(F.broadcast(tcnt), "f", "left")
+        .join(F.broadcast(bcnt), "f")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"{ilog2.format('coalesce(t, 0L)')} AS lt",
+            f"{ilog2.format('b')} AS lb",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.expr("lt - lb")).alias("dsir_score"),
+        )
+        .withColumn("kept", F.col("dsir_score") > 0)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_dsir_importance"] = text_dsir_importance
+
+ORACLES["text_dsir_importance"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(text, '\\s+') AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) % {_DSIR_B} AS f
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> w[i] || ' ' || w[i+1])) AS bg
+            FROM toks
+        )
+    ),
+    tcnt AS (
+        SELECT f, count(*) AS t FROM feats WHERE lang = 'en' GROUP BY f
+    ),
+    bcnt AS (SELECT f, count(*) AS b FROM feats GROUP BY f)
+    SELECT doc_id, lang,
+           count(*) AS n_feats,
+           CAST(sum((length(printf('%b', 1 + coalesce(t.t, 0))) - 1)
+                  - (length(printf('%b', 1 + b.b)) - 1)) AS BIGINT)
+               AS dsir_score,
+           CAST(sum((length(printf('%b', 1 + coalesce(t.t, 0))) - 1)
+                  - (length(printf('%b', 1 + b.b)) - 1)) AS BIGINT) > 0
+               AS kept
+    FROM feats
+    LEFT JOIN tcnt t USING (f)
+    JOIN bcnt b USING (f)
+    GROUP BY doc_id, lang
+    ORDER BY doc_id
+"""
