@@ -434,3 +434,146 @@ def _kmeans_duck() -> str:
 
 QUERIES["sim_kmeans_lloyd"] = sim_kmeans_lloyd
 ORACLES["sim_kmeans_lloyd"] = _kmeans_duck()
+
+
+# ---------------------------------------------------------------------------
+# 4. product quantization (PQ) + asymmetric-distance ANN
+# ---------------------------------------------------------------------------
+_PQ_M = 8  # subspaces (64 dims / 8 per sub)
+_PQ_SUB = _DIM // _PQ_M
+_PQ_K = 16  # centroids per subspace
+_PQ_SCALE = 1_000_000  # fixed-point grid: exact integer L2 in both engines
+
+
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011): each vector is
+    compressed to m=8 one-byte codes (nearest of 16 centroids per 8-dim
+    subspace); queries compute a 8×16 distance table against the
+    codebooks and score every database vector by table lookups only —
+    the asymmetric distance computation (ADC) that makes billion-vector
+    search memory-resident (8 bytes/vector here vs 256 for the raw
+    floats).
+
+    Determinism/parity: vectors land on a fixed-point integer grid
+    (floor(x·1e6 + 0.5) — identical IEEE ops in both engines), codebooks
+    are the subvectors of vec_id < 16 (training-free seeding; swap in
+    sim_kmeans_lloyd per subspace for trained codebooks), so every
+    distance is an exact BIGINT and code assignment ties break on
+    centroid id via struct-min.
+
+    Scale shape: codebooks are m×k=128 tiny rows → broadcast both to the
+    encode join and the query distance-table join; encoding is one
+    groupBy(vec_id, subspace) argmin; ADC is an equi-join on
+    (subspace, code) — hash shuffle on a 2-int key — plus a
+    per-query top-k. Nothing is quadratic in the corpus; the only
+    corpus-wide state is the 8-code row per vector.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(v, x -> CAST(floor(x * {_PQ_SCALE}D + 0.5D) AS BIGINT))"
+        ).alias("xi"),
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
+    sub = e.select("vec_id", "xi", js).selectExpr(
+        "vec_id", "j", f"slice(xi, j * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv"
+    )
+    cent = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("c"), "xi", js)
+        .selectExpr("j", "c", f"slice(xi, j * {_PQ_SUB} + 1, {_PQ_SUB}) AS cw")
+    )
+    l2 = (
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    dists = sub.join(F.broadcast(cent), "j").selectExpr(
+        "vec_id", "j", "c", f"{l2} AS dist"
+    )
+    codes = (
+        dists.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("dist", "c")).alias("b"))
+        .selectExpr("vec_id", "j", "b.c AS code")
+    )
+    dt = dists.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS qid", "j", "c", "dist"
+    )
+    adc = (
+        codes.alias("cd")
+        .join(
+            F.broadcast(dt).alias("q"),
+            (F.col("cd.j") == F.col("q.j")) & (F.col("cd.code") == F.col("q.c")),
+        )
+        .filter(F.col("cd.vec_id") != F.col("q.qid"))
+        .groupBy(
+            F.col("q.qid").alias("qid"), F.col("cd.vec_id").alias("vec_id")
+        )
+        .agg(F.sum("q.dist").alias("adist"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy("adist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "adist")
+        .orderBy("qid", "rank")
+    )
+
+
+QUERIES["sim_ann_pq"] = sim_ann_pq
+
+ORACLES["sim_ann_pq"] = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * {_PQ_SCALE} + 0.5)
+                        AS BIGINT)) AS xi
+        FROM embeddings
+    ),
+    js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    sub AS (
+        SELECT vec_id, j,
+               xi[j * {_PQ_SUB} + 1 : j * {_PQ_SUB} + {_PQ_SUB}] AS sv
+        FROM e CROSS JOIN js
+    ),
+    cent AS (
+        SELECT j, vec_id AS c,
+               xi[j * {_PQ_SUB} + 1 : j * {_PQ_SUB} + {_PQ_SUB}] AS cw
+        FROM e CROSS JOIN js
+        WHERE vec_id < {_PQ_K}
+    ),
+    dists AS (
+        SELECT s.vec_id, s.j, c.c,
+               CAST(list_sum(list_transform(
+                   generate_series(1, {_PQ_SUB}),
+                   i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))
+                   AS BIGINT) AS dist
+        FROM sub s JOIN cent c ON c.j = s.j
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist, c) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    dt AS (
+        SELECT vec_id AS qid, j, c, dist FROM dists WHERE vec_id < 5
+    ),
+    adc AS (
+        SELECT dt.qid, codes.vec_id, CAST(sum(dt.dist) AS BIGINT) AS adist
+        FROM codes
+        JOIN dt ON dt.j = codes.j AND dt.c = codes.code
+        WHERE codes.vec_id <> dt.qid
+        GROUP BY dt.qid, codes.vec_id
+    )
+    SELECT qid, rank, vec_id, adist FROM (
+        SELECT qid, vec_id, adist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adist, vec_id) AS rank
+        FROM adc
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+"""
