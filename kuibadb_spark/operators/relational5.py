@@ -270,3 +270,48 @@ ORACLES = {
         ORDER BY c_custkey
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# per-group bottom-k hash sampling (distributed reservoir equivalent)
+# --------------------------------------------------------------------------
+def sample_bottomk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k=5 sample WITHOUT replacement per order priority, via
+    bottom-k over md5(o_orderkey) — the mergeable form of reservoir
+    sampling: the bottom-k of a union is the bottom-k of the merged
+    bottom-k sets, so per-partition samples combine associatively (a
+    real reservoir's RNG state does not). Same determinism story as
+    sample_hash_10pct; the hash plays the role of the random tag.
+
+    One shuffle on the group key; the rank window rides that exchange.
+    """
+    o = load(spark, sf_dir, "orders")
+    tag = F.md5(F.col("o_orderkey").cast("string"))
+    w = Window.partitionBy("o_orderpriority").orderBy(tag.asc())
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "o_orderpriority",
+            F.col("rk").alias("sample_rank"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .orderBy("o_orderpriority", "sample_rank")
+    )
+
+
+QUERIES["sample_bottomk_reservoir"] = sample_bottomk_reservoir
+
+ORACLES["sample_bottomk_reservoir"] = """
+    SELECT o_orderpriority, rk AS sample_rank, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY md5(CAST(o_orderkey AS VARCHAR)))
+                   AS rk
+        FROM orders
+    )
+    WHERE rk <= 5
+    ORDER BY o_orderpriority, sample_rank
+"""

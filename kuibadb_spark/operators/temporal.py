@@ -309,3 +309,69 @@ ORACLES = {
         ORDER BY s.event_type, s.h
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension build: per-user state history with validity intervals
+# --------------------------------------------------------------------------
+def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event log: each user's
+    event_type stream is compressed to its change points (consecutive
+    repeats collapse — gaps-and-islands), then every state row gets
+    [valid_from, valid_to) via lead(), an is_current flag, and a version
+    number — the standard CDC→warehouse dimension materialization.
+
+    One shuffle on user_id; both windows (change detection, lead) share
+    that partitioning, so Catalyst plans a single exchange + one sort.
+    At 100 TB this is the canonical 'rebuild the dimension from the
+    log' batch: linear, key-partitioned, no self-join (the naive SCD2
+    spelling is an inequality self-join — quadratic per user)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", F.col("event_type").alias("state"))
+        .withColumn("prev_state", F.lag("state").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("version", F.row_number().over(w2))
+        .withColumn("valid_to", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            "version",
+            "state",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+QUERIES["ev_scd2_user_state"] = ev_scd2_user_state
+
+ORACLES["ev_scd2_user_state"] = """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type AS state,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, state FROM ordered
+        WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id,
+           row_number() OVER w AS version,
+           state,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+"""
