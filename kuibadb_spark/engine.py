@@ -61,6 +61,16 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# the reference's COPY grammar (sql.lalrpop:560-572; options copy.rs:203-270):
+# COPY tab FROM 'file' [DELIMITERS 'x'] [NULL 'y'] [CSV] [(parallel N)]
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(\w+)\s+(FROM|TO)\s+'([^']+)'"
+    r"(?:\s+DELIMITERS\s+'([^']*)')?"
+    r"(?:\s+NULL\s+'([^']*)')?"
+    r"(?:\s+(CSV))?"
+    r"(?:\s*\(\s*parallel\s+(\d+)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _phys_schema(ddl: str) -> T.StructType:
@@ -182,6 +192,24 @@ class Engine:
             else:
                 self.drop_column(m.group(1), m.group(4))
             return None
+        m = _COPY_RE.match(text)
+        if m:
+            name, direction, path, delim, nullm, csv, par = m.groups()
+            delimiter = delim if delim is not None else ","
+            null_marker = nullm if nullm is not None else r"\N"
+            parallel = int(par) if par else None
+            if direction.upper() == "FROM":
+                n = self.copy_from(
+                    name, path, delimiter=delimiter,
+                    null_marker=null_marker, parallel=parallel,
+                    csv=bool(csv),
+                )
+            else:
+                n = self.copy_to(
+                    name, path, delimiter=delimiter,
+                    null_marker=null_marker, parallel=parallel,
+                )
+            return self.spark.createDataFrame([(n,)], "count BIGINT")
         m = _DELETE_RE.match(text)
         if m and m.group(1).upper() != "SELECT":
             n = self.delete(m.group(1), m.group(2) or "true")

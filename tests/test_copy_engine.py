@@ -425,3 +425,21 @@ def test_sql_ddl_routing(engine):
     except UndefinedTable:
         pass
     engine.sql("DROP TABLE ddl_t")
+
+
+def test_sql_copy_routing(engine, tmp_path):
+    """COPY through the SQL front door — the reference's actual grammar
+    (sql.lalrpop:560-572): custom DELIMITERS, NULL marker, (parallel N),
+    COPY n command-tag count; COPY TO exports the snapshot back out."""
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", ["1|2|x", "3|**|y"])
+    n = engine.sql(
+        f"COPY t FROM '{path}' DELIMITERS '|' NULL '**' (parallel 2)"
+    ).collect()[0]["count"]
+    assert n == 2
+    rows = {tuple(r) for r in engine.table("t").collect()}
+    assert rows == {(1, 2, "x"), (3, None, "y")}
+
+    out = str(tmp_path / "out_dir")
+    n_out = engine.sql(f"COPY t TO '{out}' DELIMITERS '|'").collect()[0]["count"]
+    assert n_out == 2
