@@ -15,7 +15,7 @@ tables ship with the plan (broadcast by value).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from kuibadb_spark.catalog import load
 
@@ -414,10 +414,16 @@ def text_search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df computed INLINE with a count() window over term: a separate
+    # df_t = postings.groupBy(term) subtree is NOT exchange-reusable
+    # (column pruning specializes each consumer's scan), so the whole
+    # scan+explode pipeline ran once per consumer — 6 scans in the final
+    # plan, measured 0.62s -> 0.48s at sf0.1. The window shares the
+    # postings exchange; the corpus is scanned exactly once.
+    wt = Window.partitionBy("term")
     return (
-        postings.join(F.broadcast(df_t), "term")
+        postings.withColumn("df", F.count(F.lit(1)).over(wt))
         .crossJoin(F.broadcast(n))
         .withColumn("w", F.expr("tf * ((1000000 * n_docs) div df)"))
         .groupBy("doc_id")
