@@ -48,19 +48,39 @@ _DUP_CORPUS_DUCK = """
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local single-scan synthesis: the natural UNION ALL spelling is
+    three scans of documents (one per branch — union branches are never
+    exchange/scan-reused); the explode emits base + conditional copies
+    from ONE pass, which is 3x less input IO for every dedup/graph
+    operator sharing this corpus. Same rows, same oracle CTE."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = (
-        d.filter(F.col("doc_id") % 10 == 0)
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    )
-    near = (
-        d.filter(F.col("doc_id") % 20 == 0)
-        .select(
-            (F.col("doc_id") + 2000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zzduptoken")).alias("text"),
+    return (
+        d.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_id"), F.col("text")),
+                    F.when(
+                        F.col("doc_id") % 10 == 0,
+                        F.struct(
+                            (F.col("doc_id") + 1000000).alias("doc_id"),
+                            F.col("text"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("doc_id") % 20 == 0,
+                        F.struct(
+                            (F.col("doc_id") + 2000000).alias("doc_id"),
+                            F.concat(
+                                F.col("text"), F.lit(" zzduptoken")
+                            ).alias("text"),
+                        ),
+                    ),
+                )
+            ).alias("e")
         )
+        .filter(F.col("e").isNotNull())
+        .select("e.doc_id", "e.text")
     )
-    return d.unionAll(exact).unionAll(near)
 
 
 # ---------------------------------------------------------------------------
