@@ -55,3 +55,26 @@ def test_jdbc_needs_driver(spark):
         spark.read.format("jdbc").options(
             url="jdbc:postgresql://localhost:5432/x", dbtable="t"
         ).load()
+
+
+def test_binaryfile_and_text_sources(spark, tmp_path):
+    """binaryFile is the multimodal ingestion path (opaque blobs +
+    metadata columns); text reads one row per line (raw-corpus intake)."""
+    df = spark.read.format("binaryFile").load(f"{SF}/region.parquet")
+    row = df.select("path", "length", "content").collect()[0]
+    assert row.length == len(row.content) > 0
+    p = tmp_path / "lines.txt"
+    p.write_text("a\nb\nc\n")
+    assert spark.read.text(str(p)).count() == 3
+
+
+def test_avro_needs_module(spark, tmp_path):
+    """spark-avro is an external module not shipped in this container —
+    engine surfaces Spark's clean FAILED_FIND_DATA_SOURCE error (same
+    gating pattern as JDBC-without-driver)."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="avro"):
+        spark.range(3).write.format("avro").mode("overwrite").save(
+            str(tmp_path / "a")
+        )
