@@ -17,7 +17,7 @@ placement; sessionization shuffles once on user_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from kuibadb_spark.catalog import load
 
@@ -311,4 +311,60 @@ ORACLES["ev_trending_types"] = """
                 ORDER BY hr) - rnk, 0) AS INTEGER) AS delta
     FROM ranked
     ORDER BY hr, rnk
+"""
+
+
+# --------------------------------------------------------------------------
+# per-user state-transition (Markov) counts over the event stream
+# --------------------------------------------------------------------------
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of user behavior: consecutive
+    event_type pairs per user (lag over the user's time-ordered stream),
+    counted globally, with the per-source-state transition share in
+    exact 1e-6 units (integer cross-multiplied div — no float division
+    drift). The row-pattern-mining primitive behind funnel/churn models.
+
+    One shuffle on user_id for the lag window; the transition count is a
+    map-side-combined groupBy on a 2-string key; the per-source total
+    rides a second window over from_state sharing nothing wider than the
+    count rows."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("from_state", F.lag("event_type").over(w))
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", F.col("event_type").alias("to_state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = W.partitionBy("from_state")
+    return (
+        trans.withColumn("src_total", F.sum("n").over(w_src))
+        .selectExpr(
+            "from_state",
+            "to_state",
+            "n",
+            "(1000000 * n) div src_total AS share_e6",
+        )
+        .orderBy("from_state", "to_state")
+    )
+
+
+QUERIES["ev_markov_transitions"] = ev_markov_transitions
+
+ORACLES["ev_markov_transitions"] = """
+    WITH trans AS (
+        SELECT from_state, event_type AS to_state, count(*) AS n
+        FROM (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_state
+            FROM events
+        )
+        WHERE from_state IS NOT NULL
+        GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, n,
+           (1000000 * n) // sum(n) OVER (PARTITION BY from_state) AS share_e6
+    FROM trans
+    ORDER BY from_state, to_state
 """

@@ -577,3 +577,101 @@ ORACLES["sim_ann_pq"] = f"""
     ) WHERE rank <= 10
     ORDER BY qid, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# 5. k-NN label classification (embedding majority vote)
+# ---------------------------------------------------------------------------
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding space: vec_id < 20 are the
+    'unlabeled' queries, the rest is the labeled reference set; each
+    query takes the majority label of its 5 nearest neighbors by cosine
+    (rounded to 1e-6 — identical IEEE arithmetic in both engines — with
+    vec_id as the total tie-break), ties on votes broken by smaller
+    label. Emits the predicted label, the vote count, and whether the
+    prediction agrees with the query's actual label (top-1 'accuracy'
+    bit, aggregatable downstream).
+
+    Scale shape: identical to sim_topk_bruteforce — broadcast the query
+    block against the partitioned reference set; swap the inner scan for
+    the LSH/IVF/PQ candidate joins above when the reference set is the
+    100 TB side."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    ref = e.filter(F.col("vec_id") >= 20)
+    pairs = F.broadcast(q).join(ref, F.lit(True)).withColumn(
+        "cos", F.round(_dot("qv", "v") / (F.col("qn") * F.col("norm")), 6)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    votes = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .groupBy("q_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w2))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            F.col("label").alias("predicted_label"),
+            "votes",
+            "true_label",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+QUERIES["sim_knn_classify"] = sim_knn_classify
+
+ORACLES["sim_knn_classify"] = """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    normed AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    pairs AS (
+        SELECT q.vec_id AS q_id, q.label AS true_label,
+               r.vec_id, r.label,
+               round(list_sum(list_transform(generate_series(1, 64),
+                         i -> q.v[i] * r.v[i])) / (q.nrm * r.nrm), 6) AS cos
+        FROM normed q, normed r
+        WHERE q.vec_id < 20 AND r.vec_id >= 20
+    ),
+    top5 AS (
+        SELECT q_id, true_label, label FROM (
+            SELECT q_id, true_label, label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM pairs
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT q_id, true_label, label, count(*) AS votes
+        FROM top5 GROUP BY q_id, true_label, label
+    )
+    SELECT q_id, label AS predicted_label, votes, true_label,
+           label = true_label AS correct
+    FROM (
+        SELECT q_id, true_label, label, votes,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY votes DESC, label) AS vr
+        FROM votes
+    )
+    WHERE vr = 1
+    ORDER BY q_id
+"""
