@@ -24,6 +24,14 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _scan_count(p: str) -> int:
+    """Unique scan nodes — formatted explain prints each node twice
+    (tree line + numbered details section)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+
+
 def test_q6_filters_pushed_to_scan(spark):
     p = _plan(q6_forecast_revenue(spark, SF))
     assert "PushedFilters" in p
@@ -118,3 +126,42 @@ def test_pagerank_reuses_edge_exchange_at_runtime(spark):
     p = _plan(df)
     assert "isFinalPlan=true" in p
     assert "ReusedExchange" in p
+
+
+def test_search_scans_corpus_once(spark):
+    """text_search_conjunctive: df comes from a window over the postings
+    exchange, not a separate groupBy subtree — the old shape re-ran the
+    scan+explode pipeline once per consumer (6 scans). Budget: ≤2 scans
+    (postings + the n_docs count)."""
+    from kuibadb_spark.operators.text import text_search_conjunctive
+
+    p = _plan(text_search_conjunctive(spark, SF))
+    assert _scan_count(p) <= 2, p
+
+
+def test_pq_broadcasts_codebooks(spark):
+    """sim_ann_pq: the m×k codebook and the query distance table reach
+    the corpus side as broadcasts — the corpus is never shuffled for
+    either join."""
+    from kuibadb_spark.operators.similarity import sim_ann_pq
+
+    p = _plan(sim_ann_pq(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_dsir_broadcasts_count_tables(spark):
+    """text_dsir_importance: the 1024-bucket target/background count
+    tables broadcast; the corpus-side rows never exceed (doc_id, int)."""
+    from kuibadb_spark.operators.curation import text_dsir_importance
+
+    p = _plan(text_dsir_importance(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_dup_corpus_single_scan(spark):
+    """_dup_corpus emits base + conditional copies from one pass — the
+    3-branch UNION ALL shape scanned documents three times."""
+    from kuibadb_spark.operators.dedup import _dup_corpus
+
+    p = _plan(_dup_corpus(spark, SF))
+    assert _scan_count(p) == 1, p
