@@ -374,3 +374,97 @@ def run_resumable(df: DataFrame, sink_dir: str, checkpoint_dir: str,
         q.awaitTermination()
     finally:
         q.stop()
+
+
+# -- Spark 4 transformWithState: typed state machine per key ----------------
+class _UserMinMaxProcessor:
+    """StatefulProcessor tracking per-user running (count, min, max) in a
+    typed ValueState cell — the Spark 4 successor to
+    applyInPandasWithState (stateful_user_totals above): named state
+    variables (value/list/map) + timers instead of one opaque tuple,
+    RocksDB-backed so state can exceed executor memory.
+
+    (Declared as a plain class and wrapped at call time: importing
+    StatefulProcessor at module import would hard-depend streaming
+    registry loads on the Spark 4 API.)"""
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState(
+            "agg", "n BIGINT, mn DOUBLE, mx DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._agg.exists():
+            n, mn, mx = self._agg.get()
+        else:
+            n, mn, mx = 0, None, None
+        for pdf in rows:
+            n += len(pdf)
+            cmn = float(pdf["value"].min())
+            cmx = float(pdf["value"].max())
+            mn = cmn if mn is None else min(mn, cmn)
+            mx = cmx if mx is None else max(mx, cmx)
+        self._agg.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_user_minmax(events: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "UserMinMaxProcessor", (_UserMinMaxProcessor, StatefulProcessor), {}
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType="user_id long, n long, min_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def stream_tws_user_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory(
+            tws_user_minmax(read_events_stream(spark, sf_dir)), mode="update"
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # update mode re-emits a key's row per micro-batch; the final state
+    # row is the one with the largest n (counts are monotone)
+    w = F.struct("n", "min_value", "max_value")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max(w).alias("s"))
+        .select("user_id", "s.n", "s.min_value", "s.max_value")
+        .orderBy("user_id")
+    )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas talks to a JVM state server over
+    protobuf; the google.protobuf runtime is not shipped in this
+    container, so the operator is import-gated (the brief's stub/gate
+    pattern) instead of registered in the driver contract — see
+    tests/test_streaming2.py for the gated correctness check."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kuibadb_spark.catalog import load
@@ -187,3 +188,30 @@ def test_engine_table_as_stream_source(spark, tmp_path):
     assert {r.b for r in got.collect()} == {
         "x0", "x1", "x2", "y0", "y1"
     }
+
+
+def test_transform_with_state_minmax(spark):
+    """Spark 4 transformWithStateInPandas (typed ValueState per key):
+    running per-user (count, min, max) must converge to the batch
+    aggregate. Gated: the state-server protocol needs google.protobuf,
+    which this container doesn't ship."""
+    from kuibadb_spark.streaming.events import (
+        _tws_available,
+        stream_tws_user_minmax,
+    )
+
+    if not _tws_available():
+        pytest.skip("google.protobuf runtime not available")
+    got = stream_tws_user_minmax(spark, SF).collect()
+    exp = (
+        load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
