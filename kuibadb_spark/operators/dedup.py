@@ -381,13 +381,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6))
-        .filter(F.col("cos") >= 0.99)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            "cos",
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias(
+                "cos0"
+            ),
         )
+        # HAVING-style barrier: filtering the projected cos directly lets
+        # Catalyst fold it into the join CONDITION, where the higher-order
+        # dot product evaluates interpreted per candidate (CodegenFallback)
+        # — measured 5.5s; behind this identity aggregate the filter
+        # cannot push below (non-grouping output), the dot evaluates once
+        # per pair in the projection, and the exchange doubles as the
+        # orderBy range-sampling barrier — 2.2s at sf0.1.
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos0").alias("cos"))
+        .filter(F.col("cos") >= 0.99)
         .orderBy("vec_a", "vec_b")
     )
 
@@ -406,20 +416,34 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you'd union several blocking keys (prefix, length-band,
     minhash band) to raise recall — each is still an equi-join."""
     c = _dup_corpus(spark, sf_dir).withColumn("blk", F.substring("text", 1, 40))
-    a = c.alias("a")
-    b = c.alias("b")
+    # block members collected per key, pairs expanded ROW-LOCALLY (the
+    # _pair_stats shape) instead of a self-join: the self-join spelling
+    # let Catalyst fold the edit_dist filter into the join CONDITION,
+    # where levenshtein evaluates interpreted per probe (measured 9.4s
+    # vs 1.7s with lev in a codegen projection at sf0.1). array_sort on
+    # (doc_id, text) structs gives canonical doc_a < doc_b pairs.
+    grouped = c.groupBy("blk").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("ds")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> "
+                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                " x.text AS ta, y.text AS tb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
-        )
+        pairs.withColumn("edit_dist", F.levenshtein("ta", "tb"))
         .filter(F.col("edit_dist") <= 15)
+        .select("doc_a", "doc_b", "edit_dist")
+        # shuffle barrier before the global sort: orderBy's range-sampling
+        # job re-executes its child; behind a fresh exchange the sample
+        # pass reuses shuffle files instead of recomputing the whole
+        # block+lev pipeline (measured 4.9s -> 2.5s at sf0.1)
+        .repartition("doc_a")
         .orderBy("doc_a", "doc_b")
     )
 
