@@ -209,3 +209,55 @@ ORACLES = {
         ORDER BY l_returnflag
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# array set algebra: intersect / union / except / overlap
+# --------------------------------------------------------------------------
+def coll_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra between each document's first-half and second-half
+    vocabularies — array_intersect/union/except/overlap, all row-local
+    (canonicalized with array_sort so both engines hash identically)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.selectExpr("doc_id", r"split(text, '\\s+') AS toks")
+        .selectExpr(
+            "doc_id",
+            "array_distinct(slice(toks, 1, size(toks) div 2)) AS va",
+            "array_distinct(slice(toks, size(toks) div 2 + 1,"
+            " size(toks))) AS vb",
+        )
+        .selectExpr(
+            "doc_id",
+            "array_sort(array_intersect(va, vb)) AS common",
+            "size(array_sort(array_union(va, vb))) AS n_union",
+            "array_sort(array_except(va, vb)) AS only_first",
+            "arrays_overlap(va, vb) AS overlaps",
+        )
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["coll_array_setops"] = coll_array_setops
+
+ORACLES["coll_array_setops"] = r"""
+    WITH halves AS (
+        SELECT doc_id,
+               list_distinct(toks[1 : len(toks) // 2]) AS va,
+               list_distinct(toks[len(toks) // 2 + 1 : len(toks)]) AS vb
+        FROM (
+            SELECT doc_id, string_split_regex(text, '\s+') AS toks
+            FROM documents
+        )
+    )
+    SELECT doc_id,
+           list_sort(list_intersect(va, vb)) AS common,
+           len(list_sort(list_distinct(list_concat(va, vb)))) AS n_union,
+           list_sort(list_filter(va, x -> NOT list_contains(vb, x)))
+               AS only_first,
+           len(list_intersect(va, vb)) > 0 AS overlaps
+    FROM halves
+    WHERE doc_id < 200
+    ORDER BY doc_id
+"""
