@@ -368,3 +368,82 @@ ORACLES["ev_markov_transitions"] = """
     FROM trans
     ORDER BY from_state, to_state
 """
+
+
+# --------------------------------------------------------------------------
+# sequential pattern matching (MATCH_RECOGNIZE analog): view→click→purchase
+# --------------------------------------------------------------------------
+def ev_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching Spark has no native operator for
+    (SQL:2016 MATCH_RECOGNIZE): count 'conversion' clicks per user — a
+    click with a view at most 30 minutes BEFORE it and a purchase at
+    most 30 minutes AFTER it. Each user's stream is collected into one
+    time-ordered array (deterministic: sorted on (epoch_us, event_id)
+    structs) and the pattern is scanned ROW-LOCALLY with exists()
+    lambdas — one shuffle to assemble sequences, zero joins, O(events²)
+    only within a user's own stream. Timestamps compare as exact integer
+    microseconds in both engines.
+
+    At 100 TB this is the standard sessionized-sequence shape: per-user
+    streams are bounded (and further boundable by sessionizing first);
+    the quadratic scan never crosses user boundaries."""
+    e = load(spark, sf_dir, "events")
+    seq = (
+        e.selectExpr(
+            "user_id",
+            "named_struct("
+            " 'us', unix_micros(CAST(ts AS TIMESTAMP)),"
+            " 'event_id', event_id,"
+            " 'et', event_type) AS ev",
+        )
+        .groupBy("user_id")
+        .agg(F.expr("array_sort(collect_list(ev))").alias("s"))
+    )
+    half_hour = 30 * 60 * 1_000_000
+    conv = (
+        "aggregate(transform(s, c -> CASE WHEN c.et = 'click'"
+        f" AND exists(s, v -> v.et = 'view' AND v.us <= c.us"
+        f" AND c.us - v.us <= {half_hour})"
+        f" AND exists(s, p -> p.et = 'purchase' AND p.us >= c.us"
+        f" AND p.us - c.us <= {half_hour})"
+        " THEN 1 ELSE 0 END), 0, (a, x) -> a + x)"
+    )
+    return (
+        seq.selectExpr(
+            "user_id", "size(s) AS n_events", f"{conv} AS n_conversions"
+        )
+        .filter(F.col("n_conversions") > 0)
+        .orderBy("user_id")
+    )
+
+
+QUERIES["ev_pattern_conversions"] = ev_pattern_conversions
+
+ORACLES["ev_pattern_conversions"] = """
+    WITH seq AS (
+        SELECT user_id,
+               list(struct_pack(us := epoch_us(ts), event_id := event_id,
+                                et := event_type)
+                    ORDER BY ts, event_id) AS s
+        FROM events
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               len(s) AS n_events,
+               CAST(list_sum(list_transform(s, c ->
+                   CASE WHEN c.et = 'click'
+                        AND len(list_filter(s, v -> v.et = 'view'
+                            AND v.us <= c.us
+                            AND c.us - v.us <= 1800000000)) > 0
+                        AND len(list_filter(s, p -> p.et = 'purchase'
+                            AND p.us >= c.us
+                            AND p.us - c.us <= 1800000000)) > 0
+                   THEN 1 ELSE 0 END)) AS INTEGER) AS n_conversions
+        FROM seq
+    )
+    SELECT user_id, n_events, n_conversions
+    FROM scored
+    WHERE n_conversions > 0
+    ORDER BY user_id
+"""
