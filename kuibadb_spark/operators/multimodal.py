@@ -266,3 +266,82 @@ ORACLES["mm_dedup_binary"] = f"""
     HAVING count(*) > 1
     ORDER BY digest
 """
+
+
+# --------------------------------------------------------------------------
+# image tile-grid decomposition (the resize/crop partitioning shape)
+# --------------------------------------------------------------------------
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-grid plumbing for image preprocessing: synthesize a
+    deterministic (width, height) per payload from its byte length (the
+    stubbed stand-in for a real header decode), decompose each image
+    into 64×64 tiles with clamped edge rectangles, and emit one row per
+    tile with exact pixel bounds — the unit of work a resize/crop/
+    patch-embed pass distributes. Pure row-local integer math +
+    explode; no shuffle until the final ORDER BY. With real codecs only
+    the width/height derivation changes (read from the header in a
+    mapInPandas batch); the tile algebra and row shape stay identical."""
+    p = _payloads(spark, sf_dir)
+    dims = p.selectExpr(
+        "doc_id",
+        "fmt",
+        "128 + (octet_length(payload) % 8) * 32 AS width",
+        "96 + (octet_length(payload) % 5) * 48 AS height",
+    )
+    tiles = dims.selectExpr(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "explode(sequence(0, ((height + 63) div 64) - 1)) AS ty",
+    ).selectExpr(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "ty",
+        "explode(sequence(0, ((width + 63) div 64) - 1)) AS tx",
+    )
+    return (
+        tiles.selectExpr(
+            "doc_id",
+            "tx",
+            "ty",
+            "tx * 64 AS x0",
+            "ty * 64 AS y0",
+            "least(tx * 64 + 64, width) - tx * 64 AS tile_w",
+            "least(ty * 64 + 64, height) - ty * 64 AS tile_h",
+        )
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id", "ty", "tx")
+    )
+
+
+QUERIES["mm_image_tiles"] = mm_image_tiles
+
+ORACLES["mm_image_tiles"] = """
+    WITH dims AS (
+        SELECT doc_id,
+               128 + (octet_length(CAST(text AS BLOB)) % 8) * 32 AS width,
+               96 + (octet_length(CAST(text AS BLOB)) % 5) * 48 AS height
+        FROM documents
+    ),
+    tiles AS (
+        SELECT doc_id, width, height,
+               unnest(range(0, (height + 63) // 64)) AS ty
+        FROM dims
+    ),
+    grid AS (
+        SELECT doc_id, width, height, ty,
+               unnest(range(0, (width + 63) // 64)) AS tx
+        FROM tiles
+    )
+    SELECT doc_id, tx, ty,
+           tx * 64 AS x0,
+           ty * 64 AS y0,
+           least(tx * 64 + 64, width) - tx * 64 AS tile_w,
+           least(ty * 64 + 64, height) - ty * 64 AS tile_h
+    FROM grid
+    WHERE doc_id < 100
+    ORDER BY doc_id, ty, tx
+"""
