@@ -601,3 +601,66 @@ ORACLES = {
         ORDER BY vec_a, vec_b
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# 7. containment near-dup: asymmetric overlap (subset-duplication)
+# ---------------------------------------------------------------------------
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A→B) = |A∩B| / |A|: catches documents
+    EMBEDDED in larger ones, which symmetric Jaccard misses (a doc fully
+    contained in one 3× its size has jaccard ≈ 0.33 but containment 1.0)
+    — the dedup rule used for quote/boilerplate/subset removal in
+    pretraining pipelines. Emits both directions' containments per
+    candidate pair in exact 1e-6 integer units (cross-multiplied div —
+    no float division drift), flagged by which threshold fired.
+    Candidate generation shares _pair_stats' postings shape (one shuffle,
+    row-local pair expansion)."""
+    pairs = _pair_stats(_doc_shingles(_dup_corpus(spark, sf_dir)))
+    return (
+        pairs.selectExpr(
+            "doc_a",
+            "doc_b",
+            "(1000000 * inter) div sz_a AS cont_a_e6",
+            "(1000000 * inter) div sz_b AS cont_b_e6",
+        )
+        .filter(
+            (F.col("cont_a_e6") >= 900000) | (F.col("cont_b_e6") >= 900000)
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "cont_a_e6",
+            "cont_b_e6",
+            "cont_a_e6 >= 900000 AND cont_b_e6 >= 900000 AS mutual",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["dedup_containment"] = dedup_containment
+
+ORACLES["dedup_containment"] = f"""
+    WITH {_DUP_CORPUS_DUCK},
+    {_SHINGLES_DUCK},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    conts AS (
+        SELECT doc_a, doc_b,
+               (1000000 * i) // sa.sz AS cont_a_e6,
+               (1000000 * i) // sb.sz AS cont_b_e6
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, cont_a_e6, cont_b_e6,
+           cont_a_e6 >= 900000 AND cont_b_e6 >= 900000 AS mutual
+    FROM conts
+    WHERE cont_a_e6 >= 900000 OR cont_b_e6 >= 900000
+    ORDER BY doc_a, doc_b
+"""
