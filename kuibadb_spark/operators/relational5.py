@@ -315,3 +315,109 @@ ORACLES["sample_bottomk_reservoir"] = """
     WHERE rk <= 5
     ORDER BY o_orderpriority, sample_rank
 """
+
+
+# --------------------------------------------------------------------------
+# generated calendar dimension (FROM-less table generation at scale)
+# --------------------------------------------------------------------------
+def ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generated from the orders date range — the
+    scale analog of the reference's FROM-less Result node (its only
+    executable SELECT shape, optimizer.rs:23-62): a table produced by
+    expression evaluation, not a scan. One row per day via
+    sequence+explode; joinable to any fact on the date key. All fields
+    are integer date-part functions — exact in both engines; ISO
+    weekday via (dayofweek + 5) % 7 + 1 so Monday=1 matches DuckDB's
+    isodow."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    return (
+        bounds.select(
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+        )
+        .selectExpr(
+            "d AS cal_date",
+            "year(d) AS y",
+            "quarter(d) AS q",
+            "month(d) AS m",
+            "day(d) AS dom",
+            "(dayofweek(d) + 5) % 7 + 1 AS isodow",
+            "(dayofweek(d) + 5) % 7 + 1 >= 6 AS is_weekend",
+            "dayofyear(d) AS doy",
+        )
+        .orderBy("cal_date")
+    )
+
+
+QUERIES["ts_calendar_dim"] = ts_calendar_dim
+
+ORACLES["ts_calendar_dim"] = """
+    WITH bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+               CAST(max(o_orderdate) AS DATE) AS d1
+        FROM orders
+    )
+    SELECT CAST(d AS DATE) AS cal_date,
+           year(d) AS y,
+           quarter(d) AS q,
+           month(d) AS m,
+           day(d) AS dom,
+           CAST(isodow(d) AS INT) AS isodow,
+           isodow(d) >= 6 AS is_weekend,
+           CAST(dayofyear(d) AS INT) AS doy
+    FROM (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+        FROM bounds
+    )
+    ORDER BY cal_date
+"""
+
+
+# --------------------------------------------------------------------------
+# try_* error-safe arithmetic (the NULL-on-failure complement of ANSI mode)
+# --------------------------------------------------------------------------
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine runs ANSI mode (overflow/div-zero/bad-cast RAISE,
+    matching the reference's checked arithmetic — adt.rs:29-33); the
+    try_* family is the explicit opt-OUT: NULL on failure instead of an
+    error, per expression. Exercises try_divide (÷0 and interval),
+    try_add overflow at the BIGINT edge, try_cast on malformed input,
+    and try_element_at past the end — each against a DuckDB equivalent
+    spelled with TRY_CAST/NULLIF/CASE guards."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    big = 9_223_372_036_854_775_807  # BIGINT max
+    return (
+        o.selectExpr(
+            "o_orderkey",
+            "try_divide(o_totalprice, o_orderkey % 3) AS div_maybe_zero",
+            f"try_add({big}L, o_orderkey) AS add_overflow",
+            "try_add(o_orderkey, 1) AS add_ok",
+            "try_cast(CASE WHEN o_orderkey % 2 = 0 THEN 'not-a-number' "
+            "ELSE CAST(o_orderkey AS STRING) END AS BIGINT) AS cast_maybe",
+            "try_element_at(array(1, 2, 3), CAST(o_orderkey % 5 AS INT) + 1)"
+            " AS elem_maybe",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES["scalar_try_arithmetic"] = scalar_try_arithmetic
+
+ORACLES["scalar_try_arithmetic"] = """
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_orderkey % 3, 0) AS div_maybe_zero,
+           CASE WHEN o_orderkey > 0 THEN NULL
+                ELSE 9223372036854775807 + o_orderkey END AS add_overflow,
+           o_orderkey + 1 AS add_ok,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN 'not-a-number'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+               AS cast_maybe,
+           CASE WHEN o_orderkey % 5 + 1 <= 3
+                THEN CAST(o_orderkey % 5 + 1 AS INT) END AS elem_maybe
+    FROM orders
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey
+"""
