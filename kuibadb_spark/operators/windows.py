@@ -262,3 +262,44 @@ ORACLES = {
         ORDER BY p_brand, p_retailprice, p_partkey
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# time-interval RANGE frame: per-row trailing 1-hour aggregates
+# --------------------------------------------------------------------------
+def w_trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True per-row trailing window (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW): every event sees the aggregate of ITS
+    OWN last hour — not the bucketed approximation tumbling/sliding
+    windows give. The frame is value-defined (all ties included), so the
+    result is order-independent within equal timestamps; the sum runs
+    in exact integer cents. One shuffle on user_id + one sort — the
+    same cost as any other window over the stream."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("ks_events_ttw")
+    return spark.sql(
+        """
+        SELECT user_id, event_id, ts,
+               count(*) OVER w AS n_last_hour,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                   AS cents_last_hour
+        FROM ks_events_ttw
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id
+        """
+    )
+
+
+QUERIES["w_trailing_time_window"] = w_trailing_time_window
+
+ORACLES["w_trailing_time_window"] = """
+    SELECT user_id, event_id, ts,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS cents_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+"""
