@@ -78,3 +78,44 @@ def test_avro_needs_module(spark, tmp_path):
         spark.range(3).write.format("avro").mode("overwrite").save(
             str(tmp_path / "a")
         )
+
+
+def test_events_dual_timestamp_generations(spark, tmp_path):
+    """catalog.load must normalize BOTH events.ts fixture generations —
+    TIMESTAMP(NANOS) (Spark reads as raw long under the legacy conf) and
+    TIMESTAMP(MICROS) — to identical timestamp_ntz values. The driver
+    regenerates testdata between rounds and has shipped both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts_us = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for unit, sub in (("ns", "gen_nanos"), ("us", "gen_micros")):
+        d = tmp_path / sub
+        d.mkdir()
+        scale = 1000 if unit == "ns" else 1
+        t = pa.table(
+            {**cols, "ts": pa.array([v * scale for v in ts_us],
+                                    pa.timestamp(unit))}
+        )
+        pq.write_table(t, d / "events.parquet",
+                       coerce_timestamps=None, store_schema=False)
+
+    from kuibadb_spark.catalog import load
+    from kuibadb_spark.streaming.events import _events_ts_is_nanos
+
+    assert _events_ts_is_nanos(str(tmp_path / "gen_nanos"))
+    assert not _events_ts_is_nanos(str(tmp_path / "gen_micros"))
+
+    vals = {}
+    for sub in ("gen_nanos", "gen_micros"):
+        df = load(spark, str(tmp_path / sub), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        vals[sub] = sorted(r.ts for r in df.select("ts").collect())
+    assert vals["gen_nanos"] == vals["gen_micros"]
