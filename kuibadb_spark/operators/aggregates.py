@@ -607,3 +607,103 @@ ORACLES["agg_cms_heavy_hitters"] = f"""
     GROUP BY c.l_partkey, c.n_exact
     ORDER BY c.l_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# bitmap-index exact distinct: chunked bitsets + bit_or merge
+# ---------------------------------------------------------------------------
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via bitmap indexes (the Roaring/bitmap-OLAP
+    technique, integer-exact in both engines): each l_partkey sets bit
+    (key mod 64) in 64-bit chunk (key div 64); per-group chunks merge
+    with bit_or — an associative partial-aggregable combine, unlike the
+    Expand-based exact-distinct plan — and popcounts sum to the distinct
+    count. The '__all__' row re-merges the per-flag chunk bitmaps,
+    proving the same union-without-rescan property as the HLL/CMS rows
+    but EXACT: bitmap distincts trade memory (bits ∝ key range) for
+    zero error, the classic warehouse accelerator for dense int keys.
+
+    Two narrow shuffles: groupBy(grp, chunk) bit_or, then groupBy(grp)
+    popcount-sum. countDistinct rides along as the ground truth."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    # 63 bits per chunk: bit 63 would flip the BIGINT sign, which DuckDB
+    # rejects as shift overflow (Spark wraps silently) — 62 is the max
+    # portable shift
+    chunks = li.selectExpr(
+        "l_returnflag AS grp",
+        "l_partkey div 63 AS chunk",
+        "shiftleft(CAST(1 AS BIGINT), CAST(l_partkey % 63 AS INT)) AS bit",
+    )
+    per_flag = chunks.groupBy("grp", "chunk").agg(
+        F.expr("bit_or(bit)").alias("bm")
+    )
+    merged = (
+        per_flag.groupBy("chunk")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+        .selectExpr("'__all__' AS grp", "chunk", "bm")
+    )
+    counts = (
+        per_flag.unionAll(merged)
+        .groupBy("grp")
+        .agg(
+            F.expr("sum(bit_count(bm))").alias("n_distinct_bitmap"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )
+    exact = (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.countDistinct("l_partkey").alias("n_exact"))
+        .unionAll(
+            li.agg(F.countDistinct("l_partkey").alias("n_exact"))
+            .selectExpr("'__all__' AS grp", "n_exact")
+        )
+    )
+    return (
+        counts.join(exact, "grp")
+        .selectExpr(
+            "grp",
+            "n_distinct_bitmap",
+            "n_chunks",
+            "n_exact",
+            "n_distinct_bitmap = n_exact AS bitmap_exact",
+        )
+        .orderBy("grp")
+    )
+
+
+QUERIES["agg_bitmap_distinct"] = agg_bitmap_distinct
+
+ORACLES["agg_bitmap_distinct"] = """
+    WITH chunks AS (
+        SELECT l_returnflag AS grp,
+               l_partkey // 63 AS chunk,
+               (CAST(1 AS BIGINT) << CAST(l_partkey % 63 AS INT)) AS bit
+        FROM lineitem
+    ),
+    per_flag AS (
+        SELECT grp, chunk, bit_or(bit) AS bm
+        FROM chunks GROUP BY grp, chunk
+    ),
+    merged AS (
+        SELECT '__all__' AS grp, chunk, bit_or(bm) AS bm
+        FROM per_flag GROUP BY chunk
+    ),
+    counts AS (
+        SELECT grp,
+               CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct_bitmap,
+               count(*) AS n_chunks
+        FROM (SELECT * FROM per_flag UNION ALL SELECT * FROM merged)
+        GROUP BY grp
+    ),
+    exact AS (
+        SELECT l_returnflag AS grp,
+               count(DISTINCT l_partkey) AS n_exact
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT '__all__', count(DISTINCT l_partkey) FROM lineitem
+    )
+    SELECT c.grp, c.n_distinct_bitmap, c.n_chunks, e.n_exact,
+           c.n_distinct_bitmap = e.n_exact AS bitmap_exact
+    FROM counts c JOIN exact e ON c.grp = e.grp
+    ORDER BY c.grp
+"""

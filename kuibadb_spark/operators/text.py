@@ -563,3 +563,80 @@ ORACLES["text_bpe_merge_candidates"] = r"""
     ORDER BY n DESC, pair
     LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# token co-occurrence PMI (integer-log, window of 2)
+# --------------------------------------------------------------------------
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence statistics — the counting pass behind
+    word2vec/GloVe/collocation extraction: adjacent (window=1) ordered
+    token pairs counted corpus-wide, scored by an integer PMI proxy
+    ilog2(c_ab · N) − ilog2(c_a · c_b) with ilog2 = bit-length − 1 (the
+    same branch-free integer log2 as text_dsir_importance — exact in
+    both engines where float log drifts). Top-50 pairs by (score, pair).
+
+    Shape: one row-local bigram explode, three partial-agg groupBys
+    (pair, left unigram, right unigram); unigram count tables are
+    vocabulary-bounded → broadcast joins; TakeOrdered top-k. The pair
+    count table is the only corpus-proportional shuffle."""
+    d = load(spark, sf_dir, "documents")
+    arr = d.withColumn("w", F.split("text", r"\s+")).select(
+        F.expr(
+            "CASE WHEN size(w) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(w) - 1), "
+            "i -> struct(element_at(w, i) AS ta, element_at(w, i+1) AS tb))"
+            " END"
+        ).alias("ps")
+    ).repartition(d.sparkSession.sparkContext.defaultParallelism)
+    pairs = (
+        arr.select(F.explode_outer("ps").alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.ta", "p.tb")
+    )
+    c_ab = pairs.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("n_ab"))
+    c_a = pairs.groupBy("ta").agg(F.count(F.lit(1)).alias("n_a"))
+    c_b = pairs.groupBy("tb").agg(F.count(F.lit(1)).alias("n_b"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    ilog2 = "length(bin({})) - 1"
+    return (
+        c_ab.join(F.broadcast(c_a), "ta")
+        .join(F.broadcast(c_b), "tb")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "ta",
+            "tb",
+            "n_ab",
+            f"({ilog2.format('n_ab * n_total')})"
+            f" - ({ilog2.format('n_a * n_b')}) AS pmi_i",
+        )
+        .orderBy(F.desc("pmi_i"), "ta", "tb")
+        .limit(50)
+    )
+
+
+QUERIES["text_cooccurrence_pmi"] = text_cooccurrence_pmi
+
+ORACLES["text_cooccurrence_pmi"] = r"""
+    WITH pairs AS (
+        SELECT w[i] AS ta, w[i + 1] AS tb
+        FROM (
+            SELECT string_split_regex(text, '\s+') AS w FROM documents
+        ), LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        )
+    ),
+    c_ab AS (SELECT ta, tb, count(*) AS n_ab FROM pairs GROUP BY ta, tb),
+    c_a AS (SELECT ta, count(*) AS n_a FROM pairs GROUP BY ta),
+    c_b AS (SELECT tb, count(*) AS n_b FROM pairs GROUP BY tb),
+    n AS (SELECT count(*) AS n_total FROM pairs)
+    SELECT ta, tb, n_ab,
+           CAST((length(printf('%b', n_ab * n_total)) - 1)
+              - (length(printf('%b', n_a * n_b)) - 1) AS INTEGER) AS pmi_i
+    FROM c_ab
+    JOIN c_a USING (ta)
+    JOIN c_b USING (tb)
+    CROSS JOIN n
+    ORDER BY pmi_i DESC, ta, tb
+    LIMIT 50
+"""
