@@ -421,3 +421,71 @@ ORACLES["scalar_try_arithmetic"] = """
     WHERE o_orderkey < 1000
     ORDER BY o_orderkey
 """
+
+
+# --------------------------------------------------------------------------
+# salted two-phase aggregation (skew remedy as an oracled query)
+# --------------------------------------------------------------------------
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately skewed key
+    (l_returnflag has ~3 values over the whole table — every row of a
+    group lands on one reducer in the naive plan): phase 1 aggregates
+    (key, salt) with a deterministic md5 salt spreading each group over
+    8 reducers, phase 2 merges the 8 partials per key. Every aggregate
+    here is associative (count/sum/min/max — sums in exact integer
+    cents), so the result is IDENTICAL to the direct groupBy the oracle
+    spells — which is the point: salting is a physical rewrite, not a
+    semantic one. (Spark's own partial aggregation already does this
+    map-side; explicit salting is the remedy when the skew survives to
+    the REDUCE side, e.g. high-cardinality-input distincts or
+    collect_list payloads per hot key.)"""
+    from kuibadb_spark.plans.salting import salt_column
+
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", salt_column(F.col("l_orderkey"), 8))
+    phase1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias(
+            "cents"
+        ),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    )
+    return (
+        phase1.groupBy("l_returnflag")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("cents").alias("revenue_cents"),
+            F.min("mn").alias("min_qty"),
+            F.max("mx").alias("max_qty"),
+            F.count(F.lit(1)).alias("n_salt_partials"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["agg_salted_skew"] = agg_salted_skew
+
+ORACLES["agg_salted_skew"] = """
+    WITH salted AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 8 AS salt
+        FROM lineitem
+    ),
+    phase1 AS (
+        SELECT l_returnflag, salt, count(*) AS n,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+               min(l_quantity) AS mn, max(l_quantity) AS mx
+        FROM salted GROUP BY l_returnflag, salt
+    )
+    SELECT l_returnflag,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           min(mn) AS min_qty,
+           max(mx) AS max_qty,
+           count(*) AS n_salt_partials
+    FROM phase1
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
