@@ -343,3 +343,47 @@ ORACLES["graph_triangle_count"] = f"""
     GROUP BY node
     ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# per-document dedup verdicts: the cluster pass's final output
+# ---------------------------------------------------------------------------
+def dedup_cluster_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product a curation pipeline actually consumes: one row
+    per duplicate-involved document with its cluster id, cluster size,
+    and the keep/drop verdict (canonical = min doc_id in the component
+    — exactly what the min-label propagation converges to, so the
+    cluster id IS the canonical id). Composes the connected-components
+    fixpoint with a row-local member explode; documents outside any
+    near-dup component are implicitly kept and never shuffled."""
+    cc = dedup_connected_components(spark, sf_dir)
+    return (
+        cc.select(
+            "cluster_id",
+            "cluster_size",
+            F.explode("members").alias("doc_id"),
+        )
+        .withColumn("kept", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size", "kept")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_cluster_verdicts"] = dedup_cluster_verdicts
+
+ORACLES["dedup_cluster_verdicts"] = ORACLES[
+    "dedup_connected_components"
+].replace(
+    """SELECT label AS cluster_id,
+               count(*) AS cluster_size,
+               list_sort(list(node)) AS members
+        FROM final
+        GROUP BY label
+        ORDER BY cluster_id""",
+    """SELECT node AS doc_id,
+               label AS cluster_id,
+               count(*) OVER (PARTITION BY label) AS cluster_size,
+               node = label AS kept
+        FROM final
+        ORDER BY doc_id""",
+)
