@@ -447,3 +447,39 @@ ORACLES["ev_pattern_conversions"] = """
     WHERE n_conversions > 0
     ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# activity heatmap: day-of-week × hour matrix
+# --------------------------------------------------------------------------
+def ev_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix (the dashboard heatmap
+    reduction): ISO weekday rows, 24 hour columns via pivot, integer
+    counts — output cardinality fixed at 7×24 regardless of input size.
+    One partial-aggregated groupBy; the pivot is a projection of the
+    168-cell aggregate, not a second pass."""
+    e = load(spark, sf_dir, "events")
+    cells = e.selectExpr(
+        "(dayofweek(ts) + 5) % 7 + 1 AS isodow",
+        "hour(ts) AS hr",
+    )
+    return (
+        cells.groupBy("isodow")
+        .pivot("hr", list(range(24)))
+        .count()
+        .na.fill(0)
+        .toDF("isodow", *[f"h{h}" for h in range(24)])
+        .orderBy("isodow")
+    )
+
+
+QUERIES["ev_heatmap_dow_hour"] = ev_heatmap_dow_hour
+
+ORACLES["ev_heatmap_dow_hour"] = (
+    "SELECT CAST(isodow(ts) AS INT) AS isodow, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE hour(ts) = {h}) AS BIGINT) AS h{h}"
+        for h in range(24)
+    )
+    + " FROM events GROUP BY isodow ORDER BY isodow"
+)
