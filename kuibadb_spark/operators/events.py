@@ -483,3 +483,52 @@ ORACLES["ev_heatmap_dow_hour"] = (
     )
     + " FROM events GROUP BY isodow ORDER BY isodow"
 )
+
+
+# --------------------------------------------------------------------------
+# latest record per key (CDC compaction primitive)
+# --------------------------------------------------------------------------
+def ev_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-row retrieval: each user's single most recent event with
+    its full payload — the CDC log-compaction primitive (the reduce that
+    turns an append log into current state). One aggregation via
+    max_by on the (ts, event_id) struct (associative, partial-aggregable
+    — no window sort, no shuffle beyond the groupBy), deterministic
+    under timestamp ties via the event_id tiebreak."""
+    e = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts", "event_type", "value"), key
+            ).alias("last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["ev_latest_per_user"] = ev_latest_per_user
+
+ORACLES["ev_latest_per_user"] = """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value, n_events
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               count(*) OVER (PARTITION BY user_id) AS n_events,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+"""

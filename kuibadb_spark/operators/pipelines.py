@@ -258,3 +258,74 @@ ORACLES = {
         FROM per_user
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# declarative data-quality audit: constraint checks as one aggregate
+# --------------------------------------------------------------------------
+def profile_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test / Great-Expectations-style constraint audit compiled to
+    aggregates — the reference enforces NOT NULL imperatively at write
+    time (check_notnull, /root/reference src/access/cs.rs:58-76); at
+    warehouse scale constraints are VERIFIED declaratively: each rule is
+    a count over a predicate, referential rules are broadcast anti-join
+    counts, and the whole audit is a handful of scans emitting one row
+    per rule (rule, n_violations, pass). Nothing moves but counters."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def rule(name, violating):
+        return violating.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_violations")
+        ).selectExpr(
+            f"'{name}' AS rule", "n_violations", "n_violations = 0 AS pass"
+        )
+
+    checks = [
+        rule("lineitem_quantity_positive",
+             li.filter(~(F.col("l_quantity") > 0))),
+        rule("lineitem_discount_range",
+             li.filter(~F.col("l_discount").between(0.0, 1.0))),
+        rule("orders_totalprice_notnull",
+             o.filter(F.col("o_totalprice").isNull())),
+        rule("orders_custkey_refs_customer",
+             o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")),
+        rule("lineitem_orderkey_refs_orders",
+             li.join(F.broadcast(o.select("o_orderkey")),
+                     li.l_orderkey == F.col("o_orderkey"), "left_anti")),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionAll(ch)
+    return out.orderBy("rule")
+
+
+QUERIES["profile_constraint_checks"] = profile_constraint_checks
+
+ORACLES["profile_constraint_checks"] = """
+    SELECT rule, n_violations, n_violations = 0 AS pass FROM (
+        SELECT 'lineitem_quantity_positive' AS rule,
+               count(*) FILTER (WHERE NOT (l_quantity > 0)) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 1.0))
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_totalprice_notnull',
+               count(*) FILTER (WHERE o_totalprice IS NULL)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_custkey_refs_customer',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_orderkey_refs_orders',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+    )
+    ORDER BY rule
+"""

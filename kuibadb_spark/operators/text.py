@@ -640,3 +640,58 @@ ORACLES["text_cooccurrence_pmi"] = r"""
     ORDER BY pmi_i DESC, ta, tb
     LIMIT 50
 """
+
+
+# --------------------------------------------------------------------------
+# normalization pipeline: the tokenizer-prep cleaning map
+# --------------------------------------------------------------------------
+def text_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-tokenization cleaning map every corpus goes through:
+    lowercase → collapse whitespace → drop stopword tokens → emit the
+    cleaned text plus before/after token counts. Entirely row-local
+    regexp/array expressions (the pure map-stage shape — at 100 TB this
+    is read→transform→write with zero shuffle); the identical regex
+    dialect runs in DuckDB, so the cleaned strings hash-match exactly."""
+    stop = "('the','a','of','and','to','in','is','it','for','on')"
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lc", F.expr(r"regexp_replace(lower(text), '\\s+', ' ')"))
+        .withColumn("toks", F.expr("split(lc, ' ')"))
+        .withColumn("kept", F.expr(f"filter(toks, t -> t NOT IN {stop})"))
+        .selectExpr(
+            "doc_id",
+            "size(toks) AS n_tokens_raw",
+            "size(kept) AS n_tokens_clean",
+            "size(toks) - size(kept) AS n_stopwords",
+            "array_join(kept, ' ') AS clean_text",
+        )
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_normalize_pipeline"] = text_normalize_pipeline
+
+ORACLES["text_normalize_pipeline"] = r"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+                   AS toks
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, toks,
+               list_filter(toks, t -> t NOT IN
+                   ('the','a','of','and','to','in','is','it','for','on'))
+                   AS kt
+        FROM cleaned
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens_raw,
+           CAST(len(kt) AS INTEGER) AS n_tokens_clean,
+           CAST(len(toks) - len(kt) AS INTEGER) AS n_stopwords,
+           array_to_string(kt, ' ') AS clean_text
+    FROM kept
+    WHERE doc_id < 200
+    ORDER BY doc_id
+"""
