@@ -489,3 +489,74 @@ ORACLES["agg_salted_skew"] = """
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """
+
+
+# --------------------------------------------------------------------------
+# null-safe equality join: <=> (IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-join semantics side by side: keys with injected NULLs joined
+    under plain `=` (NULL matches nothing — 3VL) vs `<=>` / IS NOT
+    DISTINCT FROM (NULL matches NULL — the PostgreSQL operator the
+    reference's catalog family implies for null-safe comparisons). Emits
+    per-key pair counts under both operators; the NULL bucket exists
+    only in the null-safe column. Both are hash joins — Spark plans
+    EqualNullSafe as a hash key like any equi-join, no nested loop."""
+    o = load(spark, sf_dir, "orders")
+    keyed = o.selectExpr(
+        "CASE WHEN o_orderkey % 97 = 0 THEN NULL"
+        " ELSE o_custkey % 50 END AS k",
+        "o_orderkey",
+    )
+    a = keyed.filter(F.col("o_orderkey") % 2 == 0).alias("a")
+    b = keyed.filter(F.col("o_orderkey") % 2 == 1).alias("b")
+    strict = (
+        a.join(b, F.col("a.k") == F.col("b.k"))
+        .groupBy(F.col("a.k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_strict"))
+    )
+    nullsafe = (
+        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+        .groupBy(F.col("a.k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_nullsafe"))
+    )
+    return (
+        nullsafe.join(strict, ["k"], "left")
+        .selectExpr(
+            "k",
+            "n_nullsafe",
+            "coalesce(n_strict, 0) AS n_strict",
+            "k IS NULL AS is_null_bucket",
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+QUERIES["join_null_safe_eq"] = join_null_safe_eq
+
+ORACLES["join_null_safe_eq"] = """
+    WITH keyed AS (
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE o_custkey % 50 END AS k,
+               o_orderkey
+        FROM orders
+    ),
+    a AS (SELECT * FROM keyed WHERE o_orderkey % 2 = 0),
+    b AS (SELECT * FROM keyed WHERE o_orderkey % 2 = 1),
+    strict AS (
+        SELECT a.k, count(*) AS n_strict
+        FROM a JOIN b ON a.k = b.k
+        GROUP BY a.k
+    ),
+    nullsafe AS (
+        SELECT a.k, count(*) AS n_nullsafe
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        GROUP BY a.k
+    )
+    SELECT ns.k, ns.n_nullsafe,
+           coalesce(s.n_strict, 0) AS n_strict,
+           ns.k IS NULL AS is_null_bucket
+    FROM nullsafe ns
+    LEFT JOIN strict s ON ns.k IS NOT DISTINCT FROM s.k
+    ORDER BY ns.k ASC NULLS FIRST
+"""
