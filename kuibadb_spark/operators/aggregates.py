@@ -707,3 +707,49 @@ ORACLES["agg_bitmap_distinct"] = """
     FROM counts c JOIN exact e ON c.grp = e.grp
     ORDER BY c.grp
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic mode (most frequent value, ties broken by value)
+# ---------------------------------------------------------------------------
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with a pinned tie-break: built-in mode() is free to return
+    ANY most-frequent value (engine- and partition-order-dependent), so
+    the portable form is count-then-rank with (count DESC, value ASC) —
+    deterministic in every engine. Two partial-aggregated shuffles on
+    narrow int keys; the rank window rides the second's partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["agg_mode_deterministic"] = agg_mode_deterministic
+
+ORACLES["agg_mode_deterministic"] = """
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+    FROM (
+        SELECT l_returnflag, l_quantity, count(*) AS n,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC, l_quantity) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_quantity
+    )
+    WHERE rn = 1
+    ORDER BY l_returnflag
+"""

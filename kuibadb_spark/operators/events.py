@@ -532,3 +532,58 @@ ORACLES["ev_latest_per_user"] = """
     WHERE rn = 1
     ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# burst detection: rule-based abuse flagging per user-minute
+# --------------------------------------------------------------------------
+def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit / bot-detection rule: users with any minute containing
+    more than 2 events, with their worst-minute stats — the abuse-
+    flagging reduction every event pipeline runs. Two narrow aggregates
+    (user-minute counts, then per-user max via struct-max with minute as
+    tiebreak); thresholds are integers, no windows needed."""
+    e = load(spark, sf_dir, "events")
+    per_min = (
+        e.withColumn("minute", F.date_trunc("minute", "ts").cast("timestamp_ntz"))
+        .groupBy("user_id", "minute")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_min.groupBy("user_id")
+        .agg(
+            F.max(F.struct("n", "minute")).alias("worst"),
+            F.count(F.lit(1)).alias("n_active_minutes"),
+        )
+        .filter(F.col("worst.n") > 2)
+        .select(
+            "user_id",
+            F.col("worst.n").alias("worst_minute_events"),
+            F.col("worst.minute").alias("worst_minute"),
+            "n_active_minutes",
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["ev_burst_detection"] = ev_burst_detection
+
+ORACLES["ev_burst_detection"] = """
+    WITH per_min AS (
+        SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+        FROM events
+        GROUP BY user_id, minute
+    ),
+    ranked AS (
+        SELECT user_id, n, minute,
+               count(*) OVER (PARTITION BY user_id) AS n_active_minutes,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, minute DESC) AS rn
+        FROM per_min
+    )
+    SELECT user_id, n AS worst_minute_events, minute AS worst_minute,
+           n_active_minutes
+    FROM ranked
+    WHERE rn = 1 AND n > 2
+    ORDER BY user_id
+"""
