@@ -261,3 +261,55 @@ ORACLES["coll_array_setops"] = r"""
     WHERE doc_id < 200
     ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# aggregation INTO maps: per-group key→value map construction
+# --------------------------------------------------------------------------
+def coll_map_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map column BY aggregation (the inverse of map explosion):
+    per order-priority, a status→count map assembled from sorted
+    (status, count) entries — map_from_entries over an array_sort'd
+    collect_list, so key order (and the hash) is deterministic in both
+    engines. The shape behind feature-bag and sparse-vector assembly."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "map_from_entries(array_sort("
+                "collect_list(struct(o_orderstatus, n))))"
+            ).alias("status_counts"),
+            F.sum("n").alias("n_orders"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "CAST(status_counts AS STRING) AS status_counts_str",
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["coll_map_aggregation"] = coll_map_aggregation
+
+# DuckDB prints maps as {k=v, ...}; Spark CAST(map AS STRING) prints
+# {k -> v, ...} — normalize the DuckDB rendering to Spark's
+ORACLES["coll_map_aggregation"] = """
+    WITH counts AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority,
+           '{' || string_agg(o_orderstatus || ' -> ' || n, ', '
+                             ORDER BY o_orderstatus) || '}'
+               AS status_counts_str,
+           CAST(sum(n) AS BIGINT) AS n_orders
+    FROM counts
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -587,3 +587,43 @@ ORACLES["ev_burst_detection"] = """
     WHERE rn = 1 AND n > 2
     ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# top-k per window: hourly heavy hitters
+# --------------------------------------------------------------------------
+def ev_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per hour by event count — the windowed-heavy-hitter
+    reduction behind every 'trending now' panel. groupBy(hour, user)
+    partial-aggregates before the shuffle; the per-hour rank window
+    rides the hour partitioning; ties break on user_id so the top set
+    is stable. Output is hours × 3 regardless of input size."""
+    e = load(spark, sf_dir, "events")
+    counts = (
+        e.withColumn("hr", F.date_trunc("hour", "ts").cast("timestamp_ntz"))
+        .groupBy("hr", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("hr").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hr", "rnk", "user_id", "n")
+        .orderBy("hr", "rnk")
+    )
+
+
+QUERIES["ev_topk_per_window"] = ev_topk_per_window
+
+ORACLES["ev_topk_per_window"] = """
+    SELECT hr, rnk, user_id, n
+    FROM (
+        SELECT date_trunc('hour', ts) AS hr, user_id, count(*) AS n,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                  ORDER BY count(*) DESC, user_id) AS rnk
+        FROM events
+        GROUP BY hr, user_id
+    )
+    WHERE rnk <= 3
+    ORDER BY hr, rnk
+"""

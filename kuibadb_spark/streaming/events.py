@@ -468,3 +468,58 @@ def _tws_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def latest_per_user(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: the same max_by argmax-row aggregate as
+    the batch ev_latest_per_user — declarative and associative, so it
+    runs incrementally in update mode with O(1) state per user."""
+    key = F.struct("ts", "event_id")
+    return events.groupBy("user_id").agg(
+        F.max_by(F.struct("event_id", "ts", "event_type", "value"), key).alias(
+            "last"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def stream_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(
+        latest_per_user(read_events_stream(spark, sf_dir)), mode="update"
+    )
+    # update mode re-emits per micro-batch; the final state row per user
+    # has the largest n_events (monotone)
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "last")).alias("s"))
+        .select("user_id", "s.last.*", F.col("s.n_events").alias("n_events"))
+    )
+    return (
+        final.selectExpr(
+            "user_id",
+            "event_id AS last_event_id",
+            "CAST(ts AS TIMESTAMP_NTZ) AS last_ts",
+            "event_type AS last_type",
+            "value AS last_value",
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["stream_latest_per_user"] = stream_latest_per_user
+# converges to the batch CDC-compaction answer (same oracle as
+# ev_latest_per_user)
+ORACLES["stream_latest_per_user"] = """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value, n_events
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               count(*) OVER (PARTITION BY user_id) AS n_events,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+"""
