@@ -627,3 +627,48 @@ ORACLES["ev_topk_per_window"] = """
     WHERE rnk <= 3
     ORDER BY hr, rnk
 """
+
+
+# --------------------------------------------------------------------------
+# cumulative distinct: daily new vs cumulative unique users
+# --------------------------------------------------------------------------
+def ev_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user and cumulative-unique-user curve WITHOUT a
+    quadratic running COUNT(DISTINCT): each user contributes only their
+    FIRST-occurrence day (one min() aggregate), daily news are counted,
+    and the cumulative curve is a running sum over days — turning a
+    running-distinct into two narrow aggregates + a tiny window. The
+    growth-dashboard primitive at any scale."""
+    e = load(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        # DATE, not truncated timestamp: DuckDB's date_trunc('day') yields
+        # DATE and the hash is typed
+        F.to_date(F.min("ts")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.withColumn("n_cumulative_users", F.sum("n_new_users").over(w))
+        .orderBy("day")
+    )
+
+
+QUERIES["ev_cumulative_unique_users"] = ev_cumulative_unique_users
+
+ORACLES["ev_cumulative_unique_users"] = """
+    WITH first_day AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, count(*) AS n_new_users FROM first_day GROUP BY day
+    )
+    SELECT day, n_new_users,
+           CAST(sum(n_new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_cumulative_users
+    FROM daily
+    ORDER BY day
+"""

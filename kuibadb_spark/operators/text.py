@@ -695,3 +695,46 @@ ORACLES["text_normalize_pipeline"] = r"""
     WHERE doc_id < 200
     ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency analysis
+# --------------------------------------------------------------------------
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rank-frequency table (the Zipf diagnostic run on every new
+    corpus): token counts ranked by (count DESC, token), with the
+    rank×count product — near-constant under Zipf's law — as an exact
+    integer. One explode + one partial-aggregated groupBy; the rank is
+    a TakeOrdered-style top-30, not a global window."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(30)
+    )
+    w = Window.orderBy(F.desc("n"), "tok")
+    return counts.withColumn("rank", F.row_number().over(w)).selectExpr(
+        "rank", "tok", "n", "rank * n AS zipf_product"
+    )
+
+
+QUERIES["text_zipf_rank_frequency"] = text_zipf_rank_frequency
+
+ORACLES["text_zipf_rank_frequency"] = r"""
+    SELECT rank, tok, n, rank * n AS zipf_product
+    FROM (
+        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        FROM (
+            SELECT tok, count(*) AS n
+            FROM (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents
+            )
+            GROUP BY tok
+        )
+    )
+    WHERE rank <= 30
+    ORDER BY rank
+"""
