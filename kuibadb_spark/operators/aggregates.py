@@ -753,3 +753,55 @@ ORACLES["agg_mode_deterministic"] = """
     WHERE rn = 1
     ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# exact weighted average (integer cross-multiplied)
+# ---------------------------------------------------------------------------
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted mean discount per return flag, exact: weights
+    and values in integer cents/1e-4 units, the ratio emitted as
+    truncating integer division at 1e-6 scale — no float accumulation
+    anywhere, so partition order can't move the answer (a float wavg
+    over 100 TB gives different last digits per run; this one is
+    bit-stable). Single partial-aggregated groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.selectExpr(
+            "l_returnflag",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS w_cents",
+            "CAST(round(l_discount * 10000) AS BIGINT) AS d_e4",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("w_cents * d_e4")).alias("num"),
+            F.sum("w_cents").alias("den"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "(100 * num) div den AS wavg_discount_e6",
+            "den AS total_cents",
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["agg_weighted_avg_exact"] = agg_weighted_avg_exact
+
+ORACLES["agg_weighted_avg_exact"] = """
+    SELECT l_returnflag,
+           CAST((100 * sum(w_cents * d_e4)) // sum(w_cents) AS BIGINT)
+               AS wavg_discount_e6,
+           CAST(sum(w_cents) AS BIGINT) AS total_cents,
+           count(*) AS n
+    FROM (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS w_cents,
+               CAST(round(l_discount * 10000) AS BIGINT) AS d_e4
+        FROM lineitem
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""

@@ -375,3 +375,91 @@ ORACLES["ev_scd2_user_state"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, version
 """
+
+
+# --------------------------------------------------------------------------
+# interval merge: union of overlapping per-user activity intervals
+# --------------------------------------------------------------------------
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping intervals (each event spans [ts, ts+5min)):
+    the island detection runs on exact integer microseconds — a new
+    island starts where an event's start exceeds the running max end of
+    all earlier intervals (cummax window), island ids are a running sum
+    of those breaks, and each merged interval aggregates its members.
+    The calendar/uptime/coverage primitive; one user_id shuffle, two
+    windows sharing its sort, then a groupBy."""
+    e = load(spark, sf_dir, "events")
+    iv = e.selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS s",
+        "unix_micros(CAST(ts AS TIMESTAMP)) + 300000000 AS e",
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("start_us"),
+            F.max("e").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .selectExpr(
+            "user_id",
+            "island",
+            "start_us",
+            "end_us",
+            "(end_us - start_us) div 1000000 AS duration_s",
+            "n_events",
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+QUERIES["ts_interval_merge"] = ts_interval_merge
+
+ORACLES["ts_interval_merge"] = """
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS start_us, max(e) AS end_us,
+           (max(e) - min(s)) // 1000000 AS duration_s,
+           count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, island
+    ORDER BY user_id, island
+"""
