@@ -329,3 +329,88 @@ ORACLES["profile_constraint_checks"] = """
     )
     ORDER BY rule
 """
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout: hash-assigned variants, integer-exact lift
+# --------------------------------------------------------------------------
+def ev_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users deterministically hash-assigned to
+    control/treatment (md5 bucket — the same stable assignment a real
+    platform uses so a user never flips arms), purchase behavior
+    compared per arm with integer-cents means at 1e-2 precision and the
+    treatment-minus-control lift emitted in exact integer units. One
+    row per arm plus a 'lift' row — everything partial-aggregable, no
+    floats in any cross-row path."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    armed = p.withColumn(
+        "arm",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            "control",
+        ).otherwise("treatment"),
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("total_cents"),
+    ).withColumn(
+        "mean_cents_per_purchase",
+        F.expr("total_cents div n_purchases"),
+    )
+    lift = (
+        per_arm.groupBy()
+        .pivot("arm", ["control", "treatment"])
+        .sum("total_cents")
+        .selectExpr(
+            "'lift' AS arm",
+            "CAST(NULL AS BIGINT) AS n_users",
+            "CAST(NULL AS BIGINT) AS n_purchases",
+            "treatment - control AS total_cents",
+            "CAST(NULL AS BIGINT) AS mean_cents_per_purchase",
+        )
+    )
+    return per_arm.unionAll(lift).orderBy("arm")
+
+
+QUERIES["ev_ab_test_lift"] = ev_ab_test_lift
+
+ORACLES["ev_ab_test_lift"] = """
+    WITH armed AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 8) AS BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm
+        FROM events
+        WHERE event_type = 'purchase'
+    ),
+    per_arm AS (
+        SELECT arm,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_purchases,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(cents) // count(*) AS BIGINT)
+                   AS mean_cents_per_purchase
+        FROM armed
+        GROUP BY arm
+    )
+    SELECT arm, n_users, n_purchases, total_cents, mean_cents_per_purchase
+    FROM per_arm
+    UNION ALL
+    SELECT 'lift', NULL, NULL,
+           (SELECT total_cents FROM per_arm WHERE arm = 'treatment')
+             - (SELECT total_cents FROM per_arm WHERE arm = 'control'),
+           NULL
+    ORDER BY arm
+"""

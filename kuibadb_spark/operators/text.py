@@ -738,3 +738,55 @@ ORACLES["text_zipf_rank_frequency"] = r"""
     WHERE rank <= 30
     ORDER BY rank
 """
+
+
+# --------------------------------------------------------------------------
+# feature hashing (the hashing trick): docs → fixed-width int vectors
+# --------------------------------------------------------------------------
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick featurizer (Weinberger et al. 2009): each
+    document projected into a FIXED 16-bucket integer count vector by
+    hashing tokens — no vocabulary to build, no dictionary to ship, the
+    width never grows with the corpus; the reason it's THE map-side
+    featurizer at 100 TB. Row-local: tokens hash to buckets inside an
+    aggregate lambda building the histogram array in one pass; the
+    emitted vector is integer-exact and array-ordered."""
+    d = load(spark, sf_dir, "documents")
+    b = 16
+    return (
+        d.withColumn("toks", F.split(F.lower("text"), r"\s+"))
+        .selectExpr(
+            "doc_id",
+            "size(toks) AS n_tokens",
+            "aggregate(toks,"
+            f" array_repeat(0L, {b}),"
+            " (acc, t) -> transform(acc, (v, i) ->"
+            "   v + CASE WHEN CAST(conv(substring(md5(t), 1, 8), 16, 10)"
+            f"        AS BIGINT) % {b} = i THEN 1L ELSE 0L END))"
+            " AS fvec",
+        )
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_feature_hashing"] = text_feature_hashing
+
+ORACLES["text_feature_hashing"] = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents
+        WHERE doc_id < 100
+    ),
+    hashed AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               list_transform(toks, t ->
+                   CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16) AS hs
+        FROM toks
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           list_transform(generate_series(0, 15), i ->
+               CAST(len(list_filter(hs, h -> h = i)) AS BIGINT)) AS fvec
+    FROM hashed
+    ORDER BY doc_id
+"""
