@@ -387,3 +387,95 @@ ORACLES["dedup_cluster_verdicts"] = ORACLES[
         FROM final
         ORDER BY doc_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# link prediction: common-neighbor Jaccard over the near-dup graph
+# ---------------------------------------------------------------------------
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction — score NON-adjacent node pairs
+    by neighborhood overlap (the classic graph-ML feature: two docs
+    sharing many near-dup neighbors are probably near-dups the candidate
+    pass missed). Candidates come from a two-hop join (pairs with ≥1
+    common neighbor), existing edges are removed with an anti-join, and
+    the Jaccard numerator/denominator stay integer (overlap count,
+    degree sums) with the score in exact 1e-6 units. Same edge pipeline
+    as pagerank/triangles — candidate generation is again an equi-join
+    on node id, quadratic only within a neighborhood."""
+    e = _edges(spark, sf_dir).repartition("src")
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # two-hop: (a via n to b), canonical a < b
+    hops = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.dst") == F.col("y.dst"))
+        .filter(F.col("x.src") < F.col("y.src"))
+        .groupBy(
+            F.col("x.src").alias("a"), F.col("y.src").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    non_edges = hops.join(
+        e.selectExpr("src AS a", "dst AS b"), ["a", "b"], "left_anti"
+    )
+    da = deg.selectExpr("src AS a", "d AS da")
+    db = deg.selectExpr("src AS b", "d AS db")
+    return (
+        non_edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .selectExpr(
+            "a",
+            "b",
+            "common",
+            "(1000000 * common) div (da + db - common) AS jaccard_e6",
+        )
+        .filter(F.col("common") >= 2)
+        .orderBy(F.desc("jaccard_e6"), "a", "b")
+        .limit(50)
+    )
+
+
+QUERIES["graph_link_prediction"] = graph_link_prediction
+
+ORACLES["graph_link_prediction"] = f"""
+    WITH {_DUP_CORPUS_DUCK},
+    {_SHINGLES_DUCK},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT src, dst FROM inter
+        JOIN sizes sa ON sa.doc_id = src
+        JOIN sizes sb ON sb.doc_id = dst
+        WHERE i / (sa.sz + sb.sz - i) >= 0.6
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+    hops AS (
+        SELECT x.src AS a, y.src AS b, count(*) AS common
+        FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src
+        GROUP BY x.src, y.src
+    ),
+    non_edges AS (
+        SELECT h.* FROM hops h
+        WHERE NOT EXISTS (SELECT 1 FROM edges e2
+                          WHERE e2.src = h.a AND e2.dst = h.b)
+    )
+    SELECT a, b, common,
+           (1000000 * common) // (da.d + db.d - common) AS jaccard_e6
+    FROM non_edges
+    JOIN deg da ON da.src = a
+    JOIN deg db ON db.src = b
+    WHERE common >= 2
+    ORDER BY jaccard_e6 DESC, a, b
+    LIMIT 50
+"""
