@@ -672,3 +672,44 @@ ORACLES["ev_cumulative_unique_users"] = """
     FROM daily
     ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# error-rate timeline: hourly error share in exact 1e-6 units
+# --------------------------------------------------------------------------
+def ev_error_rate_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational SLO timeline: per-hour error share as an exact
+    integer ppm (count_if cross-multiplied — no float division), with
+    total and error counts alongside. One partial-aggregated groupBy on
+    the hour bucket; output cardinality = hours, independent of input
+    size."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("hr", F.date_trunc("hour", "ts").cast("timestamp_ntz"))
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        )
+        .selectExpr(
+            "hr",
+            "n_events",
+            "n_errors",
+            "(1000000 * n_errors) div n_events AS error_ppm",
+        )
+        .orderBy("hr")
+    )
+
+
+QUERIES["ev_error_rate_timeline"] = ev_error_rate_timeline
+
+ORACLES["ev_error_rate_timeline"] = """
+    SELECT date_trunc('hour', ts) AS hr,
+           count(*) AS n_events,
+           count_if(event_type = 'error') AS n_errors,
+           (1000000 * count_if(event_type = 'error')) // count(*)
+               AS error_ppm
+    FROM events
+    GROUP BY hr
+    ORDER BY hr
+"""
