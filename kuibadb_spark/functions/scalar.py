@@ -115,7 +115,7 @@ _INT_OPS = [
     ("add_84", "i8 + i4", None),
     ("mul_82", "i8 * CAST(i2 AS BIGINT)", None),
     ("div_82", "i8 div i2", "i8 // i2"),
-    ("div_42", "i4 div 7", "i4 // 7"),
+    ("div_42", "i4 div 7", "CAST(i4 // 7 AS BIGINT)"),
     ("mod_4", "i4 % 97", None),
     ("mod_8", "i8 % 1009", None),
     ("neg_4", "-i4", None),
@@ -179,7 +179,7 @@ _BITWISE = [
     ("shr_8", "shiftright(i8, 2)", "i8 >> 2"),
     ("band_82", "i8 & CAST(i2 AS BIGINT)", None),
     ("bxor_8", "i8 ^ 4095", "xor(i8, CAST(4095 AS BIGINT))"),
-    ("bcount_8", "bit_count(i8)", None),
+    ("bcount_8", "bit_count(i8)", "CAST(bit_count(i8) AS INTEGER)"),
 ]
 
 _STRING_OPS = [
@@ -254,8 +254,8 @@ _CONDITIONALS = [
     ),
     ("coal_42", "coalesce(CAST(i4 AS INT), CAST(i2 AS INT), 0)", None),
     ("nullif_2", "nullif(CAST(i2 AS INT), 6)", None),
-    ("great_42", "greatest(CAST(i2 AS INT), i4)", None),
-    ("least_42", "least(CAST(i2 AS INT), i4)", None),
+    ("great_42", "greatest(CAST(i2 AS INT), i4)", "CAST(greatest(CAST(i2 AS INT), i4) AS INTEGER)"),
+    ("least_42", "least(CAST(i2 AS INT), i4)", "CAST(least(CAST(i2 AS INT), i4) AS INTEGER)"),
     ("case_b", "CASE WHEN b THEN f8 ELSE -f8 END", None),
 ]
 

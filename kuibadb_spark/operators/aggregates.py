@@ -260,8 +260,8 @@ ORACLES = {
             FROM customer
         )
         SELECT bucket,
-               round(bucket * 500.0, 2) AS bucket_lo,
-               round(bucket * 500.0 + 500.0, 2) AS bucket_hi,
+               CAST(round(bucket * 500.0, 2) AS DOUBLE) AS bucket_lo,
+               CAST(round(bucket * 500.0 + 500.0, 2) AS DOUBLE) AS bucket_hi,
                count(*) AS n,
                round(avg(c_acctbal), 4) AS avg_bal
         FROM bucketed

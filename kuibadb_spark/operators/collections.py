@@ -253,7 +253,7 @@ ORACLES["coll_array_setops"] = r"""
     )
     SELECT doc_id,
            list_sort(list_intersect(va, vb)) AS common,
-           len(list_sort(list_distinct(list_concat(va, vb)))) AS n_union,
+           CAST(len(list_sort(list_distinct(list_concat(va, vb)))) AS INTEGER) AS n_union,
            list_sort(list_filter(va, x -> NOT list_contains(vb, x)))
                AS only_first,
            len(list_intersect(va, vb)) > 0 AS overlaps

@@ -316,7 +316,7 @@ ORACLES = {
         ),
         scored AS (
             SELECT doc_id,
-                   len(w) AS n_words,
+                   CAST(len(w) AS INTEGER) AS n_words,
                    CAST(list_sum(list_transform(w, t -> length(t)))
                         AS BIGINT) AS sum_len,
                    len(list_filter(w, t -> t IN ('the', 'a'))) AS n_stop,
@@ -362,14 +362,14 @@ ORACLES = {
         ),
         packed AS (
             SELECT bucket, doc_id, tok,
-                   (sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                   CAST((sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
                         ROWS UNBOUNDED PRECEDING) - tok)
-                       // {_PACK_BUDGET} AS pack_id
+                       // {_PACK_BUDGET} AS BIGINT) AS pack_id
             FROM toks
         )
         SELECT bucket, pack_id,
                count(*) AS n_docs,
-               sum(tok) AS pack_tokens,
+               CAST(sum(tok) AS BIGINT) AS pack_tokens,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM packed

@@ -364,7 +364,8 @@ ORACLES["ev_markov_transitions"] = """
         GROUP BY from_state, to_state
     )
     SELECT from_state, to_state, n,
-           (1000000 * n) // sum(n) OVER (PARTITION BY from_state) AS share_e6
+           CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_state)
+                AS BIGINT) AS share_e6
     FROM trans
     ORDER BY from_state, to_state
 """
@@ -430,7 +431,7 @@ ORACLES["ev_pattern_conversions"] = """
     ),
     scored AS (
         SELECT user_id,
-               len(s) AS n_events,
+               CAST(len(s) AS INTEGER) AS n_events,
                CAST(list_sum(list_transform(s, c ->
                    CASE WHEN c.et = 'click'
                         AND len(list_filter(s, v -> v.et = 'view'
@@ -619,8 +620,9 @@ ORACLES["ev_topk_per_window"] = """
     SELECT hr, rnk, user_id, n
     FROM (
         SELECT date_trunc('hour', ts) AS hr, user_id, count(*) AS n,
-               row_number() OVER (PARTITION BY date_trunc('hour', ts)
-                                  ORDER BY count(*) DESC, user_id) AS rnk
+               CAST(row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                  ORDER BY count(*) DESC, user_id)
+                    AS INTEGER) AS rnk
         FROM events
         GROUP BY hr, user_id
     )
@@ -706,9 +708,9 @@ QUERIES["ev_error_rate_timeline"] = ev_error_rate_timeline
 ORACLES["ev_error_rate_timeline"] = """
     SELECT date_trunc('hour', ts) AS hr,
            count(*) AS n_events,
-           count_if(event_type = 'error') AS n_errors,
-           (1000000 * count_if(event_type = 'error')) // count(*)
-               AS error_ppm
+           CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors,
+           CAST((1000000 * count_if(event_type = 'error')) // count(*)
+                AS BIGINT) AS error_ppm
     FROM events
     GROUP BY hr
     ORDER BY hr

@@ -207,7 +207,7 @@ ORACLES = {
                count(*) AS n_orders,
                bool_and(o_totalprice > 5000) AS all_over_5k,
                bool_or(o_totalprice > 400000) AS any_over_400k,
-               count_if(o_orderstatus = 'F') AS n_finished
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -250,7 +250,7 @@ ORACLES = {
         SELECT p_brand, p_partkey,
                percent_rank() OVER w AS price_pct_rank,
                cume_dist() OVER w AS price_cume_dist,
-               ntile(4) OVER w AS price_quartile
+               CAST(ntile(4) OVER w AS INTEGER) AS price_quartile
         FROM part
         WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
         ORDER BY p_brand, p_partkey
@@ -304,7 +304,7 @@ def sample_bottomk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sample_bottomk_reservoir"] = sample_bottomk_reservoir
 
 ORACLES["sample_bottomk_reservoir"] = """
-    SELECT o_orderpriority, rk AS sample_rank, o_orderkey, o_totalprice
+    SELECT o_orderpriority, CAST(rk AS INTEGER) AS sample_rank, o_orderkey, o_totalprice
     FROM (
         SELECT o_orderpriority, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_orderpriority
@@ -361,10 +361,10 @@ ORACLES["ts_calendar_dim"] = """
         FROM orders
     )
     SELECT CAST(d AS DATE) AS cal_date,
-           year(d) AS y,
-           quarter(d) AS q,
-           month(d) AS m,
-           day(d) AS dom,
+           CAST(year(d) AS INTEGER) AS y,
+           CAST(quarter(d) AS INTEGER) AS q,
+           CAST(month(d) AS INTEGER) AS m,
+           CAST(day(d) AS INTEGER) AS dom,
            CAST(isodow(d) AS INT) AS isodow,
            isodow(d) >= 6 AS is_weekend,
            CAST(dayofyear(d) AS INT) AS doy

@@ -571,8 +571,8 @@ ORACLES["sim_ann_pq"] = f"""
     )
     SELECT qid, rank, vec_id, adist FROM (
         SELECT qid, vec_id, adist,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY adist, vec_id) AS rank
+               CAST(row_number() OVER (PARTITION BY qid
+                                  ORDER BY adist, vec_id) AS INTEGER) AS rank
         FROM adc
     ) WHERE rank <= 10
     ORDER BY qid, rank

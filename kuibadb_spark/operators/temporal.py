@@ -251,8 +251,8 @@ ORACLES = {
     """,
     "range_join_value_bands": """
         WITH bands AS (
-            SELECT band_id, band_id * 50.0 AS band_lo,
-                   band_id * 50.0 + 50.0 AS band_hi
+            SELECT band_id, CAST(band_id * 50.0 AS DOUBLE) AS band_lo,
+                   CAST(band_id * 50.0 + 50.0 AS DOUBLE) AS band_hi
             FROM (SELECT CAST(unnest(generate_series(0, 99)) AS INTEGER) AS band_id)
         )
         SELECT band_id, band_lo, band_hi,
@@ -300,11 +300,11 @@ ORACLES = {
         )
         SELECT s.event_type, s.h,
                cents IS NULL AS filled,
-               coalesce(
+               CAST(coalesce(
                    last_value(cents IGNORE NULLS) OVER (
                        PARTITION BY s.event_type ORDER BY s.h
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                   0) AS cents_locf
+                   0) AS BIGINT) AS cents_locf
         FROM spine s LEFT JOIN hourly USING (event_type, h)
         ORDER BY s.event_type, s.h
     """,
@@ -366,7 +366,7 @@ ORACLES["ev_scd2_user_state"] = """
         WHERE prev_state IS NULL OR state <> prev_state
     )
     SELECT user_id,
-           row_number() OVER w AS version,
+           CAST(row_number() OVER w AS INTEGER) AS version,
            state,
            ts AS valid_from,
            lead(ts) OVER w AS valid_to,

@@ -725,7 +725,7 @@ QUERIES["text_zipf_rank_frequency"] = text_zipf_rank_frequency
 ORACLES["text_zipf_rank_frequency"] = r"""
     SELECT rank, tok, n, rank * n AS zipf_product
     FROM (
-        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rank
         FROM (
             SELECT tok, count(*) AS n
             FROM (
