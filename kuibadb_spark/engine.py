@@ -7,11 +7,22 @@ Catalyst's; the engine supplies the surface. FROM-less SELECT works
 (`engine.sql("SELECT 1+2 AS x")` → Catalyst OneRowRelation), which is the
 reference's entire executable SELECT path (src/optimizer.rs:23-62).
 
-Transactions (SURVEY.md §2.4): BEGIN/COMMIT/ABORT are accepted as session
-no-ops; consistency comes from snapshot reads (a table() DataFrame pins a
-manifest version) and atomic manifest commits — the semantics of the
-reference's SupVer/MVCC stack without WAL/CLOG. LOCK TABLE is accepted
-and ignored (immutable snapshots make PG's 8-mode lock matrix moot).
+Transactions (SURVEY.md §2.4): BEGIN/COMMIT/ABORT are REAL — a session
+transaction stages every DML manifest change in memory (pending
+manifests), publishes them on COMMIT (one new version per touched table,
+the reference's single commit record per txn — src/access/xact.rs:215-733)
+and on ABORT deletes the staged data files, the reference's abort
+un-claiming of written files (src/access/sv.rs:510-535). Mid-transaction,
+the session reads its own staged writes (read-your-writes) while the
+on-disk manifests — what any other session or a crash recovery would see
+— stay at the pre-transaction version: atomicity comes from the manifest
+swap being the only publication point. DDL (CREATE/DROP/ALTER) is
+autocommit, like MySQL — documented divergence from PG's transactional
+DDL. LOCK TABLE is accepted and ignored (immutable snapshots make PG's
+8-mode lock matrix moot); CREATE TYPE is parsed and echoed, matching the
+reference's stub (src/commands/typecmds.rs:17-28). SET/SHOW route
+declared GUC names (src/guc/gucdef.yaml) through gucs.py and fall through
+to Spark conf for everything else.
 """
 
 from __future__ import annotations
@@ -22,15 +33,30 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
-from kuibadb_spark.errors import DuplicateTable, UndefinedTable
+from kuibadb_spark.errors import (
+    DuplicateTable,
+    SerializationFailure,
+    SqlSyntaxError,
+    UndefinedTable,
+)
+from kuibadb_spark.gucs import GucSession, _fmt as _guc_fmt
 from kuibadb_spark.plans import manifest as mf, zonemap
 from kuibadb_spark.session import get_spark
 from kuibadb_spark.sources.copy import check_not_null, parse_typed
 
-_TXN_RE = re.compile(
-    r"^\s*(BEGIN|START\s+TRANSACTION|COMMIT|END|ABORT|ROLLBACK|LOCK\s+.+)\s*;?\s*$",
-    re.IGNORECASE,
+_BEGIN_RE = re.compile(r"^\s*(?:BEGIN|START\s+TRANSACTION)\s*;?\s*$", re.IGNORECASE)
+_COMMIT_RE = re.compile(r"^\s*(?:COMMIT|END)\s*;?\s*$", re.IGNORECASE)
+_ABORT_RE = re.compile(r"^\s*(?:ABORT|ROLLBACK)\s*;?\s*$", re.IGNORECASE)
+_LOCK_RE = re.compile(r"^\s*LOCK\s+.+?\s*;?\s*$", re.IGNORECASE)
+# reference parses and echoes CREATE TYPE without creating anything
+# (src/commands/typecmds.rs:17-28, grammar src/parser/sql.lalrpop:28-39)
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+[\w.]+.*?;?\s*$", re.IGNORECASE | re.DOTALL
 )
+_SET_RE = re.compile(
+    r"^\s*SET\s+(\w+)\s*(?:=|\bTO\b)\s*(.+?)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_RE = re.compile(r"^\s*SHOW\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+((?:VALUES|SELECT)\s+.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -61,16 +87,64 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
-# the reference's COPY grammar (sql.lalrpop:560-572; options copy.rs:203-270):
-# COPY tab FROM 'file' [DELIMITERS 'x'] [NULL 'y'] [CSV] [(parallel N)]
-_COPY_RE = re.compile(
-    r"^\s*COPY\s+(\w+)\s+(FROM|TO)\s+'([^']+)'"
-    r"(?:\s+DELIMITERS\s+'([^']*)')?"
-    r"(?:\s+NULL\s+'([^']*)')?"
-    r"(?:\s+(CSV))?"
-    r"(?:\s*\(\s*parallel\s+(\d+)\s*\))?\s*;?\s*$",
-    re.IGNORECASE,
+# the reference's COPY grammar (sql.lalrpop:488-572): the option tail
+# (copy_opt_list) accepts DELIMITERS/NULL/CSV in ANY order and repetition,
+# with USING/WITH/AS noise words — parsed by _parse_copy_options below.
+_COPY_HEAD_RE = re.compile(
+    r"^\s*COPY\s+(\w+)\s+(FROM|TO)\s+'([^']+)'\s*(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_copy_options(tail: str) -> dict:
+    """Order-insensitive COPY option tail, mirroring the reference's
+    copy_opt_list (sql.lalrpop:488-572; option semantics copy.rs:203-270):
+    `[USING] [WITH]` noise, `DELIMITERS|DELIMITER [AS] 'x'`,
+    `NULL [AS] 'y'`, `CSV`, any order/repetition (last wins, like the
+    reference's fold over the option list), plus this engine's
+    `(parallel N)` extension. Anything else raises SqlSyntaxError with
+    the offending token instead of falling through to Spark's parser."""
+    opts: dict = {}
+    toks = re.findall(r"'[^']*'|\(|\)|[^\s()]+", tail)
+    i, n = 0, len(toks)
+
+    def _quoted(j: int, opt: str) -> tuple[str, int]:
+        if j < n and toks[j].upper() == "AS":
+            j += 1
+        if j >= n or not (toks[j].startswith("'") and toks[j].endswith("'")):
+            raise SqlSyntaxError(f"COPY {opt} requires a quoted string")
+        return toks[j][1:-1], j + 1
+
+    while i < n:
+        t = toks[i].upper()
+        if t in ("USING", "WITH"):
+            i += 1
+        elif t in ("DELIMITERS", "DELIMITER"):
+            opts["delimiter"], i = _quoted(i + 1, t)
+        elif t == "NULL":
+            opts["null_marker"], i = _quoted(i + 1, "NULL")
+        elif t == "CSV":
+            opts["csv"] = True
+            i += 1
+        elif t == "BINARY":
+            # reference: `unsupported copy option` (copy.rs:229)
+            raise SqlSyntaxError("COPY BINARY is not supported")
+        elif t == "(":
+            if (
+                i + 3 < n
+                and toks[i + 1].lower() == "parallel"
+                and toks[i + 2].isdigit()
+                and toks[i + 3] == ")"
+            ):
+                opts["parallel"] = int(toks[i + 2])
+                i += 4
+            else:
+                raise SqlSyntaxError(
+                    f"unsupported COPY option list near {' '.join(toks[i:i+4])!r}"
+                )
+        else:
+            raise SqlSyntaxError(f"unsupported COPY syntax near {toks[i]!r}")
+    return opts
 
 
 def _phys_schema(ddl: str) -> T.StructType:
@@ -122,6 +196,10 @@ class Engine:
         self.spark = spark or get_spark()
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
+        # open-transaction state: None = autocommit; else
+        # {table_key: {"base_version", "manifest", "segs", "dirty"}}
+        self._txn: dict[str, dict] | None = None
+        self.gucs = GucSession(self.spark)
 
     # -- SQL entry point ---------------------------------------------------
     def sql(self, text: str) -> DataFrame | None:
@@ -134,8 +212,36 @@ class Engine:
         front door a reference user expects, over the same copy-on-write
         commits as the Python API. DML returns a 1-row DataFrame with the
         affected row count (the reference's command-tag count)."""
-        if _TXN_RE.match(text):
+        if _BEGIN_RE.match(text):
+            self.begin()
             return None
+        if _COMMIT_RE.match(text):
+            self.commit()
+            return None
+        if _ABORT_RE.match(text):
+            self.rollback()
+            return None
+        if _LOCK_RE.match(text) and text.lstrip()[:4].upper() == "LOCK":
+            return None
+        if _CREATE_TYPE_RE.match(text):
+            # parse-and-echo, exactly the reference's executable behavior
+            return None
+        m = _SET_RE.match(text)
+        if m and self.gucs.is_declared(m.group(1)):
+            self.gucs.set(m.group(1), m.group(2))
+            return None
+        m = _SHOW_RE.match(text)
+        if m:
+            name = m.group(1).lower()
+            if name == "all":
+                return self.spark.createDataFrame(
+                    self.gucs.show_all(), "name STRING, setting STRING"
+                )
+            if self.gucs.is_declared(name):
+                return self.spark.createDataFrame(
+                    [(_guc_fmt(self.gucs.show(name)),)], f"{name} STRING"
+                )
+            # not a GUC → Spark's own SHOW (TABLES/DATABASES/…)
         m = _CTAS_RE.match(text)
         if m:
             name, body = m.group(1), m.group(2)
@@ -179,9 +285,7 @@ class Engine:
             self._register_all()
             q = f"SELECT * FROM ({body})" if body[:6].upper() == "VALUES" else body
             src = self.spark.sql(q)
-            schema = T.StructType.fromDDL(
-                mf.read_manifest(self._table_dir(name))["schema"]
-            )
+            schema = T.StructType.fromDDL(self._read_m(name)["schema"])
             # positional column matching, like INSERT without a column list
             n = self.insert(name, src.toDF(*[f.name for f in schema.fields]))
             return self.spark.createDataFrame([(n,)], "count BIGINT")
@@ -192,24 +296,29 @@ class Engine:
             else:
                 self.drop_column(m.group(1), m.group(4))
             return None
-        m = _COPY_RE.match(text)
+        m = _COPY_HEAD_RE.match(text)
         if m:
-            name, direction, path, delim, nullm, csv, par = m.groups()
-            delimiter = delim if delim is not None else ","
-            null_marker = nullm if nullm is not None else r"\N"
-            parallel = int(par) if par else None
+            name, direction, path, tail = m.groups()
+            o = _parse_copy_options(tail)
             if direction.upper() == "FROM":
                 n = self.copy_from(
-                    name, path, delimiter=delimiter,
-                    null_marker=null_marker, parallel=parallel,
-                    csv=bool(csv),
+                    name, path,
+                    delimiter=o.get("delimiter", ","),
+                    null_marker=o.get("null_marker", r"\N"),
+                    parallel=o.get("parallel"),
+                    csv=o.get("csv", False),
                 )
             else:
                 n = self.copy_to(
-                    name, path, delimiter=delimiter,
-                    null_marker=null_marker, parallel=parallel,
+                    name, path,
+                    delimiter=o.get("delimiter", ","),
+                    null_marker=o.get("null_marker", r"\N"),
+                    parallel=o.get("parallel"),
+                    csv=o.get("csv", False),
                 )
             return self.spark.createDataFrame([(n,)], "count BIGINT")
+        if re.match(r"^\s*COPY\b", text, re.IGNORECASE):
+            raise SqlSyntaxError(f"unsupported COPY syntax: {text.strip()[:80]!r}")
         m = _DELETE_RE.match(text)
         if m and m.group(1).upper() != "SELECT":
             n = self.delete(m.group(1), m.group(2) or "true")
@@ -224,6 +333,113 @@ class Engine:
             return self.spark.createDataFrame([(n,)], "count BIGINT")
         self._register_all()
         return self.spark.sql(text)
+
+    # -- transactions ----------------------------------------------------------
+    # The reference's xact state machine (src/access/xact.rs:215-733) over
+    # manifests: BEGIN opens a pending-manifest map; every DML stages its
+    # file-list change there instead of persisting; COMMIT publishes each
+    # touched table as ONE new version (optimistic first-committer-wins);
+    # ABORT deletes the staged segment dirs — the reference's abort
+    # un-claiming written files (src/access/sv.rs:510-535). Reads inside
+    # the transaction see staged state (read-your-writes) and pin each
+    # table's snapshot at first touch (repeatable read per table).
+    def begin(self) -> None:
+        if self._txn is not None:
+            return  # PG: WARNING, already in a transaction — keep it open
+        self._txn = {}
+
+    def in_transaction(self) -> bool:
+        return self._txn is not None
+
+    def commit(self) -> None:
+        if self._txn is None:
+            return  # PG: WARNING, no transaction in progress
+        txn, self._txn = self._txn, None
+        dirty = {k: st for k, st in txn.items() if st["dirty"]}
+        # validate every base version before publishing any (all-or-nothing
+        # against concurrent single-table commits)
+        for key, st in dirty.items():
+            disk = mf.read_manifest(os.path.join(self.warehouse, key))
+            if disk["version"] != st["base_version"]:
+                self._discard_segs(dirty)
+                raise SerializationFailure(
+                    f"table {key!r} moved: base v{st['base_version']}, "
+                    f"now v{disk['version']} — transaction rolled back"
+                )
+        for key, st in dirty.items():
+            mf.publish(
+                os.path.join(self.warehouse, key),
+                st["manifest"],
+                st["base_version"],
+            )
+
+    def rollback(self) -> None:
+        if self._txn is None:
+            return
+        txn, self._txn = self._txn, None
+        self._discard_segs(txn)
+
+    @staticmethod
+    def _discard_segs(txn: dict) -> None:
+        import shutil
+
+        for st in txn.values():
+            for seg in st["segs"]:
+                shutil.rmtree(seg, ignore_errors=True)
+
+    def _read_m(self, name: str) -> dict:
+        """Current manifest as this session sees it: the staged pending
+        manifest inside a transaction (staging the table's snapshot on
+        first touch), the on-disk manifest otherwise."""
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        if self._txn is None:
+            return mf.read_manifest(tdir)
+        key = name.lower()
+        st = self._txn.get(key)
+        if st is None:
+            base = mf.read_manifest(tdir)
+            st = {
+                "base_version": base["version"],
+                "manifest": base,
+                "segs": [],
+                "dirty": False,
+            }
+            self._txn[key] = st
+        return st["manifest"]
+
+    def _publish(
+        self,
+        name: str,
+        base_version: int,
+        *,
+        append: list[str] | None = None,
+        replace: list[str] | None = None,
+        stats: dict | None = None,
+        segs: list[str] | None = None,
+    ) -> None:
+        """Commit a DML's file-list change: immediately in autocommit,
+        staged into the pending manifest inside a transaction."""
+        tdir = self._table_dir(name)
+        if self._txn is None:
+            if replace is None:
+                mf.commit_files(tdir, append or [], base_version, stats=stats)
+            else:
+                mf.replace_files(tdir, replace, base_version, stats=stats)
+            return
+        st = self._txn[name.lower()]  # _read_m already staged it
+        m = st["manifest"]
+        if replace is None:
+            m["files"] = m["files"] + list(append or [])
+            m.setdefault("stats_by_file", {}).update(stats or {})
+        else:
+            old = m.get("stats_by_file", {})
+            m["stats_by_file"] = {f: old[f] for f in replace if f in old}
+            m["stats_by_file"].update(stats or {})
+            m["files"] = list(replace)
+        st["segs"].extend(segs or [])
+        st["dirty"] = True
 
     # -- DDL -----------------------------------------------------------------
     def create_table(
@@ -336,7 +552,7 @@ class Engine:
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
         m = (
-            mf.read_manifest(tdir)
+            self._read_m(name)
             if version is None
             else mf.read_manifest_version(tdir, version)
         )
@@ -391,9 +607,7 @@ class Engine:
         files, like the reference's one-L0-file-per-worker
         (src/commands/copy.rs:131-145). Commit = atomic manifest append."""
         tdir = self._table_dir(name)
-        if not os.path.exists(mf.manifest_path(tdir)):
-            raise UndefinedTable(f"table {name!r} does not exist")
-        m = mf.read_manifest(tdir)
+        m = self._read_m(name)
         schema = _phys_schema(m["schema"])
 
         df = parse_typed(self.spark, path, schema, delimiter, null_marker, csv)
@@ -408,8 +622,9 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.commit_files(tdir, new_files, m["version"],
-                        stats=zonemap.collect_file_stats(new_files))
+        self._publish(name, m["version"], append=new_files,
+                      stats=zonemap.collect_file_stats(new_files),
+                      segs=[staging])
         # metadata-only count over the committed files (parquet row counts)
         return self.spark.read.parquet(*new_files).count() if new_files else 0
 
@@ -422,6 +637,7 @@ class Engine:
         header: bool = False,
         parallel: int | None = None,
         where: str | None = None,
+        csv: bool = False,
     ) -> int:
         """COPY name TO path — export the current snapshot as delimited
         text; returns exported row count. The reference rejects this
@@ -434,25 +650,25 @@ class Engine:
         df = self.table(name, where=where)
         n = df.count()
         out = df.repartition(parallel) if parallel else df
-        (
-            out.write.mode("overwrite")
-            .options(
-                delimiter=delimiter,
-                nullValue=null_marker,
-                header=header,
-                emptyValue="",
-            )
-            .csv(path)
+        writer = out.write.mode("overwrite").options(
+            delimiter=delimiter,
+            nullValue=null_marker,
+            header=header,
+            emptyValue="",
         )
+        if not csv:
+            # raw text dialect: no quoting (quote='' → \u0000 = disabled),
+            # mirroring parse_typed's naive split on the read side — the
+            # quoted-field dialect is exactly what CSV mode opts into
+            writer = writer.option("quote", "")
+        writer.csv(path)
         return n
 
     def insert(self, name: str, df: DataFrame) -> int:
         """INSERT INTO: append a DataFrame through the same atomic
         manifest commit as COPY (task files + swap)."""
         tdir = self._table_dir(name)
-        if not os.path.exists(mf.manifest_path(tdir)):
-            raise UndefinedTable(f"table {name!r} does not exist")
-        m = mf.read_manifest(tdir)
+        m = self._read_m(name)
         schema = _phys_schema(m["schema"])
         aligned = df.select(
             *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
@@ -467,8 +683,9 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.commit_files(tdir, new_files, m["version"],
-                        stats=zonemap.collect_file_stats(new_files))
+        self._publish(name, m["version"], append=new_files,
+                      stats=zonemap.collect_file_stats(new_files),
+                      segs=[staging])
         return self.spark.read.parquet(*new_files).count() if new_files else 0
 
     def delete(self, name: str, where: str) -> int:
@@ -489,7 +706,7 @@ class Engine:
         from pyspark.sql import functions as F
 
         tdir = self._table_dir(name)
-        m = mf.read_manifest(tdir)
+        m = self._read_m(name)
         deleted = df.filter(F.expr(where)).count()
         kept = df.filter(~F.expr(where).eqNullSafe(F.lit(True)))
         staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
@@ -499,8 +716,9 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.replace_files(tdir, untouched + new_files, m["version"],
-                         stats=zonemap.collect_file_stats(new_files))
+        self._publish(name, m["version"], replace=untouched + new_files,
+                      stats=zonemap.collect_file_stats(new_files),
+                      segs=[staging])
         return deleted
 
     def update(self, name: str, set: dict[str, str], where: str = "true") -> int:
@@ -514,7 +732,7 @@ class Engine:
         from pyspark.sql import functions as F
 
         tdir = self._table_dir(name)
-        m = mf.read_manifest(tdir)
+        m = self._read_m(name)
         schema = _phys_schema(m["schema"])
         bad = set.keys() - {f.name for f in schema.fields}
         if bad:
@@ -541,8 +759,9 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.replace_files(tdir, untouched + new_files, m["version"],
-                         stats=zonemap.collect_file_stats(new_files))
+        self._publish(name, m["version"], replace=untouched + new_files,
+                      stats=zonemap.collect_file_stats(new_files),
+                      segs=[staging])
         return updated
 
     def merge(self, name: str, source: DataFrame, on: list[str]) -> tuple[int, int]:
@@ -559,9 +778,7 @@ class Engine:
         from pyspark.sql import functions as F
 
         tdir = self._table_dir(name)
-        if not os.path.exists(mf.manifest_path(tdir)):
-            raise UndefinedTable(f"table {name!r} does not exist")
-        m = mf.read_manifest(tdir)
+        m = self._read_m(name)
         schema = _phys_schema(m["schema"])
         aligned = source.select(
             *[source[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
@@ -603,8 +820,9 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.replace_files(tdir, untouched + new_files, m["version"],
-                         stats=zonemap.collect_file_stats(new_files))
+        self._publish(name, m["version"], replace=untouched + new_files,
+                      stats=zonemap.collect_file_stats(new_files),
+                      segs=[staging])
         return updated, inserted
 
     def _touched_files(self, name: str, where: str):
@@ -614,10 +832,7 @@ class Engine:
         back is metadata-sized (file names, not rows)."""
         from pyspark.sql import functions as F
 
-        tdir = self._table_dir(name)
-        if not os.path.exists(mf.manifest_path(tdir)):
-            raise UndefinedTable(f"table {name!r} does not exist")
-        m = mf.read_manifest(tdir)
+        m = self._read_m(name)
         if not m["files"]:
             return [], [], None
         schema = _phys_schema(m["schema"])
@@ -709,7 +924,7 @@ class Engine:
         only its leading column. Quantiles come from approxQuantile
         (sampled — boundary count crosses the driver, never data)."""
         tdir = self._table_dir(name)
-        m = mf.read_manifest(tdir)
+        m = self._read_m(name)
         if not m["files"]:
             return 0
         schema = _phys_schema(m["schema"])
@@ -736,8 +951,9 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
-        mf.replace_files(tdir, new_files, m["version"],
-                         stats=zonemap.collect_file_stats(new_files))
+        self._publish(name, m["version"], replace=new_files,
+                      stats=zonemap.collect_file_stats(new_files),
+                      segs=[staging])
         return len(new_files)
 
     _Z_BITS = 4  # 16 equi-depth buckets per z-ordered column
@@ -774,6 +990,11 @@ class Engine:
         (safe once pinned readers are done). Returns files removed."""
         tdir = self._table_dir(name)
         live = set(mf.read_manifest(tdir)["files"])
+        if self._txn is not None and name.lower() in self._txn:
+            # files staged by the open transaction are not yet in the
+            # on-disk manifest but must survive gc (reference: unclaimed
+            # files belong to the writing txn until commit/abort)
+            live |= set(self._txn[name.lower()]["manifest"]["files"])
         removed = 0
         for seg in os.listdir(tdir):
             seg_path = os.path.join(tdir, seg)

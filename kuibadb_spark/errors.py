@@ -41,3 +41,21 @@ class DuplicateTable(KbError):
 class SerializationFailure(KbError):
     # optimistic manifest-commit conflict
     sqlstate = "40001"
+
+
+class SqlSyntaxError(KbError):
+    # e.g. a COPY statement whose option tail the grammar doesn't accept —
+    # raised eagerly with the offending token instead of letting the text
+    # fall through to Spark's parser and die with an opaque error
+    sqlstate = "42601"
+
+
+class CantChangeRuntimeParam(KbError):
+    # SET on an Internal/KuiBaDB-context GUC (reference gucdef.yaml
+    # contexts; PG: 55P02 cant_change_runtime_param)
+    sqlstate = "55P02"
+
+
+class UndefinedParameter(KbError):
+    # SHOW of an unknown GUC (PG: 42704 undefined_object)
+    sqlstate = "42704"

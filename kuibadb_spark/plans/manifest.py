@@ -85,6 +85,25 @@ def replace_files(table_dir: str, new_files: list[str], base_version: int,
     return m
 
 
+def publish(table_dir: str, staged: dict, base_version: int) -> dict:
+    """Transaction commit point: swap in a fully-staged manifest as the
+    next version. A session transaction (engine.begin()) accumulates any
+    number of DML statements into one staged dict; COMMIT publishes it as
+    ONE new version — the reference's single commit record per transaction
+    (src/access/xact.rs:215-733). Same optimistic check as commit_files:
+    if the on-disk manifest moved past the transaction's base, the whole
+    transaction fails with SerializationFailure (first-committer-wins)."""
+    disk = read_manifest(table_dir)
+    if disk["version"] != base_version:
+        raise SerializationFailure(
+            f"manifest moved: base v{base_version}, now v{disk['version']}"
+        )
+    out = dict(staged)
+    out["version"] = base_version + 1
+    _persist(table_dir, out)
+    return out
+
+
 def read_manifest_version(table_dir: str, version: int) -> dict:
     """Time travel: read a historical manifest (kept per-version, like the
     reference's checkpointed control-file copies, wal.rs:88-196)."""

@@ -1,0 +1,229 @@
+"""Transaction semantics (reference src/access/xact.rs:215-733 state
+machine; abort un-claims written files per src/access/sv.rs:510-535),
+GUC SET/SHOW (src/guc/gucdef.yaml), CREATE TYPE stub
+(src/commands/typecmds.rs:17-28), and the order-insensitive COPY option
+grammar (src/parser/sql.lalrpop:488-572).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from kuibadb_spark.engine import Engine
+from kuibadb_spark.errors import (
+    CantChangeRuntimeParam,
+    SerializationFailure,
+    SqlSyntaxError,
+)
+from kuibadb_spark.plans import manifest as mf
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk(engine, name="t", rows=((1, "a"), (2, "b"))):
+    engine.create_table(name, "a INT, b STRING")
+    if rows:
+        engine.insert(name, engine.spark.createDataFrame(list(rows), "a INT, b STRING"))
+    return name
+
+
+def _version(engine, name):
+    return mf.read_manifest(engine._table_dir(name))["version"]
+
+
+# -- abort ------------------------------------------------------------------
+def test_begin_insert_abort_leaves_table_unchanged(engine):
+    _mk(engine)
+    v0 = _version(engine, "t")
+    engine.sql("BEGIN")
+    engine.sql("INSERT INTO t VALUES (9, 'z')")
+    # read-your-writes inside the transaction
+    assert engine.table("t").count() == 3
+    engine.sql("ABORT")
+    assert engine.table("t").count() == 2
+    assert _version(engine, "t") == v0
+    # abort un-claimed the written files: no orphan parquet outside manifest
+    live = set(mf.read_manifest(engine._table_dir("t"))["files"])
+    on_disk = set(glob.glob(os.path.join(engine._table_dir("t"), "seg-*", "*.parquet")))
+    assert on_disk == live
+
+
+def test_abort_reverts_delete_and_update(engine):
+    _mk(engine)
+    engine.begin()
+    assert engine.delete("t", "a = 1") == 1
+    assert engine.update("t", {"b": "'X'"}, "a = 2") == 1
+    assert {tuple(r) for r in engine.table("t").collect()} == {(2, "X")}
+    engine.rollback()
+    assert {tuple(r) for r in engine.table("t").collect()} == {(1, "a"), (2, "b")}
+
+
+# -- commit -----------------------------------------------------------------
+def test_commit_publishes_one_version_per_table(engine):
+    _mk(engine)
+    v0 = _version(engine, "t")
+    engine.sql("BEGIN")
+    engine.sql("INSERT INTO t VALUES (3, 'c')")
+    engine.sql("INSERT INTO t VALUES (4, 'd')")
+    engine.sql("DELETE FROM t WHERE a = 1")
+    engine.sql("COMMIT")
+    assert {r.a for r in engine.table("t").collect()} == {2, 3, 4}
+    # three DML statements → ONE published version (single commit record)
+    assert _version(engine, "t") == v0 + 1
+
+
+def test_two_table_commit_is_atomic(engine):
+    _mk(engine, "x")
+    _mk(engine, "y", rows=())
+    vx, vy = _version(engine, "x"), _version(engine, "y")
+    engine.begin()
+    engine.insert("x", engine.spark.createDataFrame([(7, "g")], "a INT, b STRING"))
+    engine.insert("y", engine.spark.createDataFrame([(8, "h")], "a INT, b STRING"))
+    # nothing published mid-transaction: a second session sees old state
+    other = Engine(engine.spark, warehouse=engine.warehouse)
+    assert other.table("x").count() == 2
+    assert other.table("y").count() == 0
+    engine.commit()
+    assert other.table("x").count() == 3
+    assert other.table("y").count() == 1
+    assert _version(engine, "x") == vx + 1
+    assert _version(engine, "y") == vy + 1
+
+
+def test_mid_txn_crash_equals_rollback(engine):
+    """The on-disk manifest never moves before COMMIT, so abandoning the
+    session (crash) is indistinguishable from ABORT."""
+    _mk(engine)
+    engine.begin()
+    engine.sql("INSERT INTO t VALUES (9, 'z')")
+    fresh = Engine(engine.spark, warehouse=engine.warehouse)
+    assert fresh.table("t").count() == 2
+
+
+def test_conflicting_commit_raises_serialization_failure(engine):
+    _mk(engine)
+    engine.begin()
+    engine.insert("t", engine.spark.createDataFrame([(5, "e")], "a INT, b STRING"))
+    # a concurrent session commits first
+    other = Engine(engine.spark, warehouse=engine.warehouse)
+    other.insert("t", engine.spark.createDataFrame([(6, "f")], "a INT, b STRING"))
+    with pytest.raises(SerializationFailure):
+        engine.commit()
+    # loser rolled back: only the winner's row landed
+    assert {r.a for r in engine.table("t").collect()} == {1, 2, 6}
+    # and the engine is back in autocommit (can write again)
+    engine.insert("t", engine.spark.createDataFrame([(9, "i")], "a INT, b STRING"))
+    assert {r.a for r in engine.table("t").collect()} == {1, 2, 6, 9}
+
+
+def test_gc_spares_staged_files(engine):
+    _mk(engine)
+    engine.begin()
+    engine.insert("t", engine.spark.createDataFrame([(5, "e")], "a INT, b STRING"))
+    engine.gc("t")  # must not delete the transaction's staged segment
+    engine.commit()
+    assert {r.a for r in engine.table("t").collect()} == {1, 2, 5}
+
+
+def test_commit_rollback_outside_txn_are_noops(engine):
+    engine.commit()
+    engine.rollback()
+    assert not engine.in_transaction()
+
+
+# -- GUCs -------------------------------------------------------------------
+def test_set_show_userset_guc(engine):
+    engine.sql("SET batch_size = 2048")
+    assert engine.sql("SHOW batch_size").collect()[0][0] == "2048"
+    # forwarded to the live Spark conf (the Arrow batch-size analog)
+    assert engine.spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch") == "2048"
+    engine.sql("SET seq_page_cost TO 2.5")
+    assert engine.sql("SHOW seq_page_cost").collect()[0][0] == "2.5"
+
+
+def test_set_fixed_context_guc_rejected(engine):
+    with pytest.raises(CantChangeRuntimeParam):
+        engine.sql("SET port = 5432")
+    with pytest.raises(CantChangeRuntimeParam):
+        engine.sql("SET server_version = '9.9'")
+
+
+def test_show_all_and_boot_values(engine):
+    rows = {r.name: r.setting for r in engine.sql("SHOW ALL").collect()}
+    assert len(rows) == 22
+    assert rows["server_version"] == "0.0.1"
+    assert rows["enable_cs_wal"] == "off"
+    assert rows["search_path"] == "public,kb_catalog"
+
+
+def test_set_bad_value_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.sql("SET batch_size = 'lots'")
+
+
+def test_spark_confs_still_reachable(engine):
+    engine.sql("SET spark.sql.shuffle.partitions=7")
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    engine.sql("SET spark.sql.shuffle.partitions=32")
+
+
+# -- CREATE TYPE stub -------------------------------------------------------
+def test_create_type_accepted(engine):
+    assert engine.sql("CREATE TYPE mood") is None
+    assert engine.sql("CREATE TYPE public.mood AS (a int, b text)") is None
+
+
+# -- COPY option grammar ----------------------------------------------------
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_copy_options_any_order(engine, tmp_path):
+    engine.create_table("c1", "a INT, b STRING")
+    path = _write(tmp_path, "f1.csv", ["1,x", "2,NA"])
+    # reference-valid spelling: CSV before NULL
+    n = engine.sql(f"COPY c1 FROM '{path}' CSV NULL 'NA'").collect()[0][0]
+    assert n == 2
+    assert {r.b for r in engine.table("c1").collect()} == {"x", None}
+
+
+def test_copy_with_null_as_noise_words(engine, tmp_path):
+    engine.create_table("c2", "a INT, b STRING")
+    path = _write(tmp_path, "f2.txt", ["1|x", "2|nil"])
+    n = engine.sql(
+        f"COPY c2 FROM '{path}' WITH DELIMITERS AS '|' NULL AS 'nil'"
+    ).collect()[0][0]
+    assert n == 2
+    assert {r.b for r in engine.table("c2").collect()} == {"x", None}
+
+
+def test_copy_bad_option_raises_clearly(engine, tmp_path):
+    engine.create_table("c3", "a INT")
+    with pytest.raises(SqlSyntaxError):
+        engine.sql("COPY c3 FROM '/nope.txt' FROBNICATE")
+    with pytest.raises(SqlSyntaxError):
+        engine.sql("COPY c3 FROM '/nope.txt' BINARY")
+    with pytest.raises(SqlSyntaxError):
+        engine.sql("COPY c3 TOO '/nope.txt'")
+
+
+def test_copy_to_csv_round_trip(engine, tmp_path):
+    engine.create_table("src", "a INT, b STRING")
+    engine.insert("src", engine.spark.createDataFrame(
+        [(1, "plain"), (2, "comma, inside"), (3, None)], "a INT, b STRING"))
+    out = str(tmp_path / "out_csv")
+    n = engine.sql(f"COPY src TO '{out}' CSV").collect()[0][0]
+    assert n == 3
+    engine.create_table("back", "a INT, b STRING")
+    assert engine.sql(f"COPY back FROM '{out}/part-*' CSV").collect()[0][0] == 3
+    assert {tuple(r) for r in engine.table("back").collect()} == {
+        (1, "plain"), (2, "comma, inside"), (3, None)}
