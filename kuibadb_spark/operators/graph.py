@@ -52,7 +52,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).persist()
 
-    for _ in range(20):  # bound ≥ graph diameter; dup chains are shallow
+    for i in range(20):  # bound ≥ graph diameter; dup chains are shallow
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
@@ -66,14 +66,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
         )
+        # cache hygiene at 100 TB node scale: materialize the new label
+        # table, DROP the superseded one (executor memory stays at ~one
+        # label-table, not one per round), and truncate the join lineage
+        # every 5 rounds so the plan doesn't grow 20 joins deep.
+        # localCheckpoint cuts lineage without an HDFS checkpoint dir.
+        if (i + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

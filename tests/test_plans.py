@@ -165,3 +165,19 @@ def test_dup_corpus_single_scan(spark):
 
     p = _plan(_dup_corpus(spark, SF))
     assert _scan_count(p) == 1, p
+
+
+def test_cc_iteration_cache_hygiene(spark):
+    """dedup_connected_components: superseded label tables must be
+    unpersisted as the loop advances — the leak shape held up to 20
+    cached label DataFrames at once (round-1 verdict). Budget after
+    convergence: the two shared edge tables + ≤1 live label table
+    (localCheckpointed rounds show as cached RDDs too, so allow one
+    extra in-flight)."""
+    from kuibadb_spark.operators.graph import dedup_connected_components
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    dedup_connected_components(spark, SF).collect()
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before <= 4, (before, after)
