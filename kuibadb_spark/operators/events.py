@@ -377,41 +377,68 @@ ORACLES["ev_markov_transitions"] = """
 def ev_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-pattern matching Spark has no native operator for
     (SQL:2016 MATCH_RECOGNIZE): count 'conversion' clicks per user — a
-    click with a view at most 30 minutes BEFORE it and a purchase at
-    most 30 minutes AFTER it. Each user's stream is collected into one
+    click with a view at most 24 hours BEFORE it and a purchase at
+    most 24 hours AFTER it (the fixture's per-user event cadence is
+    hours, so a sub-hour window would never fire — verified 240
+    conversions at sf0.01 with this window, 0 with 30 minutes). Each user's stream is collected into one
     time-ordered array (deterministic: sorted on (epoch_us, event_id)
     structs) and the pattern is scanned ROW-LOCALLY with exists()
-    lambdas — one shuffle to assemble sequences, zero joins, O(events²)
-    only within a user's own stream. Timestamps compare as exact integer
-    microseconds in both engines.
+    lambdas — zero joins, O(events²) only within one collected array.
 
-    At 100 TB this is the standard sessionized-sequence shape: per-user
-    streams are bounded (and further boundable by sessionizing first);
-    the quadratic scan never crosses user boundaries."""
+    SESSIONIZE-FIRST (the 100 TB form): sequences are assembled per
+    (user, session) with a gap sessionizer whose gap equals the
+    pattern window (24 h), not per user — semantics-preserving because
+    the pattern window cannot span a session boundary (a split implies
+    some consecutive gap > the window between the two events, so their
+    distance already exceeds it). The collected array is therefore bounded by session
+    length even for a pathological always-on user, and the quadratic
+    scan never crosses a session. Cost: the sessionizer's lag/sum
+    window and both groupBys hash on user_id-prefixed keys, so all
+    three land on one user_id exchange (AQE reuses it)."""
     e = load(spark, sf_dir, "events")
-    seq = (
+    day = 24 * 3600 * 1_000_000
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    sess = (
         e.selectExpr(
             "user_id",
-            "named_struct("
-            " 'us', unix_micros(CAST(ts AS TIMESTAMP)),"
-            " 'event_id', event_id,"
-            " 'et', event_type) AS ev",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "event_id",
+            "event_type AS et",
         )
-        .groupBy("user_id")
+        .withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > day),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+    )
+    seq = (
+        sess.selectExpr(
+            "user_id", "sid",
+            "named_struct('us', us, 'event_id', event_id, 'et', et) AS ev",
+        )
+        .groupBy("user_id", "sid")
         .agg(F.expr("array_sort(collect_list(ev))").alias("s"))
     )
-    half_hour = 30 * 60 * 1_000_000
     conv = (
         "aggregate(transform(s, c -> CASE WHEN c.et = 'click'"
         f" AND exists(s, v -> v.et = 'view' AND v.us <= c.us"
-        f" AND c.us - v.us <= {half_hour})"
+        f" AND c.us - v.us <= {day})"
         f" AND exists(s, p -> p.et = 'purchase' AND p.us >= c.us"
-        f" AND p.us - c.us <= {half_hour})"
+        f" AND p.us - c.us <= {day})"
         " THEN 1 ELSE 0 END), 0, (a, x) -> a + x)"
     )
     return (
         seq.selectExpr(
-            "user_id", "size(s) AS n_events", f"{conv} AS n_conversions"
+            "user_id", "size(s) AS ns", f"{conv} AS cs"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("ns").cast("int").alias("n_events"),
+            F.sum("cs").cast("int").alias("n_conversions"),
         )
         .filter(F.col("n_conversions") > 0)
         .orderBy("user_id")
@@ -436,10 +463,10 @@ ORACLES["ev_pattern_conversions"] = """
                    CASE WHEN c.et = 'click'
                         AND len(list_filter(s, v -> v.et = 'view'
                             AND v.us <= c.us
-                            AND c.us - v.us <= 1800000000)) > 0
+                            AND c.us - v.us <= 86400000000)) > 0
                         AND len(list_filter(s, p -> p.et = 'purchase'
                             AND p.us >= c.us
-                            AND p.us - c.us <= 1800000000)) > 0
+                            AND p.us - c.us <= 86400000000)) > 0
                    THEN 1 ELSE 0 END)) AS INTEGER) AS n_conversions
         FROM seq
     )
@@ -539,29 +566,32 @@ ORACLES["ev_latest_per_user"] = """
 # burst detection: rule-based abuse flagging per user-minute
 # --------------------------------------------------------------------------
 def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rate-limit / bot-detection rule: users with any minute containing
-    more than 2 events, with their worst-minute stats — the abuse-
-    flagging reduction every event pipeline runs. Two narrow aggregates
-    (user-minute counts, then per-user max via struct-max with minute as
-    tiebreak); thresholds are integers, no windows needed."""
+    """Rate-limit / bot-detection rule: users with any hour containing
+    more than 1 event, with their worst-hour stats — the abuse-flagging
+    reduction every event pipeline runs. Two narrow aggregates
+    (user-hour counts, then per-user max via struct-max with hour as
+    tiebreak); thresholds are integers, no windows needed. Granularity
+    is hourly because the fixture's per-user cadence is hours — the
+    minute-grain variant returned 0 rows at every SF, a trivially-green
+    oracle (round-2 sweep)."""
     e = load(spark, sf_dir, "events")
-    per_min = (
-        e.withColumn("minute", F.date_trunc("minute", "ts").cast("timestamp_ntz"))
-        .groupBy("user_id", "minute")
+    per_hr = (
+        e.withColumn("hr", F.date_trunc("hour", "ts").cast("timestamp_ntz"))
+        .groupBy("user_id", "hr")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
-        per_min.groupBy("user_id")
+        per_hr.groupBy("user_id")
         .agg(
-            F.max(F.struct("n", "minute")).alias("worst"),
-            F.count(F.lit(1)).alias("n_active_minutes"),
+            F.max(F.struct("n", "hr")).alias("worst"),
+            F.count(F.lit(1)).alias("n_active_hours"),
         )
-        .filter(F.col("worst.n") > 2)
+        .filter(F.col("worst.n") > 1)
         .select(
             "user_id",
-            F.col("worst.n").alias("worst_minute_events"),
-            F.col("worst.minute").alias("worst_minute"),
-            "n_active_minutes",
+            F.col("worst.n").alias("worst_hour_events"),
+            F.col("worst.hr").alias("worst_hour"),
+            "n_active_hours",
         )
         .orderBy("user_id")
     )
@@ -570,22 +600,22 @@ def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ev_burst_detection"] = ev_burst_detection
 
 ORACLES["ev_burst_detection"] = """
-    WITH per_min AS (
-        SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+    WITH per_hr AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
         FROM events
-        GROUP BY user_id, minute
+        GROUP BY user_id, hr
     ),
     ranked AS (
-        SELECT user_id, n, minute,
-               count(*) OVER (PARTITION BY user_id) AS n_active_minutes,
+        SELECT user_id, n, hr,
+               count(*) OVER (PARTITION BY user_id) AS n_active_hours,
                row_number() OVER (PARTITION BY user_id
-                                  ORDER BY n DESC, minute DESC) AS rn
-        FROM per_min
+                                  ORDER BY n DESC, hr DESC) AS rn
+        FROM per_hr
     )
-    SELECT user_id, n AS worst_minute_events, minute AS worst_minute,
-           n_active_minutes
+    SELECT user_id, n AS worst_hour_events, hr AS worst_hour,
+           n_active_hours
     FROM ranked
-    WHERE rn = 1 AND n > 2
+    WHERE rn = 1 AND n > 1
     ORDER BY user_id
 """
 

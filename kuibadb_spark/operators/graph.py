@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kuibadb_spark.catalog import load
 from kuibadb_spark.operators.dedup import (
     _DUP_CORPUS_DUCK,
     _SHINGLES_DUCK,
@@ -403,15 +404,39 @@ ORACLES["dedup_cluster_verdicts"] = ORACLES[
 # ---------------------------------------------------------------------------
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction — score NON-adjacent node pairs
-    by neighborhood overlap (the classic graph-ML feature: two docs
-    sharing many near-dup neighbors are probably near-dups the candidate
-    pass missed). Candidates come from a two-hop join (pairs with ≥1
-    common neighbor), existing edges are removed with an anti-join, and
-    the Jaccard numerator/denominator stay integer (overlap count,
-    degree sums) with the score in exact 1e-6 units. Same edge pipeline
-    as pagerank/triangles — candidate generation is again an equi-join
-    on node id, quadratic only within a neighborhood."""
-    e = _edges(spark, sf_dir).repartition("src")
+    by neighborhood overlap (the classic graph-ML recommender feature).
+    The graph is user co-activity: an edge links two users active in ≥5
+    of the same hours (the shingle near-dup graph is a union of perfect
+    cliques at every threshold — verified in the round-2 sweep — so it
+    has no open triangles and link prediction over it is structurally
+    empty). Candidates come from a two-hop join (pairs with ≥1 common
+    neighbor), existing edges are removed with an anti-join, and the
+    Jaccard numerator/denominator stay integer (overlap count, degree
+    sums) with the score in exact 1e-6 units.
+
+    Scale: edge generation is an equi-join on the hour bucket — quadratic
+    only within a bucket (co-active users per hour), the same hot-bucket
+    caveat as every bucketed candidate generator here; at 100 TB the
+    bucket key would compose hour with a coarser cohort (geo, shard) to
+    cap bucket width. The two-hop join is an equi-join on node id,
+    quadratic only within a neighborhood."""
+    ev = load(spark, sf_dir, "events")
+    ah = (
+        ev.select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    e = (
+        ah.alias("p")
+        .join(ah.alias("q"), "h")
+        .filter(F.col("p.user_id") < F.col("q.user_id"))
+        .groupBy(
+            F.col("p.user_id").alias("src"), F.col("q.user_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 5)
+        .select("src", "dst")
+        .repartition("src")
+    )
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -449,20 +474,14 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["graph_link_prediction"] = graph_link_prediction
 
 ORACLES["graph_link_prediction"] = f"""
-    WITH {_DUP_CORPUS_DUCK},
-    {_SHINGLES_DUCK},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
-        FROM shingles a JOIN shingles b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+    WITH ah AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
     ),
     edges AS (
-        SELECT src, dst FROM inter
-        JOIN sizes sa ON sa.doc_id = src
-        JOIN sizes sb ON sb.doc_id = dst
-        WHERE i / (sa.sz + sb.sz - i) >= 0.6
+        SELECT p.user_id AS src, q.user_id AS dst
+        FROM ah p JOIN ah q ON p.h = q.h AND p.user_id < q.user_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
     ),
     sym AS (
         SELECT src, dst FROM edges

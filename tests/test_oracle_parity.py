@@ -19,6 +19,14 @@ def test_parity(spark, sf_dir, name):
     rep = compare(spark, name, sf_dir, QUERIES[name], ORACLES[name])
     assert rep["cols_match"], rep
     assert rep["match"], rep
+    # a 0-row result passes parity trivially and verifies nothing — the
+    # round-2 sweep found two such queries (ev_burst_detection at minute
+    # grain, graph_link_prediction on the all-cliques shingle graph);
+    # every oracle query must do real work at fixture scale
+    # q7 is spec-pinned TPC-H (FRANCE↔GERMANY pairs) and legitimately
+    # empty at sf0.001; it returns rows at the driver's sf0.01
+    if name not in {"q7_volume_shipping"}:
+        assert rep["spark_rows"] > 0, f"{name}: trivially-empty parity"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
