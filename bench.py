@@ -40,6 +40,20 @@ HEADLINE = [
     "dedup_simhash",
     "graph_pagerank",
     "text_search_conjunctive",
+    # round 2: one headliner per previously-unbenched family so
+    # round-over-round regressions are visible where new work lands
+    "sim_ann_pq",               # product-quantized ANN
+    "text_dsir_importance",     # DSIR importance weighting (curation)
+    "rec_part_hierarchy_depth", # recursive CTE family (log-depth — the
+                                # recursion shape a BSP engine is good
+                                # at; rec_price_streaks' 24-step linear
+                                # recurrence costs depth × BSP overhead
+                                # by design, see its docstring)
+    "ts_interval_merge",        # temporal island detection
+    "coll_lambda_ops",          # higher-order collection lambdas
+    "scalar_string_ops",        # scalar function matrix
+    "ev_pattern_conversions",   # sessionized row-pattern matching
+    "udf_apply_in_pandas",      # Arrow-batched applyInPandas path
 ]
 
 

@@ -58,7 +58,18 @@ def rec_price_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     this a sequential recurrence — the recursive CTE threads state
     order-to-order (frontier = one row per customer per step), then the
     histogram aggregates per-customer maxima. Ties in order date break
-    on o_orderkey, so row numbering is deterministic in both engines."""
+    on o_orderkey, so row numbering is deterministic in both engines.
+
+    Cost shape, measured at sf0.1: depth = max-orders-per-customer (24),
+    and each recursive step is one join+shuffle with ~0.4 s fixed BSP
+    overhead → ~10 s total; materializing the numbered CTE first changes
+    nothing (the steps, not the CTE rebuild, dominate — both ~10 s).
+    Deep sequential recurrence is the one shape a BSP engine is bad at
+    BY DESIGN; the scale-path formulation of this exact computation is
+    the one-pass segmented scan in ts_interval_merge's island style, and
+    the recursion the engine is good at (log-depth) is benched via
+    rec_part_hierarchy_depth. This query stays as the declared
+    sequential-recurrence surface with its correctness oracle."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("rec_orders_v")
     return spark.sql(
         """
