@@ -39,6 +39,7 @@ from kuibadb_spark.errors import (
     SqlSyntaxError,
     UndefinedTable,
 )
+from kuibadb_spark.functions.pg_ops import translate as _pg_translate
 from kuibadb_spark.gucs import GucSession, _fmt as _guc_fmt
 from kuibadb_spark.plans import manifest as mf, zonemap
 from kuibadb_spark.session import get_spark
@@ -211,7 +212,12 @@ class Engine:
         routed to the engine's manifest-transactional methods — the SQL
         front door a reference user expects, over the same copy-on-write
         commits as the Python API. DML returns a 1-row DataFrame with the
-        affected row count (the reference's command-tag count)."""
+        affected row count (the reference's command-tag count).
+
+        PG operator spellings (~~ !~~ # |/ ||/ @ ! !!) are translated to
+        Spark equivalents first (functions/pg_ops.py) — the catalog
+        surface the reference seeds in initdb (main.rs:463-653)."""
+        text = _pg_translate(text)
         if _BEGIN_RE.match(text):
             self.begin()
             return None

@@ -1,0 +1,53 @@
+"""PG operator-spelling translation (reference catalog spellings,
+/root/reference/src/bin/initdb/main.rs:463-653) in the SQL front door.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kuibadb_spark.engine import Engine
+from kuibadb_spark.functions.pg_ops import translate
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def test_translate_pure():
+    assert translate("a ~~ 'x%'") == "a  LIKE  'x%'"
+    assert translate("a !~~ 'x%'") == "a  NOT LIKE  'x%'"
+    assert translate("3 # 5") == "3 ^ 5"
+    assert translate("|/ 25") == "sqrt(25)"
+    assert translate("||/ 27") == "cbrt(27)"
+    assert translate("@ -7") == "abs(-7)"
+    assert translate("5!") == "factorial(5)"
+    assert translate("!! 4") == "factorial(4)"
+    assert translate("(n + 1)!") == "factorial((n + 1))"
+    # non-PG uses stay intact
+    assert translate("a != b") == "a != b"
+    assert translate("x || y") == "x || y"
+    assert translate("'lit ~~ # !'") == "'lit ~~ # !'"
+    assert translate("-- c ~~ d\nx") == "-- c ~~ d\nx"
+
+
+def test_engine_runs_pg_spellings(engine):
+    row = engine.sql(
+        "SELECT 5! AS f, |/ 25 AS r, ||/ 27 AS c, 3 # 5 AS x, @ -7 AS a,"
+        " 'abc' ~~ 'a%' AS l, 'abc' !~~ 'b%' AS nl"
+    ).collect()[0]
+    assert (row.f, row.r, row.c, row.x, row.a, row.l, row.nl) == (
+        120, 5.0, 3.0, 6, 7, True, True)
+
+
+def test_pg_spellings_over_table(engine):
+    engine.create_table("t", "a INT, s STRING")
+    engine.insert(
+        "t",
+        engine.spark.createDataFrame([(3, "Apple"), (4, "pear")], "a INT, s STRING"),
+    )
+    rows = engine.sql(
+        "SELECT a! AS f FROM t WHERE s ~~ 'A%'"
+    ).collect()
+    assert [r.f for r in rows] == [6]
