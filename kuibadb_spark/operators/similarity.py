@@ -675,3 +675,113 @@ ORACLES["sim_knn_classify"] = """
     WHERE vr = 1
     ORDER BY q_id
 """
+
+
+# ---------------------------------------------------------------------------
+# 7. hybrid retrieval: lexical rank + vector rank → reciprocal rank fusion
+# ---------------------------------------------------------------------------
+_RRF_K = 60           # the standard RRF damping constant (Cormack 2009)
+_RRF_TERMS = ("fast", "join", "stream")  # lexical query
+_RRF_QVEC = 0         # vector query: embedding of vec_id 0 (≡ doc_id 0)
+
+
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the production retrieval shape (BM25 ∪ ANN →
+    reciprocal rank fusion): a lexical ranking (query-term hit count
+    over documents) and a vector ranking (cosine to a query embedding)
+    are fused per document as Σ 1e6 div (60 + rank) — integer-exact, so
+    the fused score hash-matches across engines (float RRF sums would
+    not). Documents ranked by only one retriever get the other's
+    contribution as 0, the standard missing-rank convention.
+
+    Scale: both candidate lists are top-N reductions (lexical: docs with
+    ≥1 term hit; vector: exact scan here, the bucketed ANN variants
+    above at 100 TB); the global rank windows run over candidate sets,
+    not the corpus, and the fusion is a join of two rank tables on
+    doc id. doc_id ≡ vec_id in the fixture (parallel tables)."""
+    d = load(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    lex = (
+        d.selectExpr(
+            "doc_id",
+            f"size(filter(array({terms}), t -> contains(text, t))) AS hits",
+        )
+        .filter(F.col("hits") >= 1)
+    )
+    from pyspark.sql import Window as W
+
+    w_lex = W.orderBy(F.desc("hits"), F.asc("doc_id"))
+    lex_r = lex.withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    vec = (
+        e.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos", F.round(_dot("qv", "v") / (F.col("qn") * F.col("norm")), 6)
+        )
+    )
+    w_vec = W.orderBy(F.desc("cos"), F.asc("vec_id"))
+    vec_r = (
+        vec.withColumn("r_vec", F.row_number().over(w_vec).cast("int"))
+        .filter(F.col("r_vec") <= 100)
+        .select(F.col("vec_id").alias("doc_id"), "r_vec")
+    )
+
+    fused = (
+        lex_r.select("doc_id", "r_lex")
+        .join(vec_r, "doc_id", "full_outer")
+        .selectExpr(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            f"coalesce(1000000 div ({_RRF_K} + r_lex), 0L)"
+            f" + coalesce(1000000 div ({_RRF_K} + r_vec), 0L) AS rrf_e6",
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+QUERIES["sim_rrf_fusion"] = sim_rrf_fusion
+
+ORACLES["sim_rrf_fusion"] = f"""
+    WITH {_EMB_DUCK},
+    lex AS (
+        SELECT * FROM (
+            SELECT doc_id,
+                   len(list_filter(['fast', 'join', 'stream'],
+                                   t -> contains(text, t))) AS hits
+            FROM documents
+        ) WHERE hits >= 1
+    ),
+    lex_r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY hits DESC, doc_id)
+                    AS INTEGER) AS r_lex
+        FROM lex
+    ),
+    q AS (SELECT v AS qv, norm AS qn FROM emb WHERE vec_id = {_RRF_QVEC}),
+    vec_r AS (
+        SELECT doc_id, r_vec FROM (
+            SELECT e.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY round(list_dot_product(qv, e.v)
+                                      / (qn * e.norm), 6) DESC,
+                                e.vec_id) AS INTEGER) AS r_vec
+            FROM emb e, q WHERE e.vec_id <> {_RRF_QVEC}
+        ) WHERE r_vec <= 100
+    )
+    SELECT doc_id, r_lex, r_vec,
+           CAST(coalesce(1000000 // ({_RRF_K} + r_lex), 0)
+                + coalesce(1000000 // ({_RRF_K} + r_vec), 0) AS BIGINT)
+               AS rrf_e6
+    FROM lex_r FULL OUTER JOIN vec_r USING (doc_id)
+    ORDER BY rrf_e6 DESC, doc_id
+    LIMIT 20
+"""

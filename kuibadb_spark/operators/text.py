@@ -790,3 +790,72 @@ ORACLES["text_feature_hashing"] = r"""
     FROM hashed
     ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# line-level (chunk) dedup: strip text repeated ACROSS documents
+# --------------------------------------------------------------------------
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal, the CCNet/RefinedWeb
+    line-level dedup pass: text repeated verbatim in ≥2 documents
+    (headers, footers, license blurbs) is stripped from every document.
+    The fixture's documents are flat token streams with no newlines, so
+    a "line" is a 10-token chunk — the operator shape (chunk → corpus
+    count → mark → per-doc reassembly stats) is the contract.
+
+    Scale shape: chunking is row-local (sequence+slice, one explode);
+    the corpus count is ONE partial-aggregated shuffle on the chunk key,
+    and the mark-join reuses that same exchange (equi-join on the
+    groupBy key — no broadcast needed, so adversarially large boilerplate
+    sets don't OOM a broadcast). Per-doc stats are a second narrow
+    groupBy on doc_id. At 100 TB chunks would carry a hash, not the
+    text, across the wire — here the chunk doubles as its own key so
+    the oracle stays engine-independent."""
+    d = load(spark, sf_dir, "documents")
+    chunks = d.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
+        "doc_id",
+        "posexplode(transform(sequence(0, CAST(ceil(size(w)/10.0) AS INT) - 1),"
+        " i -> array_join(slice(w, i*10+1, 10), ' '))) AS (idx, chunk)",
+    )
+    counts = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(counts, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.count_if(F.col("n_docs") >= 2).cast("int").alias("n_boiler_chunks"),
+            F.sum(
+                F.when(F.col("n_docs") < 2, F.size(F.split("chunk", " ")))
+                .otherwise(0)
+            ).cast("bigint").alias("kept_tokens"),
+        )
+        .filter(F.col("n_boiler_chunks") > 0)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_line_dedup"] = text_line_dedup
+
+ORACLES["text_line_dedup"] = r"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(w[i*10+1:i*10+10], ' ') AS chunk
+        FROM t, unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)
+    ),
+    counts AS (
+        SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY chunk
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_chunks,
+           CAST(count_if(n_docs >= 2) AS INTEGER) AS n_boiler_chunks,
+           CAST(sum(CASE WHEN n_docs < 2
+                         THEN len(string_split(c.chunk, ' ')) ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM c JOIN counts USING (chunk)
+    GROUP BY doc_id
+    HAVING CAST(count_if(n_docs >= 2) AS INTEGER) > 0
+    ORDER BY doc_id
+"""
