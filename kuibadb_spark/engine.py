@@ -424,15 +424,21 @@ class Engine:
         replace: list[str] | None = None,
         stats: dict | None = None,
         segs: list[str] | None = None,
+        props_update: dict | None = None,
     ) -> None:
         """Commit a DML's file-list change: immediately in autocommit,
         staged into the pending manifest inside a transaction."""
         tdir = self._table_dir(name)
         if self._txn is None:
             if replace is None:
-                mf.commit_files(tdir, append or [], base_version, stats=stats)
+                mf.commit_files(tdir, append or [], base_version, stats=stats,
+                                props=props_update)
             else:
                 mf.replace_files(tdir, replace, base_version, stats=stats)
+                if props_update:
+                    m2 = mf.read_manifest(tdir)
+                    m2["props"].update(props_update)
+                    mf._persist(tdir, m2)
             return
         st = self._txn[name.lower()]  # _read_m already staged it
         m = st["manifest"]
@@ -445,6 +451,8 @@ class Engine:
             m["stats_by_file"].update(stats or {})
             m["files"] = list(replace)
         st["segs"].extend(segs or [])
+        if props_update:
+            m["props"].update(props_update)
         st["dirty"] = True
 
     # -- DDL -----------------------------------------------------------------
@@ -670,9 +678,12 @@ class Engine:
         writer.csv(path)
         return n
 
-    def insert(self, name: str, df: DataFrame) -> int:
+    def insert(self, name: str, df: DataFrame,
+               props_update: dict | None = None) -> int:
         """INSERT INTO: append a DataFrame through the same atomic
-        manifest commit as COPY (task files + swap)."""
+        manifest commit as COPY (task files + swap). `props_update`
+        merges into the table props in the SAME swap (used by the
+        streaming sink's batch-id marker — streaming/events.py)."""
         tdir = self._table_dir(name)
         m = self._read_m(name)
         schema = _phys_schema(m["schema"])
@@ -691,7 +702,7 @@ class Engine:
         ]
         self._publish(name, m["version"], append=new_files,
                       stats=zonemap.collect_file_stats(new_files),
-                      segs=[staging])
+                      segs=[staging], props_update=props_update)
         return self.spark.read.parquet(*new_files).count() if new_files else 0
 
     def delete(self, name: str, where: str) -> int:

@@ -47,10 +47,14 @@ def init_manifest(table_dir: str, schema_ddl: str, not_null: list[str],
 
 
 def commit_files(table_dir: str, new_files: list[str], base_version: int,
-                 stats: dict | None = None) -> dict:
+                 stats: dict | None = None,
+                 props: dict | None = None) -> dict:
     """Atomically append files; optimistic check against concurrent commits.
     `stats` = per-file zone maps for the new files ({file: {col: [min,max]}},
-    plans/zonemap.py) carried in the manifest for scan-time file skipping."""
+    plans/zonemap.py) carried in the manifest for scan-time file skipping.
+    `props` merges into the table props IN THE SAME swap — e.g. the
+    streaming sink's last-committed-batch marker, which must be atomic
+    with the data commit for exactly-once replay skipping."""
     m = read_manifest(table_dir)
     if m["version"] != base_version:
         raise SerializationFailure(
@@ -59,6 +63,7 @@ def commit_files(table_dir: str, new_files: list[str], base_version: int,
     m["version"] += 1
     m["files"] = m["files"] + list(new_files)
     m.setdefault("stats_by_file", {}).update(stats or {})
+    m["props"].update(props or {})
     _persist(table_dir, m)
     return m
 

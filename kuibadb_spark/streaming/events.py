@@ -203,6 +203,40 @@ def write_foreach_batch(events: DataFrame, out_dir: str) -> None:
         q.stop()
 
 
+def write_stream_to_table(events: DataFrame, engine, name: str,
+                          checkpoint_dir: str):
+    """Streaming ingest into an engine manifest table: each micro-batch
+    commits ONE manifest version (Engine.insert → atomic swap), and the
+    last-committed batch id rides in the SAME swap as a table prop —
+    so a batch replayed after restart (foreachBatch is at-least-once)
+    is detected and skipped, giving exactly-once TABLE state. Combine
+    with engine.stream(name) on the other side and manifest tables
+    become both streaming sink and source — the lakehouse CDC loop.
+
+    Scale: the sink adds zero coordination beyond the manifest swap the
+    engine already does per commit; state lives in the table itself
+    (batch-id prop), so recovery needs only the Spark checkpoint plus
+    the manifest — no external metastore. Returns the StreamingQuery
+    (caller drives/stops it); use trigger(availableNow) semantics by
+    letting the finite parquet source drain via processAllAvailable."""
+    from kuibadb_spark.plans import manifest as mf
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tdir = engine._table_dir(name)
+        last = mf.read_manifest(tdir)["props"].get("stream_last_batch", -1)
+        if batch_id <= last:
+            return  # replayed batch after restart — already committed
+        engine.insert(name, batch_df,
+                      props_update={"stream_last_batch": batch_id})
+
+    return (
+        events.writeStream
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a streaming frame to completion into a memory sink (local
     test harness; the parquet source feeds finite input so
