@@ -181,3 +181,15 @@ def test_cc_iteration_cache_hygiene(spark):
     dedup_connected_components(spark, SF).collect()
     after = sc._jsc.getPersistentRDDs().size()
     assert after - before <= 4, (before, after)
+
+
+def test_streak_scan_equals_recursion(spark):
+    """w_price_streaks_scan (one-pass islands) and rec_price_streaks
+    (WITH RECURSIVE linear recurrence) are two plans for one computation
+    — they must agree row-for-row."""
+    from kuibadb_spark.operators.recursive import rec_price_streaks
+    from kuibadb_spark.operators.windows import w_price_streaks_scan
+
+    a = sorted(tuple(r) for r in w_price_streaks_scan(spark, SF).collect())
+    b = sorted(tuple(r) for r in rec_price_streaks(spark, SF).collect())
+    assert a == b and len(a) > 0
