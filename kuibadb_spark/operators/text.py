@@ -859,3 +859,101 @@ ORACLES["text_line_dedup"] = r"""
     HAVING CAST(count_if(n_docs >= 2) AS INTEGER) > 0
     ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# BPE step 2: apply the top merge candidates to the corpus
+# --------------------------------------------------------------------------
+def text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second step of BPE vocabulary induction: take the top-3 merge
+    candidates from the global pair count (text_bpe_merge_candidates'
+    ranking, deterministic tiebreak) and apply them to every document,
+    reporting the per-doc token-count reduction. The merge table is a
+    1-row broadcast (the induced vocabulary rides with the plan at any
+    corpus size); application is a row-local fold of string replaces
+    over the space-padded token stream — leftmost non-overlapping, the
+    same replace() semantics in both engines.
+
+    True BPE re-counts pairs after each merge (adaptive); this operator
+    applies one ranked batch — the shape of one training round (the
+    iterative driver loop is sim_kmeans_lloyd's pattern applied here)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.selectExpr(r"split(lower(text), '\\s+') AS toks").selectExpr(
+        "explode(zip_with(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> concat(a, ' ', b))) AS pair"
+    )
+    top3 = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(3)
+        # rank order survives the aggregate: sort (n asc, pair desc)
+        # structs, then reverse → (n desc, pair asc), project the pair
+        .agg(F.expr("array_sort(collect_list(struct(n, pair)))").alias("ms"))
+        .selectExpr(
+            "reverse(transform(ms, s -> s.pair)) AS merges"
+        )
+    )
+    return (
+        docs.crossJoin(F.broadcast(top3))
+        .selectExpr(
+            "doc_id",
+            "size(split(lower(text), '\\\\s+')) AS n_tokens",
+            "aggregate(merges,"
+            " concat(' ', lower(text), ' '),"
+            " (acc, m) -> replace(acc, concat(' ', m, ' '),"
+            "                     concat(' ', replace(m, ' ', '_'), ' ')))"
+            " AS merged",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "size(split(trim(merged), ' ')) AS n_after",
+            "n_tokens - size(split(trim(merged), ' ')) AS n_merged",
+        )
+        .filter(F.col("n_merged") > 0)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_bpe_apply_merges"] = text_bpe_apply_merges
+ORACLES["text_bpe_apply_merges"] = r"""
+    WITH toks AS (
+        SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS pair
+        FROM toks
+    ),
+    top3 AS (
+        SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 3
+    ),
+    mt AS (
+        SELECT list_transform(
+                   list_reverse(list_sort(list(struct_pack(n := n, pair := pair)))),
+                   s -> s.pair) AS merges
+        FROM top3
+    ),
+    applied AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER)
+                   AS n_tokens,
+               list_reduce(
+                   list_prepend(' ' || lower(text) || ' ', merges),
+                   (acc, m) -> replace(acc, ' ' || m || ' ',
+                                       ' ' || replace(m, ' ', '_') || ' ')
+               ) AS merged
+        FROM documents, mt
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(string_split(trim(merged), ' ')) AS INTEGER) AS n_after,
+           CAST(n_tokens - len(string_split(trim(merged), ' ')) AS INTEGER)
+               AS n_merged
+    FROM applied
+    WHERE n_tokens - len(string_split(trim(merged), ' ')) > 0
+    ORDER BY doc_id
+"""
