@@ -168,6 +168,53 @@ def _phys_schema(ddl: str) -> T.StructType:
     ])
 
 
+def _split_statements(script: str) -> list[str]:
+    """Split a SQL script on semicolons at top level: outside single/double
+    quotes and -- / /* */ comments. Empty statements are dropped."""
+    stmts: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(script)
+    while i < n:
+        c = script[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if script[j] == "'":
+                    if j + 1 < n and script[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(script[i:j + 1])
+            i = j + 1
+        elif c == '"':
+            j = script.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            cur.append(script[i:j + 1])
+            i = j + 1
+        elif script.startswith("--", i):
+            # comments are dropped: a leading comment would otherwise
+            # defeat the statement-dispatch regexes (BEGIN/ABORT/…)
+            j = script.find("\n", i)
+            i = n if j < 0 else j
+        elif script.startswith("/*", i):
+            j = script.find("*/", i)
+            i = n if j < 0 else j + 2
+        elif c == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                stmts.append(stmt)
+            cur = []
+            i += 1
+        else:
+            cur.append(c)
+            i += 1
+    stmt = "".join(cur).strip()
+    if stmt:
+        stmts.append(stmt)
+    return stmts
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas at paren depth 0 and outside string literals —
     enough for an UPDATE's SET list (exprs may contain calls/strings)."""
@@ -339,6 +386,18 @@ class Engine:
             return self.spark.createDataFrame([(n,)], "count BIGINT")
         self._register_all()
         return self.spark.sql(text)
+
+    def run_script(self, script: str) -> DataFrame | None:
+        """Execute a multi-statement SQL script (statements separated by
+        top-level semicolons — quotes and comments respected), returning
+        the last statement's result. The reference's protocol executes
+        one statement per message; this is the psql-script convenience
+        over the same dispatch: `engine.run_script("BEGIN; INSERT …;
+        COMMIT")` behaves like the three calls in sequence."""
+        result: DataFrame | None = None
+        for stmt in _split_statements(script):
+            result = self.sql(stmt)
+        return result
 
     # -- transactions ----------------------------------------------------------
     # The reference's xact state machine (src/access/xact.rs:215-733) over

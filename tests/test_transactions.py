@@ -227,3 +227,17 @@ def test_copy_to_csv_round_trip(engine, tmp_path):
     assert engine.sql(f"COPY back FROM '{out}/part-*' CSV").collect()[0][0] == 3
     assert {tuple(r) for r in engine.table("back").collect()} == {
         (1, "plain"), (2, "comma, inside"), (3, None)}
+
+
+def test_run_script_txn_session(engine):
+    _mk(engine)
+    engine.run_script("""
+        BEGIN;
+        INSERT INTO t VALUES (7, 'g');  -- staged
+        ABORT;
+    """)
+    assert engine.table("t").count() == 2
+    res = engine.run_script(
+        "BEGIN; INSERT INTO t VALUES (8, 'h'); COMMIT; SELECT count(*) AS n FROM t"
+    )
+    assert res.collect()[0].n == 3
