@@ -193,3 +193,22 @@ def test_streak_scan_equals_recursion(spark):
     a = sorted(tuple(r) for r in w_price_streaks_scan(spark, SF).collect())
     b = sorted(tuple(r) for r in rec_price_streaks(spark, SF).collect())
     assert a == b and len(a) > 0
+
+
+def test_registry_orders_unverified_first():
+    """The driver verifies the first 50 registry keys each round; keys
+    already green in a CORRECTNESS artifact must sort to the back, and
+    attempted-but-red keys to the very front (their fixes need
+    confirmation most)."""
+    from kuibadb_spark import registry
+
+    keys = list(registry.all_queries())
+    verified = registry.driver_verified()
+    failed = registry.driver_failed()
+    assert len(keys) == len(set(keys))
+    n_unverified = len(keys) - len(verified & set(keys))
+    front, back = keys[:n_unverified], keys[n_unverified:]
+    assert not (set(front) & verified)
+    assert set(back) <= verified
+    for k in keys[: len(failed & set(keys))]:
+        assert k in failed
