@@ -58,6 +58,11 @@ _SET_RE = re.compile(
     r"^\s*SET\s+(\w+)\s*(?:=|\bTO\b)\s*(.+?)\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+# time-travel table reference: FROM t FOR VERSION AS OF 3 (Delta's SQL
+# spelling over this engine's per-version manifests)
+_VERSION_AS_OF_RE = re.compile(
+    r"\b(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+((?:VALUES|SELECT)\s+.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -385,6 +390,15 @@ class Engine:
             n = self.update(m.group(1), assignments, m.group(3) or "true")
             return self.spark.createDataFrame([(n,)], "count BIGINT")
         self._register_all()
+        # time travel: rewrite `t FOR VERSION AS OF n` to a temp view
+        # pinned to that manifest version (Engine.table(version=n))
+        def _pin(m: re.Match) -> str:
+            tbl, ver = m.group(1), int(m.group(2))
+            view = f"{tbl.lower()}__v{ver}"
+            self.table(tbl, version=ver).createOrReplaceTempView(view)
+            return view
+
+        text = _VERSION_AS_OF_RE.sub(_pin, text)
         return self.spark.sql(text)
 
     def run_script(self, script: str) -> DataFrame | None:

@@ -241,3 +241,82 @@ def test_run_script_txn_session(engine):
         "BEGIN; INSERT INTO t VALUES (8, 'h'); COMMIT; SELECT count(*) AS n FROM t"
     )
     assert res.collect()[0].n == 3
+
+
+# -- model-based: random op sequences vs an in-memory reference model -------
+def test_txn_state_machine_model(spark, tmp_path):
+    """Hypothesis-driven: a random sequence of begin/insert/delete/
+    commit/rollback must leave the engine's COMMITTED state equal to a
+    trivial in-memory model at every step, and the mid-transaction view
+    equal to the model's staged copy. Spark work is kept tiny (single-row
+    inserts) so the state space, not the data volume, is what's swept."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    ops = st.lists(
+        st.sampled_from(["begin", "insert", "delete_even", "commit", "rollback"]),
+        min_size=1,
+        max_size=12,
+    )
+    case = [0]
+
+    @given(seq=ops)
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(seq):
+        case[0] += 1
+        name = f"m{case[0]}"
+        engine = Engine(spark, warehouse=str(tmp_path / f"wh{case[0]}"))
+        engine.create_table(name, "a INT")
+        committed: list[int] = []
+        staged: list[int] | None = None
+        nxt = [0]
+        for op in seq:
+            view = committed if staged is None else staged
+            if op == "begin":
+                if staged is None:
+                    staged = list(committed)
+                engine.begin()
+            elif op == "insert":
+                nxt[0] += 1
+                view.append(nxt[0])
+                engine.insert(name, spark.createDataFrame([(nxt[0],)], "a INT"))
+            elif op == "delete_even":
+                removed = [x for x in view if x % 2 == 0]
+                for x in removed:
+                    view.remove(x)
+                engine.delete(name, "a % 2 = 0")
+            elif op == "commit":
+                if staged is not None:
+                    committed = staged
+                    staged = None
+                engine.commit()
+            elif op == "rollback":
+                staged = None
+                engine.rollback()
+            got = sorted(r.a for r in engine.table(name).collect())
+            want = sorted(committed if staged is None else staged)
+            assert got == want, (seq, op, got, want)
+        # committed state on disk == model's committed list
+        fresh = Engine(spark, warehouse=engine.warehouse)
+        assert sorted(r.a for r in fresh.table(name).collect()) == sorted(
+            committed if staged is None else committed
+        )
+
+    run()
+
+
+def test_sql_time_travel_version_as_of(engine):
+    _mk(engine)  # v1
+    engine.insert("t", engine.spark.createDataFrame([(3, "c")], "a INT, b STRING"))
+    assert engine.sql("SELECT count(*) AS n FROM t").collect()[0].n == 3
+    assert engine.sql(
+        "SELECT count(*) AS n FROM t FOR VERSION AS OF 1"
+    ).collect()[0].n == 2
+    # works in joins too
+    row = engine.sql(
+        "SELECT count(*) AS n FROM t JOIN t FOR VERSION AS OF 1 USING (a)"
+    ).collect()[0]
+    assert row.n == 2
