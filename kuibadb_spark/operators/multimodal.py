@@ -345,3 +345,68 @@ ORACLES["mm_image_tiles"] = """
     WHERE doc_id < 100
     ORDER BY doc_id, ty, tx
 """
+
+
+# ---------------------------------------------------------------------------
+# audio frame windowing: per-frame energy over PCM-style samples
+# ---------------------------------------------------------------------------
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio feature-extraction front end (what an FFT/mel pipeline
+    does before the model): window the sample stream into fixed frames
+    (256 samples, hop 128 — 50% overlap) and compute per-frame energy.
+    The payload's bytes stand in for u8 PCM samples (no codecs in the
+    container — decode_audio is the gated real path); energy is an
+    integer sum of squares, exact across engines.
+
+    Scale shape: entirely row-local — sample extraction, framing, and
+    energy are one nested transform/aggregate per row, zero shuffle
+    before the final ORDER BY; the frame explosion is the only row
+    multiplier (n_frames ≈ len/hop, the same linearity as tokenizing)."""
+    p = _payloads(spark, sf_dir)
+    return (
+        p.selectExpr(
+            "doc_id",
+            "transform(sequence(1, octet_length(payload)),"
+            " i -> ascii(substring(CAST(payload AS STRING), i, 1))) AS s",
+        )
+        .filter(F.col("doc_id") < 200)
+        .selectExpr(
+            "doc_id",
+            "explode(transform("
+            " sequence(0, greatest(CAST(floor((size(s) - 256) / 128) AS INT), 0)),"
+            " f -> struct(f AS frame,"
+            "   CAST(aggregate(slice(s, f * 128 + 1, 256), 0L,"
+            "        (a, x) -> a + x * x) AS BIGINT) AS energy))) AS fr",
+        )
+        .select(
+            "doc_id",
+            F.col("fr.frame").alias("frame"),
+            F.col("fr.energy").alias("energy"),
+        )
+        .orderBy("doc_id", "frame")
+    )
+
+
+QUERIES["mm_audio_frame_energy"] = mm_audio_frame_energy
+
+ORACLES["mm_audio_frame_energy"] = """
+    WITH samples AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text)),
+                              i -> ord(substr(text, i, 1))) AS s
+        FROM documents
+        WHERE doc_id < 200
+    ),
+    frames AS (
+        SELECT doc_id, s,
+               unnest(generate_series(0,
+                   greatest(CAST(floor((len(s) - 256) / 128.0) AS INTEGER), 0)))
+                   AS frame
+        FROM samples
+    )
+    SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+           CAST(list_sum(list_transform(s[frame * 128 + 1 : frame * 128 + 256],
+                                        x -> x * x)) AS BIGINT) AS energy
+    FROM frames
+    ORDER BY doc_id, frame
+"""
