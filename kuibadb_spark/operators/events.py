@@ -745,3 +745,119 @@ ORACLES["ev_error_rate_timeline"] = """
     GROUP BY hr
     ORDER BY hr
 """
+
+
+# --------------------------------------------------------------------------
+# interval-overlap self-join: concurrent sessions of different users
+# --------------------------------------------------------------------------
+def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which users were online at the same time: sessionize per user
+    (10-minute gap; session = [first event, last event + 10 min]), then
+    find all cross-user session pairs whose intervals overlap, and
+    aggregate per user pair (pair count + total overlap seconds).
+
+    Scale shape — the banded interval join: sessions explode to the
+    HOUR buckets they cover (bounded fan-out: session length is
+    gap-bounded), candidates come from an equi-join on the bucket, the
+    exact overlap predicate re-filters, and a distinct on session-pair
+    ids removes multi-bucket duplicates. No inequality join ever reaches
+    the planner (the oracle states the naive theta join — same answer,
+    quadratic asymptotics). All interval math is exact integer
+    microseconds."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = 10 * 60 * 1_000_000
+    sess = (
+        e.selectExpr(
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "event_id",
+        )
+        .withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > gap),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("s"),
+            (F.max("us") + gap).alias("e"),
+        )
+    )
+    hour = 3600 * 1_000_000
+    b = sess.selectExpr(
+        "user_id", "sid", "s", "e",
+        f"explode(sequence(s div {hour}, e div {hour})) AS hb",
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), "hb")
+        .filter(
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e"))
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("a.sid").alias("sid1"),
+            F.col("b.sid").alias("sid2"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("ov_us"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("u1", "u2")
+        .agg(
+            F.count(F.lit(1)).alias("n_session_pairs"),
+            F.expr("CAST(sum(ov_us) div 1000000 AS BIGINT)").alias("overlap_s"),
+        )
+        .orderBy("u1", "u2")
+    )
+
+
+QUERIES["ev_concurrent_sessions"] = ev_concurrent_sessions
+
+ORACLES["ev_concurrent_sessions"] = """
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, sid, min(us) AS s, max(us) + 600000000 AS e
+        FROM numbered GROUP BY user_id, sid
+    ),
+    pairs AS (
+        SELECT a.user_id AS u1, b.user_id AS u2,
+               least(a.e, b.e) - greatest(a.s, b.s) AS ov_us
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+    )
+    SELECT u1, u2,
+           CAST(count(*) AS BIGINT) AS n_session_pairs,
+           CAST(sum(ov_us) // 1000000 AS BIGINT) AS overlap_s
+    FROM pairs
+    GROUP BY u1, u2
+    ORDER BY u1, u2
+"""

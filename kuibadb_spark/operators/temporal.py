@@ -463,3 +463,121 @@ ORACLES["ts_interval_merge"] = """
     GROUP BY user_id, island
     ORDER BY user_id, island
 """
+
+
+# --------------------------------------------------------------------------
+# gap fill by LINEAR INTERPOLATION (the LOCF op's numeric sibling)
+# --------------------------------------------------------------------------
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly series where missing hours take the linear
+    interpolation between the surrounding observed hours (leading gaps
+    take the next value, trailing the previous). Same metadata-scale
+    spine as ts_gap_fill_locf; the interpolation is integer-cents
+    cross-multiplication with truncating div (Spark `div` == DuckDB `//`
+    on negatives too — probed rule, functions/scalar.py header), so the
+    filled values are bit-identical across engines — a float slope would
+    not be."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type"), F.date_trunc("HOUR", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    bounds = e.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("lo"),
+        F.date_trunc("HOUR", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    hep = F.expr("CAST(unix_timestamp(h) div 3600 AS BIGINT)")
+    obs_h = F.when(F.col("cents").isNotNull(), hep)
+    dense = (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .withColumn("hep", hep)
+        .withColumn("pc", F.last("cents", ignorenulls=True).over(wp))
+        .withColumn("ph", F.last(obs_h, ignorenulls=True).over(wp))
+        .withColumn("nc", F.first("cents", ignorenulls=True).over(wn))
+        .withColumn("nh", F.first(obs_h, ignorenulls=True).over(wn))
+    )
+    interp = (
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(F.col("pc").isNull(), F.coalesce(F.col("nc"), F.lit(0)))
+        .when(F.col("nc").isNull(), F.col("pc"))
+        .otherwise(
+            F.col("pc")
+            + F.expr("(nc - pc) * (hep - ph) div (nh - ph)")
+        )
+    )
+    return (
+        dense.select(
+            "event_type",
+            "h",
+            F.col("cents").isNull().alias("filled"),
+            interp.cast("bigint").alias("cents_interp"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+QUERIES["ts_gap_fill_interpolate"] = ts_gap_fill_interpolate
+
+ORACLES["ts_gap_fill_interpolate"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY event_type, h
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM (SELECT DISTINCT event_type FROM events) t, bounds
+    ),
+    dense AS (
+        SELECT s.event_type, s.h, cents,
+               epoch_us(s.h) // 3600000000 AS hep,
+               last_value(cents IGNORE NULLS) OVER wp AS pc,
+               last_value(CASE WHEN cents IS NOT NULL
+                               THEN epoch_us(s.h) // 3600000000 END IGNORE NULLS)
+                   OVER wp AS ph,
+               first_value(cents IGNORE NULLS) OVER wn AS nc,
+               first_value(CASE WHEN cents IS NOT NULL
+                                THEN epoch_us(s.h) // 3600000000 END IGNORE NULLS)
+                   OVER wn AS nh
+        FROM spine s LEFT JOIN hourly USING (event_type, h)
+        WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY s.event_type ORDER BY s.h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h,
+           cents IS NULL AS filled,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
+                     WHEN pc IS NULL THEN coalesce(nc, 0)
+                     WHEN nc IS NULL THEN pc
+                     ELSE pc + (nc - pc) * (hep - ph) // (nh - ph)
+                END AS BIGINT) AS cents_interp
+    FROM dense
+    ORDER BY event_type, h
+"""
