@@ -544,3 +544,93 @@ ORACLES["text_dsir_importance"] = f"""
     GROUP BY doc_id, lang
     ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# per-source scorecard: the mixture/filtering decision table
+# --------------------------------------------------------------------------
+def text_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source decision table a pretraining pipeline builds before
+    choosing mixture weights: for every source, document count, exact
+    duplicate rate, mean token count, quality pass rate (C4-style length
+    + word-length-band rules), and a derived keep recommendation
+    pass_ppm × (1 − dup_ppm) — all in exact integer ppm (cross-
+    multiplied, no float division), so the scorecard hash-matches
+    across engines.
+
+    Scale: one row-local projection (tokens, rule bits, md5), one
+    partial-aggregated groupBy(source) with count_distinct for dups —
+    the same one-shuffle profile shape as profile_lineitem; output
+    cardinality = number of sources."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.selectExpr(
+        "source",
+        "md5(text) AS dig",
+        "size(split(text, ' ')) AS n_toks",
+        "aggregate(split(text, ' '), 0, (a, t) -> a + length(t)) AS sum_len",
+    ).selectExpr(
+        "source",
+        "dig",
+        "n_toks",
+        "CAST(n_toks >= 20 AND 3 * n_toks <= sum_len"
+        " AND sum_len <= 10 * n_toks AS INT) AS pass",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("dig").alias("n_distinct"),
+            F.sum("n_toks").alias("total_toks"),
+            F.sum("pass").alias("n_pass"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "CAST(1000000 * (n_docs - n_distinct) div n_docs AS BIGINT)"
+            " AS dup_ppm",
+            "CAST(100 * total_toks div n_docs AS BIGINT) AS mean_toks_e2",
+            "CAST(1000000 * n_pass div n_docs AS BIGINT) AS pass_ppm",
+            "CAST((1000000 * n_pass div n_docs)"
+            " * (1000000 - 1000000 * (n_docs - n_distinct) div n_docs)"
+            " div 1000000 AS BIGINT) AS keep_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_source_scorecard"] = text_source_scorecard
+
+ORACLES["text_source_scorecard"] = """
+    WITH scored AS (
+        SELECT source,
+               md5(text) AS dig,
+               len(string_split(text, ' ')) AS n_toks,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                                            t -> length(t))) AS BIGINT)
+                   AS sum_len
+        FROM documents
+    ),
+    b AS (
+        SELECT source, dig, n_toks,
+               CASE WHEN n_toks >= 20 AND 3 * n_toks <= sum_len
+                         AND sum_len <= 10 * n_toks THEN 1 ELSE 0 END AS pass
+        FROM scored
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT dig) AS BIGINT) AS n_distinct,
+               CAST(sum(n_toks) AS BIGINT) AS total_toks,
+               CAST(sum(pass) AS BIGINT) AS n_pass
+        FROM b GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(1000000 * (n_docs - n_distinct) // n_docs AS BIGINT) AS dup_ppm,
+           CAST(100 * total_toks // n_docs AS BIGINT) AS mean_toks_e2,
+           CAST(1000000 * n_pass // n_docs AS BIGINT) AS pass_ppm,
+           CAST((1000000 * n_pass // n_docs)
+                * (1000000 - 1000000 * (n_docs - n_distinct) // n_docs)
+                // 1000000 AS BIGINT) AS keep_ppm
+    FROM agg
+    ORDER BY source
+"""
