@@ -270,6 +270,8 @@ class Engine:
         Spark equivalents first (functions/pg_ops.py) — the catalog
         surface the reference seeds in initdb (main.rs:463-653)."""
         text = _pg_translate(text)
+        if not text.strip().strip(";").strip():
+            return None  # Empty statement (reference grammar: Stmt::Empty)
         if _BEGIN_RE.match(text):
             self.begin()
             return None

@@ -320,3 +320,10 @@ def test_sql_time_travel_version_as_of(engine):
         "SELECT count(*) AS n FROM t JOIN t FOR VERSION AS OF 1 USING (a)"
     ).collect()[0]
     assert row.n == 2
+
+
+def test_empty_statement_accepted(engine):
+    # reference grammar Stmt::Empty — bare/whitespace/semicolon statements
+    assert engine.sql("") is None
+    assert engine.sql("  ;  ") is None
+    assert engine.run_script(";;;") is None
