@@ -664,3 +664,123 @@ ORACLES["dedup_containment"] = f"""
     WHERE cont_a_e6 >= 900000 OR cont_b_e6 >= 900000
     ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup: the crawl pipeline's first pass
+# ---------------------------------------------------------------------------
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheapest dedup pass every crawl pipeline runs FIRST: canonicalize
+    each document's URL (lowercase host, strip the fragment, drop
+    tracking parameters, sort the surviving query params, trim trailing
+    slash) and group exact canonical matches — catching re-crawls of one
+    page under utm-decorated / reordered / fragment-bearing variants
+    before any content hashing runs. Fixture documents carry no URL, so
+    one is synthesized deterministically from (source, doc_id) with
+    variant decorations chosen by doc_id % 4 — the canonicalizer is the
+    operator under test and collapses all variants of a page.
+
+    Canonicalization is pure row-local regexp/string work (zero
+    shuffle); the dedup groupBy on the canonical URL is one
+    partial-aggregated exchange — at 100 TB this is the map-side-cheap
+    pass that removes the bulk of crawl duplication for ~free."""
+    d = load(spark, sf_dir, "documents")
+    # synthesize: page identity = (source, doc_id div 4); decoration by doc_id%4
+    raw = d.selectExpr(
+        "doc_id",
+        "concat('src', CAST(doc_id div 4 % 20 AS STRING)) AS host",
+        "concat(" 
+        " CASE WHEN doc_id % 4 = 1 THEN 'HTTPS://' ELSE 'https://' END,"
+        " CASE WHEN doc_id % 4 = 1"
+        "      THEN upper(concat('src', CAST(doc_id div 4 % 20 AS STRING)))"
+        "      ELSE concat('src', CAST(doc_id div 4 % 20 AS STRING)) END,"
+        " '.example.com/page/', CAST(doc_id div 4 AS STRING),"
+        " CASE WHEN doc_id % 4 = 0 THEN ''"
+        "      WHEN doc_id % 4 = 1 THEN '/'"
+        "      WHEN doc_id % 4 = 2 THEN '?utm_source=feed&utm_campaign=x'"
+        "      ELSE '?b=2&utm_medium=social&a=1#section' END"
+        ") AS url",
+    )
+    canon = raw.withColumn(
+        "cu",
+        F.expr(
+            # 1. strip fragment  2. lowercase scheme+host (up to first /)
+            # 3. drop utm_* params  4. sort remaining params  5. trim
+            #    trailing slash and dangling ?/&
+            """
+            regexp_replace(
+              concat(
+                lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                     '^([^/]+//[^/]+)', 1)),
+                regexp_extract(regexp_replace(url, '#.*$', ''),
+                               '^[^/]+//[^/]+(/[^?]*)?', 1),
+                CASE WHEN regexp_extract(regexp_replace(url, '#.*$', ''),
+                                         '\\\\?(.*)$', 1) = '' THEN ''
+                     ELSE concat('?', array_join(array_sort(
+                          filter(split(regexp_extract(
+                                  regexp_replace(url, '#.*$', ''),
+                                  '\\\\?(.*)$', 1), '&'),
+                              p -> p NOT LIKE 'utm_%' AND p != '')), '&'))
+                END
+              ),
+              '[/?]+$', '')
+            """
+        ),
+    )
+    return (
+        canon.groupBy("cu")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.expr("array_sort(collect_list(doc_id))").alias("members"),
+        )
+        .filter(F.col("n_variants") > 1)
+        .orderBy("cu")
+    )
+
+
+QUERIES["dedup_url_normalize"] = dedup_url_normalize
+
+ORACLES["dedup_url_normalize"] = r"""
+    WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 4 = 1 THEN 'HTTPS://' ELSE 'https://' END)
+               || (CASE WHEN doc_id % 4 = 1
+                        THEN upper('src' || CAST(doc_id // 4 % 20 AS VARCHAR))
+                        ELSE 'src' || CAST(doc_id // 4 % 20 AS VARCHAR) END)
+               || '.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+               || (CASE WHEN doc_id % 4 = 0 THEN ''
+                        WHEN doc_id % 4 = 1 THEN '/'
+                        WHEN doc_id % 4 = 2 THEN '?utm_source=feed&utm_campaign=x'
+                        ELSE '?b=2&utm_medium=social&a=1#section' END) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                 lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                      '^([^/]+//[^/]+)', 1))
+                 || coalesce(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                '^[^/]+//[^/]+(/[^?]*)?', 1), '')
+                 || (CASE WHEN coalesce(regexp_extract(
+                                   regexp_replace(url, '#.*$', ''),
+                                   '\?(.*)$', 1), '') = '' THEN ''
+                          ELSE '?' || coalesce(array_to_string(list_sort(
+                               list_filter(string_split(regexp_extract(
+                                       regexp_replace(url, '#.*$', ''),
+                                       '\?(.*)$', 1), '&'),
+                                   p -> p NOT LIKE 'utm_%' AND p != '')), '&'),
+                               '')
+                     END),
+                 '[/?]+$', '') AS cu
+        FROM raw
+    )
+    SELECT cu,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id) AS canonical_doc,
+           list_sort(list(doc_id)) AS members
+    FROM canon
+    GROUP BY cu
+    HAVING count(*) > 1
+    ORDER BY cu
+"""
