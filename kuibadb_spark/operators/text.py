@@ -957,3 +957,94 @@ ORACLES["text_bpe_apply_merges"] = r"""
     WHERE n_tokens - len(string_split(trim(merged), ' ')) > 0
     ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# BPE step 3: ADAPTIVE training rounds (argmax merge, re-count, repeat)
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 3
+
+
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True (adaptive) BPE training for 3 rounds: each round counts
+    adjacent pairs on the CURRENT token stream, merges the argmax pair
+    corpus-wide, and re-counts — unlike text_bpe_apply_merges, whose
+    batch is ranked once. Output: (round, pair, n) — the induced merge
+    table, the actual artifact a tokenizer trainer ships.
+
+    Driver discipline: the per-round collect is ONE row (the argmax
+    merge — same bounded pattern as sim_kmeans_lloyd's K centroids);
+    the corpus never leaves the executors. Each round is one pair
+    explode + partial-aggregated count; merge application is row-local
+    string replace on the space-padded stream (leftmost non-overlapping
+    in both engines — adjacent repeats of the merged pair share their
+    separator space and only collapse on a later round, the documented
+    padded-string caveat)."""
+    cur = load(spark, sf_dir, "documents").selectExpr(
+        "concat(' ', lower(text), ' ') AS s"
+    )
+    out_rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        top = (
+            cur.selectExpr("split(trim(s), ' ') AS toks")
+            .selectExpr(
+                "explode(zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))) AS pair"
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        out_rows.append((rnd, top["pair"], top["n"]))
+        pair = top["pair"].replace("'", "''")
+        cur = cur.selectExpr(
+            f"replace(s, concat(' ', '{pair}', ' '),"
+            f" concat(' ', replace('{pair}', ' ', '_'), ' ')) AS s"
+        )
+    return spark.createDataFrame(out_rows, "round INT, pair STRING, n BIGINT")
+
+
+QUERIES["text_bpe_train_rounds"] = text_bpe_train_rounds
+
+_BPE_PAIRS_DUCK = """
+    SELECT unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1])) AS pair
+    FROM (SELECT string_split(trim({src}), ' ') AS toks FROM {tbl})
+"""
+
+ORACLES["text_bpe_train_rounds"] = f"""
+    WITH d0 AS (SELECT ' ' || lower(text) || ' ' AS s FROM documents),
+    m1 AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM ({_BPE_PAIRS_DUCK.format(src='s', tbl='d0')})
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    ),
+    d1 AS (
+        SELECT replace(s, ' ' || pair || ' ',
+                       ' ' || replace(pair, ' ', '_') || ' ') AS s
+        FROM d0, m1
+    ),
+    m2 AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM ({_BPE_PAIRS_DUCK.format(src='s', tbl='d1')})
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    ),
+    d2 AS (
+        SELECT replace(s, ' ' || pair || ' ',
+                       ' ' || replace(pair, ' ', '_') || ' ') AS s
+        FROM d1, m2
+    ),
+    m3 AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM ({_BPE_PAIRS_DUCK.format(src='s', tbl='d2')})
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    )
+    SELECT CAST(1 AS INTEGER) AS round, pair, n FROM m1
+    UNION ALL SELECT 2, pair, n FROM m2
+    UNION ALL SELECT 3, pair, n FROM m3
+    ORDER BY round
+"""
