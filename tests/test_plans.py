@@ -212,3 +212,44 @@ def test_registry_orders_unverified_first():
     assert set(back) <= verified
     for k in keys[: len(failed & set(keys))]:
         assert k in failed
+
+
+def test_concurrent_sessions_no_theta_join(spark):
+    """ev_concurrent_sessions: the interval overlap must reach the
+    planner as a bucket equi-join — a BroadcastNestedLoop or cartesian
+    means the banded rewrite regressed to the oracle's theta join."""
+    from kuibadb_spark.operators.events import ev_concurrent_sessions
+
+    p = _plan(ev_concurrent_sessions(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_line_dedup_single_scan(spark):
+    """text_line_dedup: chunking is row-local and the count+mark join
+    hangs off the chunk exchange — documents must be scanned once."""
+    from kuibadb_spark.operators.text import text_line_dedup
+
+    p = _plan(text_line_dedup(spark, SF))
+    assert _scan_count(p) <= 2, p
+
+
+def test_url_normalize_single_scan_no_join(spark):
+    """dedup_url_normalize: pure row-local canonicalization + one
+    partial-aggregated groupBy — one scan, no join at all."""
+    from kuibadb_spark.operators.dedup import dedup_url_normalize
+
+    p = _plan(dedup_url_normalize(spark, SF))
+    assert _scan_count(p) == 1, p
+    assert "Join" not in p
+    assert "partial_count" in p or p.count("HashAggregate") >= 2
+
+
+def test_rrf_broadcasts_query_vector(spark):
+    """sim_rrf_fusion: the 1-row query embedding reaches the corpus as
+    a broadcast; no cartesian beyond that deliberate 1-row crossJoin."""
+    from kuibadb_spark.operators.similarity import sim_rrf_fusion
+
+    p = _plan(sim_rrf_fusion(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
