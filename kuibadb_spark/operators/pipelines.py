@@ -414,3 +414,140 @@ ORACLES["ev_ab_test_lift"] = """
            NULL
     ORDER BY arm
 """
+
+
+# --------------------------------------------------------------------------
+# ordered 4-step funnel: signup → view → click → purchase, in time order
+# --------------------------------------------------------------------------
+def ev_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic ordered funnel chart: users who did signup, then a
+    view within 24 h after the signup, then a click within 24 h of that
+    view, then a purchase within 24 h of that click — per-step user
+    counts and step-over-step conversion in exact integer ppm. The
+    24 h step deadline is what makes the funnel slope on this fixture
+    (150 → 39 → 16 → 5 users at sf0.01); without it every user
+    eventually completes every step.
+
+    Plan shape: four chained window passes over ONE user_id exchange
+    (each step's first-qualifying timestamp is a min-over-partition
+    that references the previous step's column — no self-joins, no
+    per-user arrays), then a global conditional aggregate whose output
+    is 4 rows. At 100 TB: one shuffle of (user, type, ts) triples,
+    window state is 4 timestamps per user."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type AS et", "unix_micros(CAST(ts AS TIMESTAMP)) AS us"
+    )
+    w = W.partitionBy("user_id")
+    staged = (
+        e.withColumn("t1", F.min(F.when(F.col("et") == "signup", F.col("us"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("et") == "view")
+                    & (F.col("us") > F.col("t1"))
+                    & (F.col("us") - F.col("t1") <= 86400000000),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("et") == "click")
+                    & (F.col("us") > F.col("t2"))
+                    & (F.col("us") - F.col("t2") <= 86400000000),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t4",
+            F.min(
+                F.when(
+                    (F.col("et") == "purchase")
+                    & (F.col("us") > F.col("t3"))
+                    & (F.col("us") - F.col("t3") <= 86400000000),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        .select("user_id", "t1", "t2", "t3", "t4")
+        .distinct()
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.count("t4").alias("n4"),
+    )
+    return (
+        agg.selectExpr(
+            "stack(4,"
+            " 1, 'signup', n1, CAST(1000000 * n1 div n0 AS BIGINT),"
+            " 2, 'view_after_signup', n2, CAST(1000000 * n2 div n1 AS BIGINT),"
+            " 3, 'click_after_view', n3, CAST(1000000 * n3 div n2 AS BIGINT),"
+            " 4, 'purchase_after_click', n4, CAST(1000000 * n4 div n3 AS BIGINT)"
+            ") AS (step, step_name, n_users, conv_ppm)"
+        )
+        .orderBy("step")
+    )
+
+
+QUERIES["ev_step_funnel"] = ev_step_funnel
+
+ORACLES["ev_step_funnel"] = """
+    WITH e AS (
+        SELECT user_id, event_type AS et, epoch_us(ts) AS us FROM events
+    ),
+    staged AS (
+        SELECT DISTINCT user_id, t1, t2, t3, t4 FROM (
+            SELECT user_id,
+                   t1, t2, t3,
+                   min(CASE WHEN et = 'purchase' AND us > t3 AND us - t3 <= 86400000000 THEN us END)
+                       OVER (PARTITION BY user_id) AS t4
+            FROM (
+                SELECT user_id, et, us, t1, t2,
+                       min(CASE WHEN et = 'click' AND us > t2 AND us - t2 <= 86400000000 THEN us END)
+                           OVER (PARTITION BY user_id) AS t3
+                FROM (
+                    SELECT user_id, et, us, t1,
+                           min(CASE WHEN et = 'view' AND us > t1 AND us - t1 <= 86400000000 THEN us END)
+                               OVER (PARTITION BY user_id) AS t2
+                    FROM (
+                        SELECT user_id, et, us,
+                               min(CASE WHEN et = 'signup' THEN us END)
+                                   OVER (PARTITION BY user_id) AS t1
+                        FROM e
+                    )
+                )
+            )
+        )
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(count(t1) AS BIGINT) AS n1,
+               CAST(count(t2) AS BIGINT) AS n2,
+               CAST(count(t3) AS BIGINT) AS n3,
+               CAST(count(t4) AS BIGINT) AS n4
+        FROM staged
+    )
+    SELECT * FROM (
+        SELECT 1 AS step, 'signup' AS step_name, n1 AS n_users,
+               CAST(1000000 * n1 // n0 AS BIGINT) AS conv_ppm FROM agg
+        UNION ALL
+        SELECT 2, 'view_after_signup', n2, CAST(1000000 * n2 // n1 AS BIGINT)
+        FROM agg
+        UNION ALL
+        SELECT 3, 'click_after_view', n3, CAST(1000000 * n3 // n2 AS BIGINT)
+        FROM agg
+        UNION ALL
+        SELECT 4, 'purchase_after_click', n4, CAST(1000000 * n4 // n3 AS BIGINT)
+        FROM agg
+    )
+    ORDER BY step
+"""
