@@ -785,3 +785,67 @@ ORACLES["sim_rrf_fusion"] = f"""
     ORDER BY rrf_e6 DESC, doc_id
     LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# 8. maximum inner product search via the norm-augmentation reduction
+# ---------------------------------------------------------------------------
+def sim_mips_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS (recommendation scoring: argmax q·v, where longer vectors ARE
+    more relevant — cosine deliberately not wanted) computed through the
+    classic norm-augmentation reduction (Bachrach 2014 / Shrivastava-Li
+    asymmetric LSH): append sqrt(M² − |v|²) to every corpus vector and 0
+    to the query; all augmented vectors then share norm M, so cosine
+    order against the augmented corpus IS inner-product order — which
+    unlocks every cosine-bucketed ANN structure above for MIPS. This
+    operator ranks by the augmented cosine and emits the raw dot; the
+    ORACLE ranks by the raw dot directly — the hash match is a
+    cross-engine proof of the reduction's monotonicity.
+
+    Scale: M is a 1-row broadcast aggregate; everything else is the
+    brute-force shape (broadcast queries × corpus) the bucketed variants
+    replace at 100 TB."""
+    e = _emb(spark, sf_dir)
+    m = e.agg(F.max("norm").alias("mx"))
+    aug = e.crossJoin(F.broadcast(m)).selectExpr(
+        "vec_id", "v", "norm",
+        "concat(v, array(sqrt(mx * mx - norm * norm))) AS va",
+        "mx",
+    )
+    q = e.filter(F.col("vec_id") < 10).selectExpr(
+        "vec_id AS q_id", "concat(v, array(0D)) AS qa", "v AS qv", "norm AS qn"
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(aug, F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos_aug", _dot("qa", "va") / (F.col("qn") * F.col("mx")))
+        .withColumn("dot", F.round(_dot("qv", "v"), 6))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_aug"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rank", "dot")
+        .orderBy("q_id", "rank")
+    )
+
+
+QUERIES["sim_mips_maxdot"] = sim_mips_maxdot
+
+ORACLES["sim_mips_maxdot"] = f"""
+    WITH {_EMB_DUCK},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 10),
+    pairs AS (
+        SELECT q_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(qv, e.v), 6) AS dot
+        FROM q JOIN emb e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, rank, dot FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY dot DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM pairs)
+    WHERE rank <= 5
+    ORDER BY q_id, rank
+"""
