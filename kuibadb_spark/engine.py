@@ -58,6 +58,18 @@ _SET_RE = re.compile(
     r"^\s*SET\s+(\w+)\s*(?:=|\bTO\b)\s*(.+?)\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_RE = re.compile(r"^\s*SHOW\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+# maintenance statements (Delta-flavored spellings over the manifest
+# catalog): OPTIMIZE [ZORDER BY (cols)], VACUUM, ANALYZE, DESCRIBE
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+ZORDER\s+BY\s*\(([\w\s,]+)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(r"^\s*VACUUM\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
+)
 # time-travel table reference: FROM t FOR VERSION AS OF 3 (Delta's SQL
 # spelling over this engine's per-version manifests)
 _VERSION_AS_OF_RE = re.compile(
@@ -290,6 +302,27 @@ class Engine:
         if m and self.gucs.is_declared(m.group(1)):
             self.gucs.set(m.group(1), m.group(2))
             return None
+        m = _OPTIMIZE_RE.match(text)
+        if m:
+            zcols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+            n = self.compact(m.group(1), target_files=4, zorder_by=zcols)
+            return self.spark.createDataFrame([(n,)], "files BIGINT")
+        m = _VACUUM_RE.match(text)
+        if m:
+            n = self.gc(m.group(1))
+            return self.spark.createDataFrame([(n,)], "removed BIGINT")
+        m = _ANALYZE_RE.match(text)
+        if m and self._table_exists(m.group(1)):
+            st = self.analyze(m.group(1))
+            return self.spark.createDataFrame(
+                [(st["rows"],)], "rows BIGINT"
+            )
+        m = _DESCRIBE_RE.match(text)
+        if m and self._table_exists(m.group(1)):
+            return self.spark.createDataFrame(
+                [(d["column"], d["type"], d["not_null"]) for d in self.describe(m.group(1))],
+                "column STRING, type STRING, not_null BOOLEAN",
+            )
         m = _SHOW_RE.match(text)
         if m:
             name = m.group(1).lower()
@@ -1104,6 +1137,12 @@ class Engine:
         return removed
 
     # -- helpers ---------------------------------------------------------------
+    def _table_exists(self, name: str) -> bool:
+        try:
+            return os.path.exists(mf.manifest_path(self._table_dir(name)))
+        except ValueError:
+            return False
+
     def _table_dir(self, name: str) -> str:
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise ValueError(f"bad table name {name!r}")

@@ -327,3 +327,20 @@ def test_empty_statement_accepted(engine):
     assert engine.sql("") is None
     assert engine.sql("  ;  ") is None
     assert engine.run_script(";;;") is None
+
+
+def test_sql_maintenance_statements(engine):
+    _mk(engine)
+    engine.insert("t", engine.spark.createDataFrame([(3, "c")], "a INT, b STRING"))
+    assert engine.sql("DESCRIBE t").collect()[0].column == "a"
+    assert engine.sql("ANALYZE t").collect()[0].rows == 3
+    files = engine.sql("OPTIMIZE t").collect()[0].files
+    assert files >= 1
+    removed = engine.sql("VACUUM t").collect()[0].removed
+    assert removed >= 1  # pre-compaction segments reclaimed
+    assert {r.a for r in engine.table("t").collect()} == {1, 2, 3}
+    # ANALYZE of a non-engine target still falls through to Spark
+    import pyspark.errors
+    import pytest as _pt
+    with _pt.raises(Exception):
+        engine.sql("ANALYZE no_such_table_xyz")
