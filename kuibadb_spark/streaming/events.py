@@ -557,3 +557,47 @@ ORACLES["stream_latest_per_user"] = """
     WHERE rn = 1
     ORDER BY user_id
 """
+
+
+def error_rate_timeline(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Incremental SLO dashboard: hourly error share in exact integer ppm
+    — the streaming twin of the batch ev_error_rate_timeline. count_if
+    and count are both associative, so the window aggregate runs with
+    partial state per (hour) and the ppm division is a projection of the
+    final counts (exact cross-multiplied integers, no float drift
+    between incremental and batch execution)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        )
+        .selectExpr(
+            "w.start AS hr",
+            "n_events",
+            "n_errors",
+            "CAST((1000000 * n_errors) div n_events AS BIGINT) AS error_ppm",
+        )
+    )
+
+
+def stream_error_rate_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(error_rate_timeline(read_events_stream(spark, sf_dir)))
+    return out.withColumn("hr", F.col("hr").cast("timestamp_ntz")).orderBy("hr")
+
+
+QUERIES["stream_error_rate_timeline"] = stream_error_rate_timeline
+
+# identical oracle as the batch ev_error_rate_timeline — streaming must
+# converge to the batch answer on the finite source
+ORACLES["stream_error_rate_timeline"] = """
+    SELECT date_trunc('hour', ts) AS hr,
+           count(*) AS n_events,
+           CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors,
+           CAST((1000000 * count_if(event_type = 'error')) // count(*)
+                AS BIGINT) AS error_ppm
+    FROM events
+    GROUP BY hr
+    ORDER BY hr
+"""
