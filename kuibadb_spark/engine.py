@@ -70,6 +70,13 @@ _ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(
     r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
 )
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(SELECT\s+.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
 # time-travel table reference: FROM t FOR VERSION AS OF 3 (Delta's SQL
 # spelling over this engine's per-version manifests)
 _VERSION_AS_OF_RE = re.compile(
@@ -302,6 +309,14 @@ class Engine:
         if m and self.gucs.is_declared(m.group(1)):
             self.gucs.set(m.group(1), m.group(2))
             return None
+        m = _CREATE_MV_RE.match(text)
+        if m:
+            self.create_materialized_view(m.group(1), m.group(2))
+            return None
+        m = _REFRESH_MV_RE.match(text)
+        if m:
+            refreshed = self.refresh_materialized_view(m.group(1))
+            return self.spark.createDataFrame([(refreshed,)], "refreshed BOOLEAN")
         m = _OPTIMIZE_RE.match(text)
         if m:
             zcols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
@@ -1018,6 +1033,70 @@ class Engine:
             )
         mf._persist(tdir, m)
         return stats
+
+    # -- materialized views ----------------------------------------------------
+    # PG-spelled, lakehouse-semantics: the view body runs against the
+    # engine's manifest tables; the result is itself a manifest table
+    # stamped with the exact source versions it was computed from
+    # (props.mv_deps). REFRESH is a no-op while every dependency is still
+    # at its recorded version — the staleness check is a metadata read,
+    # never a scan — and recomputes (new manifest version, old result
+    # time-travelable) when any dependency moved. True incremental
+    # maintenance is the streaming surface's job
+    # (streaming/events.py::write_stream_to_table + engine.stream).
+    def create_materialized_view(self, name: str, body_sql: str) -> None:
+        self._register_all()
+        # dependency set = engine tables the body references by name
+        # (word match — over-matching only widens the staleness check)
+        deps = {
+            t: mf.read_manifest(self._table_dir(t))["version"]
+            for t in self.tables()
+            if re.search(rf"\b{re.escape(t)}\b", body_sql, re.IGNORECASE)
+        }
+        result = self.spark.sql(body_sql)
+        self.create_table(name, result.schema)
+        tdir = self._table_dir(name)
+        m = mf.read_manifest(tdir)
+        m["props"]["mv_sql"] = body_sql
+        m["props"]["mv_deps"] = deps
+        mf._persist(tdir, m)
+        self.insert(name, result)
+
+    def refresh_materialized_view(self, name: str) -> bool:
+        """Returns True iff a recompute happened (some dependency moved)."""
+        tdir = self._table_dir(name)
+        m = mf.read_manifest(tdir)
+        sql = m["props"].get("mv_sql")
+        if sql is None:
+            raise ValueError(f"{name!r} is not a materialized view")
+        deps = m["props"]["mv_deps"]
+        current = {
+            t: mf.read_manifest(self._table_dir(t))["version"]
+            for t in deps
+            if os.path.exists(mf.manifest_path(self._table_dir(t)))
+        }
+        if current == deps:
+            return False
+        self._register_all()
+        result = self.spark.sql(sql)
+        schema = _phys_schema(m["schema"])
+        aligned = result.select(
+            *[result[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        aligned.write.mode("overwrite").parquet(staging)
+        new_files = [
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        ]
+        m2 = mf.read_manifest(tdir)
+        mf.replace_files(tdir, new_files, m2["version"],
+                         stats=zonemap.collect_file_stats(new_files))
+        m3 = mf.read_manifest(tdir)
+        m3["props"]["mv_deps"] = current
+        mf._persist(tdir, m3)
+        return True
 
     # -- maintenance -----------------------------------------------------------
     def compact(

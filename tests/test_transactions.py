@@ -344,3 +344,26 @@ def test_sql_maintenance_statements(engine):
     import pytest as _pt
     with _pt.raises(Exception):
         engine.sql("ANALYZE no_such_table_xyz")
+
+
+def test_materialized_view_lifecycle(engine):
+    _mk(engine, "base", rows=((1, "x"), (2, "y"), (3, "x")))
+    engine.sql(
+        "CREATE MATERIALIZED VIEW mv AS"
+        " SELECT b, count(*) AS n FROM base GROUP BY b"
+    )
+    assert {tuple(r) for r in engine.table("mv").collect()} == {("x", 2), ("y", 1)}
+    # fresh: refresh is a metadata no-op
+    assert engine.sql("REFRESH MATERIALIZED VIEW mv").collect()[0].refreshed is False
+    v0 = _version(engine, "mv")
+    # dependency moves -> refresh recomputes as ONE new version
+    engine.sql("INSERT INTO base VALUES (4, 'y')")
+    assert engine.sql("REFRESH MATERIALIZED VIEW mv").collect()[0].refreshed is True
+    assert {tuple(r) for r in engine.table("mv").collect()} == {("x", 2), ("y", 2)}
+    assert _version(engine, "mv") == v0 + 1
+    # the pre-refresh result is still time-travelable
+    assert {tuple(r) for r in engine.table("mv", version=v0).collect()} == {
+        ("x", 2), ("y", 1)}
+    # unrelated table changes don't trigger recompute
+    _mk(engine, "other", rows=((9, "z"),))
+    assert engine.sql("REFRESH MATERIALIZED VIEW mv").collect()[0].refreshed is False
