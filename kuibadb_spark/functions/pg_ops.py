@@ -170,7 +170,10 @@ def translate(sql: str) -> str:
         elif c == "#":
             out.append("^")
             i += 1
-        elif c == "@" and (i + 1 >= n or sql[i + 1] != "@"):
+        elif c == "@" and i + 1 < n and sql[i + 1] == "@":
+            out.append("@@")  # opaque (PG text-search operator) — not ours
+            i += 2
+        elif c == "@":
             j = _read_primary(sql, i + 1)
             operand = sql[i + 1:j].strip()
             if operand:

@@ -51,3 +51,35 @@ def test_pg_spellings_over_table(engine):
         "SELECT a! AS f FROM t WHERE s ~~ 'A%'"
     ).collect()
     assert [r.f for r in rows] == [6]
+
+
+def test_translate_properties():
+    """Hypothesis: translate() is (a) identity on SQL without PG tokens,
+    (b) idempotent, (c) never edits inside string literals."""
+    from hypothesis import given, settings, strategies as st
+
+    plain = st.text(
+        alphabet="abcdefgh0123456789 _,().=<>+-*/", min_size=0, max_size=60
+    )
+
+    @given(s=plain)
+    @settings(max_examples=300, deadline=None)
+    def identity(s):
+        assert translate(s) == s
+
+    @given(s=st.text(alphabet="abc 0123456789#!~|/@'", min_size=0, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def idempotent(s):
+        t1 = translate(s)
+        assert translate(t1) == t1
+
+    @given(body=st.text(alphabet="ab #!~|/@", min_size=0, max_size=20))
+    @settings(max_examples=300, deadline=None)
+    def literals_untouched(body):
+        lit = "'" + body.replace("'", "") + "'"
+        out = translate("SELECT " + lit)
+        assert lit in out
+
+    identity()
+    idempotent()
+    literals_untouched()
