@@ -861,3 +861,69 @@ ORACLES["ev_concurrent_sessions"] = """
     GROUP BY u1, u2
     ORDER BY u1, u2
 """
+
+
+# --------------------------------------------------------------------------
+# hourly P50/P95/P99 as EXACT order statistics (the latency dashboard)
+# --------------------------------------------------------------------------
+def ev_latency_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour P50/P95/P99 of the value distribution — the ops-latency
+    dashboard reduction. Percentiles are EXACT order statistics (the
+    rank-⌈q·n⌉ element under a total (value, event_id) order, values in
+    integer cents), not interpolated: interpolation formulas differ
+    across engines (and approx sketches differ by design), while the
+    k-th order statistic is bit-identical everywhere.
+
+    Plan: one rank window and the count ride the same hour exchange as
+    the final aggregate — one shuffle total; output cardinality = hours."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("hr").orderBy("cents", "event_id")
+    ranked = (
+        e.selectExpr(
+            "date_trunc('hour', ts) AS hr",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("hr")))
+    )
+    def pick(q: str, alias: str):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("cents"))
+        ).alias(alias)
+    return (
+        ranked.groupBy("hr")
+        .agg(
+            F.max("n").alias("n"),
+            pick(0.50, "p50_cents"),
+            pick(0.95, "p95_cents"),
+            pick(0.99, "p99_cents"),
+        )
+        .orderBy("hr")
+    )
+
+
+QUERIES["ev_latency_percentiles_hourly"] = ev_latency_percentiles_hourly
+
+ORACLES["ev_latency_percentiles_hourly"] = """
+    WITH ranked AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                  ORDER BY CAST(round(value * 100, 0) AS BIGINT),
+                                           event_id) AS rn,
+               count(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+        FROM events
+    )
+    SELECT hr,
+           CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN cents END)
+               AS p50_cents,
+           max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN cents END)
+               AS p95_cents,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN cents END)
+               AS p99_cents
+    FROM ranked
+    GROUP BY hr
+    ORDER BY hr
+"""
