@@ -253,3 +253,40 @@ def test_rrf_broadcasts_query_vector(spark):
 
     p = _plan(sim_rrf_fusion(spark, SF))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning: a selective filter on the
+    build side must inject a might_contain probe into the big side's
+    scan (the shuffle-join analog of broadcast pruning — at 100 TB this
+    is what keeps a selective dim filter from paying a full fact
+    shuffle). Thresholds lowered for local data; confs restored."""
+    saved = {}
+    lowered = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in lowered.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        l = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_totalprice > 450000"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy().count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
