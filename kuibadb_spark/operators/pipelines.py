@@ -551,3 +551,76 @@ ORACLES["ev_step_funnel"] = """
     )
     ORDER BY step
 """
+
+
+# --------------------------------------------------------------------------
+# distribution drift: first half vs second half of the stream, chi² in ppm
+# --------------------------------------------------------------------------
+def profile_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: per event type, compare the value distribution
+    of the stream's first time-half against its second (50-unit value
+    bands) with a per-band chi-square statistic Σ 1e6·(a−b)² div (a+b)
+    — cross-multiplied integer arithmetic, so the drift score is exact
+    across engines (the float PSI/chi² it stands in for is ulp-unstable
+    under partial-sum reordering). The time split is the integer
+    microsecond midpoint of the observed range.
+
+    Scale: two metadata-cheap global bounds, one row-local band/half
+    tag, one partial-aggregated groupBy(type, band) producing a
+    bands×types table, and a tiny final reduce — the same shape as any
+    monitoring rollup; output cardinality = event types."""
+    e = load(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("lo"),
+        F.max(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("hi"),
+    )
+    banded = (
+        e.crossJoin(F.broadcast(b))
+        .selectExpr(
+            "event_type",
+            "CAST(floor(value / 50.0) AS INT) AS band",
+            "CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) * 2 <= lo + hi"
+            " THEN 0 ELSE 1 END AS half",
+        )
+        .groupBy("event_type", "band")
+        .agg(
+            F.count_if(F.col("half") == 0).cast("bigint").alias("a"),
+            F.count_if(F.col("half") == 1).cast("bigint").alias("b"),
+        )
+    )
+    return (
+        banded.groupBy("event_type")
+        .agg(
+            F.sum("a").alias("n_first"),
+            F.sum("b").alias("n_second"),
+            F.sum(
+                F.expr("1000000 * (a - b) * (a - b) div (a + b)")
+            ).alias("chi2_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["profile_drift_chi2"] = profile_drift_chi2
+
+ORACLES["profile_drift_chi2"] = """
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    banded AS (
+        SELECT event_type,
+               CAST(floor(value / 50.0) AS INTEGER) AS band,
+               CAST(count_if(epoch_us(ts) * 2 <= lo + hi) AS BIGINT) AS a,
+               CAST(count_if(epoch_us(ts) * 2 > lo + hi) AS BIGINT) AS b
+        FROM events, b
+        GROUP BY event_type, band
+    )
+    SELECT event_type,
+           CAST(sum(a) AS BIGINT) AS n_first,
+           CAST(sum(b) AS BIGINT) AS n_second,
+           CAST(sum(1000000 * (a - b) * (a - b) // (a + b)) AS BIGINT)
+               AS chi2_e6
+    FROM banded
+    GROUP BY event_type
+    ORDER BY event_type
+"""
