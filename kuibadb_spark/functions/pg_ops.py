@@ -49,6 +49,15 @@ def _read_primary(s: str, i: int) -> int:
     if i < len(s) and s[i] in "+-":  # signed operand: @ -7, |/ -x
         j = _read_primary(s, i + 1)
         return j if j > i + 1 else i
+    # nested prefix operator: @ @0, |/ @x, !! |/y … — consume operator
+    # plus ITS primary so the outer operator gets a full operand
+    for op in ("||/", "|/", "!!"):
+        if s.startswith(op, i):
+            j = _read_primary(s, i + len(op))
+            return j if j > i + len(op) else i
+    if i < len(s) and s[i] == "@" and not s.startswith("@@", i):
+        j = _read_primary(s, i + 1)
+        return j if j > i + 1 else i
     if i >= len(s):
         return i
     if s[i] == "(":
@@ -157,15 +166,15 @@ def translate(sql: str) -> str:
             i += 2
         elif sql.startswith("||/", i):
             j = _read_primary(sql, i + 3)
-            out.append(f"cbrt({sql[i + 3:j].strip()})")
+            out.append(f"cbrt({translate(sql[i + 3:j].strip())})")
             i = j
         elif sql.startswith("|/", i):
             j = _read_primary(sql, i + 2)
-            out.append(f"sqrt({sql[i + 2:j].strip()})")
+            out.append(f"sqrt({translate(sql[i + 2:j].strip())})")
             i = j
         elif sql.startswith("!!", i):
             j = _read_primary(sql, i + 2)
-            out.append(f"factorial({sql[i + 2:j].strip()})")
+            out.append(f"factorial({translate(sql[i + 2:j].strip())})")
             i = j
         elif c == "#":
             out.append("^")
@@ -177,7 +186,7 @@ def translate(sql: str) -> str:
             j = _read_primary(sql, i + 1)
             operand = sql[i + 1:j].strip()
             if operand:
-                out.append(f"abs({operand})")
+                out.append(f"abs({translate(operand)})")
                 i = j
             else:
                 out.append(c)
