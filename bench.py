@@ -54,6 +54,8 @@ HEADLINE = [
     "scalar_string_ops",        # scalar function matrix
     "ev_pattern_conversions",   # sessionized row-pattern matching
     "udf_apply_in_pandas",      # Arrow-batched applyInPandas path
+    "ev_concurrent_sessions",   # banded interval-overlap self-join
+    "text_line_dedup",          # cross-doc boilerplate chunk removal
 ]
 
 
