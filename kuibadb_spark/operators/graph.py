@@ -21,7 +21,7 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from kuibadb_spark.catalog import load
 from kuibadb_spark.operators.dedup import (
@@ -409,17 +409,23 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same hours (the shingle near-dup graph is a union of perfect
     cliques at every threshold — verified in the round-2 sweep — so it
     has no open triangles and link prediction over it is structurally
-    empty). Candidates come from a two-hop join (pairs with ≥1 common
-    neighbor), existing edges are removed with an anti-join, and the
-    Jaccard numerator/denominator stay integer (overlap count, degree
-    sums) with the score in exact 1e-6 units.
+    empty). The co-activity graph gets DENSE as activity grows (66% of
+    all user pairs qualify at sf0.1 — a raw two-hop join over it is
+    nodes × degree², measured 30 s), so the graph is kNN-SPARSIFIED
+    first: each node keeps its 10 strongest neighbors (shared-hours
+    desc, id tiebreak) — the standard similarity-graph construction,
+    which bounds two-hop work at nodes × 100 FOREVER. Candidates come
+    from a two-hop join over the sparsified adjacency (pairs with ≥1
+    common strong neighbor), existing strong edges are removed with an
+    anti-join, and the Jaccard numerator/denominator stay integer with
+    the score in exact 1e-6 units (degrees are sparsified out-degrees,
+    ≤10).
 
-    Scale: edge generation is an equi-join on the hour bucket — quadratic
-    only within a bucket (co-active users per hour), the same hot-bucket
-    caveat as every bucketed candidate generator here; at 100 TB the
-    bucket key would compose hour with a coarser cohort (geo, shard) to
-    cap bucket width. The two-hop join is an equi-join on node id,
-    quadratic only within a neighborhood."""
+    Scale: edge generation is an equi-join on the hour bucket — at
+    100 TB the bucket key would compose hour with a coarser cohort to
+    cap bucket width; the top-K window rides the same src exchange the
+    two-hop join needs. Degree-bounded two-hop = the plan survives any
+    density."""
     ev = load(spark, sf_dir, "events")
     ah = (
         ev.select("user_id", F.date_trunc("hour", "ts").alias("h"))
@@ -434,11 +440,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= 5)
+    )
+    sym_full = e.selectExpr("src", "dst", "shared").unionAll(
+        e.selectExpr("dst AS src", "src AS dst", "shared")
+    )
+    w_knn = W.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
+    sym = (
+        sym_full.withColumn("rn", F.row_number().over(w_knn))
+        .filter(F.col("rn") <= 10)
         .select("src", "dst")
         .repartition("src")
-    )
-    sym = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # two-hop: (a via n to b), canonical a < b
@@ -451,9 +462,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    non_edges = hops.join(
-        e.selectExpr("src AS a", "dst AS b"), ["a", "b"], "left_anti"
+    # non-adjacency is judged against the SPARSIFIED graph (canonical
+    # orientation): predicted links are pairs not already strong edges
+    canon = sym.filter(F.col("src") < F.col("dst")).selectExpr(
+        "src AS a", "dst AS b"
     )
+    non_edges = hops.join(canon, ["a", "b"], "left_anti")
     da = deg.selectExpr("src AS a", "d AS da")
     db = deg.selectExpr("src AS b", "d AS db")
     return (
@@ -478,14 +492,22 @@ ORACLES["graph_link_prediction"] = f"""
         SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
     ),
     edges AS (
-        SELECT p.user_id AS src, q.user_id AS dst
+        SELECT p.user_id AS src, q.user_id AS dst, count(*) AS shared
         FROM ah p JOIN ah q ON p.h = q.h AND p.user_id < q.user_id
         GROUP BY 1, 2
         HAVING count(*) >= 5
     ),
+    sym_full AS (
+        SELECT src, dst, shared FROM edges
+        UNION ALL SELECT dst, src, shared FROM edges
+    ),
     sym AS (
-        SELECT src, dst FROM edges
-        UNION ALL SELECT dst, src FROM edges
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY shared DESC, dst) AS rn
+            FROM sym_full
+        ) WHERE rn <= 10
     ),
     deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
     hops AS (
@@ -493,10 +515,11 @@ ORACLES["graph_link_prediction"] = f"""
         FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src
         GROUP BY x.src, y.src
     ),
+    canon AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
     non_edges AS (
         SELECT h.* FROM hops h
-        WHERE NOT EXISTS (SELECT 1 FROM edges e2
-                          WHERE e2.src = h.a AND e2.dst = h.b)
+        WHERE NOT EXISTS (SELECT 1 FROM canon c
+                          WHERE c.a = h.a AND c.b = h.b)
     )
     SELECT a, b, common,
            (1000000 * common) // (da.d + db.d - common) AS jaccard_e6
