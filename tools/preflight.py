@@ -1,0 +1,91 @@
+"""One-command pre-commit gate: everything the driver will check, locally.
+
+    python tools/preflight.py [--sf01]
+
+Runs, in order, sharing one Spark session:
+1. registry invariants (unique keys, oracles subset, unverified-first order)
+2. full oracle TYPE audit (DuckDB arrow schema vs Spark schema — the
+   typed-hash trap class, tools/type_audit.py)
+3. full value parity at sf0.001 (row count + columns + order-insensitive
+   multiset + non-empty guard), optionally sf0.01 with --sf01 (the
+   driver's actual correctness SF — slower)
+4. driver-contract smoke (entry/queries/oracle_sql importable + shaped)
+
+Exit 0 iff every gate passes. pytest plan/engine suites are NOT run here
+(run `python -m pytest tests/ -q` for those).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tools"))
+
+from kuibadb_spark import registry  # noqa: E402
+from kuibadb_spark.parity import compare  # noqa: E402
+from kuibadb_spark.session import get_spark  # noqa: E402
+from type_audit import audit  # noqa: E402
+
+EMPTY_OK = {"q7_volume_shipping"}  # spec-pinned TPC-H, empty below sf0.01
+
+
+def main() -> int:
+    failures = 0
+    qs, osql = registry.all_queries(), registry.all_oracles()
+
+    # 1. registry invariants
+    keys = list(qs)
+    verified = registry.driver_verified()
+    assert len(keys) == len(set(keys)), "duplicate registry keys"
+    assert set(osql) <= set(qs), "oracles without queries"
+    n_unverified = len(keys) - len(verified & set(keys))
+    assert not (set(keys[:n_unverified]) & verified), "verified key in window"
+    print(f"[1/4] registry: {len(keys)} queries, {len(osql)} oracles, "
+          f"{n_unverified} not yet driver-verified (ordered first)")
+
+    # 2. type audit
+    print("[2/4] type audit (sf0.001)…")
+    if audit("/root/testdata/sf0.001") != 0:
+        failures += 1
+
+    # 3. value parity
+    sfs = ["/root/testdata/sf0.001"]
+    if "--sf01" in sys.argv:
+        sfs.append("/root/testdata/sf0.01")
+    spark = get_spark()
+    for sf in sfs:
+        print(f"[3/4] value parity at {sf}…")
+        bad = []
+        for n in sorted(osql):
+            rep = compare(spark, n, sf, qs[n], osql[n])
+            if not rep["match"]:
+                bad.append((n, "mismatch"))
+            elif rep["spark_rows"] == 0 and n not in EMPTY_OK:
+                bad.append((n, "trivially empty"))
+        if bad:
+            failures += 1
+            for n, why in bad:
+                print(f"  FAIL {n}: {why}")
+        else:
+            print(f"  {len(osql)} oracles green")
+
+    # 4. driver contract
+    sys.path.insert(0, str(ROOT))
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.entry(spark).count()
+    assert rows > 0, "entry() returned no rows"
+    assert len(entrymod.queries()) == len(qs)
+    assert len(entrymod.oracle_sql()) == len(osql)
+    print(f"[4/4] driver contract: entry rows={rows}, "
+          f"queries={len(qs)}, oracles={len(osql)}")
+
+    print("PREFLIGHT", "FAILED" if failures else "PASSED")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
