@@ -634,3 +634,214 @@ ORACLES["text_source_scorecard"] = """
     FROM agg
     ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# the capstone: end-to-end curation attrition funnel (one pass, 5 stages)
+# --------------------------------------------------------------------------
+def pipeline_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-attrition table every pretraining data team ships:
+    how many documents survive each curation stage, cumulatively —
+    exact dedup → cross-doc boilerplate filter → C4 quality rules →
+    benchmark decontamination → mixture sampling. Output: one row per
+    stage with survivor count and cumulative keep-ppm.
+
+    Plan shape: every stage is computed as a PER-DOC BOOLEAN FLAG in one
+    annotated table (a window for canonical-exact-dup, one chunk-count
+    join for boilerplate, row-local C4 rules, one broadcast semi-probe
+    for decontamination, a row-local hash for sampling), and the funnel
+    is ONE conditional aggregate over cumulative flag conjunctions —
+    the whole 5-stage report costs ~two shuffles + one broadcast, not
+    five pipeline re-runs. That is exactly how the report stays cheap
+    at 100 TB: stages annotate, one reduce counts.
+
+    Input is the synthesized dup corpus (documents + exact/near copies,
+    dedup._dup_corpus) so the dedup stage does real work — raw fixture
+    documents contain no exact duplicates."""
+    from kuibadb_spark.operators.dedup import _dup_corpus
+
+    d = _dup_corpus(spark, sf_dir)
+    # stage 1: exact dedup — keep the min doc_id per content digest
+    w_dig = F.expr(
+        "doc_id = min(doc_id) OVER (PARTITION BY md5(text))"
+    )
+    # stage 2: boilerplate — share of 10-token chunks repeated in ≥2 docs
+    chunks = d.selectExpr("doc_id", "split(text, ' ') AS w").selectExpr(
+        "doc_id",
+        "explode(transform(sequence(0, CAST(ceil(size(w)/10.0) AS INT) - 1),"
+        " i -> array_join(slice(w, i*10+1, 10), ' '))) AS chunk",
+    )
+    ccount = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    boiler = (
+        chunks.join(ccount, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("nd") >= 2).alias("n_boiler"),
+        )
+        .selectExpr("doc_id", "10 * n_boiler < 3 * n_chunks AS f_boiler")
+    )
+    # stage 4 input: benchmark 3-shingle set (doc_id%17==0 slice)
+    sh = (
+        d.withColumn("w", F.split("text", r"\s+"))
+        .select("doc_id", F.expr(_SHINGLE_ARR_SPARK).alias("shs"))
+        .select("doc_id", F.explode_outer("shs").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 17 == 0).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % 17 != 0)
+        .join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"), F.count("hit").alias("n_shared"))
+        .selectExpr(
+            "doc_id",
+            "NOT (n_shared >= 10 OR n_shared * 5 >= sz) AS f_clean",
+        )
+    )
+    flags = (
+        d.withColumn("f_exact", w_dig)
+        .selectExpr(
+            "doc_id", "f_exact",
+            # C4-style rules, row-local (text_c4_quality_filters' set)
+            "size(split(text, ' ')) AS n_words",
+            "aggregate(split(text, ' '), 0, (a, t) -> a + length(t)) AS sum_len",
+            # mixture sampling: keep 80% by hash, deterministic
+            "CAST(conv(substring(md5(concat('funnel', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT) % 100 < 80 AS f_mix",
+        )
+        .withColumn(
+            "f_c4",
+            F.expr("n_words >= 20 AND 3 * n_words <= sum_len"
+                   " AND sum_len <= 10 * n_words"),
+        )
+        .join(boiler, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "f_exact",
+            "coalesce(f_boiler, true) AS f_boiler",
+            "f_c4",
+            # benchmark docs themselves (not in contam) count as clean
+            "coalesce(f_clean, true) AS f_clean",
+            "f_mix",
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if("f_exact").alias("n1"),
+        F.count_if(F.expr("f_exact AND f_boiler")).alias("n2"),
+        F.count_if(F.expr("f_exact AND f_boiler AND f_c4")).alias("n3"),
+        F.count_if(F.expr("f_exact AND f_boiler AND f_c4 AND f_clean")).alias("n4"),
+        F.count_if(
+            F.expr("f_exact AND f_boiler AND f_c4 AND f_clean AND f_mix")
+        ).alias("n5"),
+    )
+    return agg.selectExpr(
+        "stack(6,"
+        " 0, 'raw', n0, 1000000L,"
+        " 1, 'exact_dedup', n1, CAST(1000000 * n1 div n0 AS BIGINT),"
+        " 2, 'boilerplate', n2, CAST(1000000 * n2 div n0 AS BIGINT),"
+        " 3, 'c4_quality', n3, CAST(1000000 * n3 div n0 AS BIGINT),"
+        " 4, 'decontaminated', n4, CAST(1000000 * n4 div n0 AS BIGINT),"
+        " 5, 'mixture_sampled', n5, CAST(1000000 * n5 div n0 AS BIGINT)"
+        ") AS (stage, stage_name, n_docs, cum_keep_ppm)"
+    ).selectExpr(
+        "stage", "stage_name", "CAST(n_docs AS BIGINT) AS n_docs", "cum_keep_ppm"
+    ).orderBy("stage")
+
+
+QUERIES["pipeline_attrition_funnel"] = pipeline_attrition_funnel
+
+from kuibadb_spark.operators.dedup import _DUP_CORPUS_DUCK as _FUNNEL_CORPUS
+
+ORACLES["pipeline_attrition_funnel"] = rf"""
+    WITH {_FUNNEL_CORPUS},
+    f_ex AS (
+        SELECT doc_id, text,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS f_exact
+        FROM corpus
+    ),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(w[i*10+1:i*10+10], ' ') AS chunk
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+             unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS u(i)
+    ),
+    ccount AS (
+        SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk
+    ),
+    boiler AS (
+        SELECT doc_id, 10 * count_if(nd >= 2) < 3 * count(*) AS f_boiler
+        FROM chunks JOIN ccount USING (chunk)
+        GROUP BY doc_id
+    ),
+    ftoks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM corpus
+    ),
+    fsh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM ftoks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM fsh WHERE doc_id % 17 = 0),
+    contam AS (
+        SELECT s.doc_id,
+               NOT (count(b.shingle) >= 10
+                    OR count(b.shingle) * 5 >= count(*)) AS f_clean
+        FROM fsh s LEFT JOIN bench b USING (shingle)
+        WHERE s.doc_id % 17 != 0
+        GROUP BY s.doc_id
+    ),
+    flags AS (
+        SELECT f_ex.doc_id,
+               f_exact,
+               coalesce(f_boiler, true) AS f_boiler,
+               len(string_split(text, ' ')) >= 20
+                 AND 3 * len(string_split(text, ' '))
+                     <= list_sum(list_transform(string_split(text, ' '),
+                                                t -> length(t)))
+                 AND list_sum(list_transform(string_split(text, ' '),
+                                             t -> length(t)))
+                     <= 10 * len(string_split(text, ' ')) AS f_c4,
+               coalesce(f_clean, true) AS f_clean,
+               CAST('0x' || substr(md5('funnel' || CAST(f_ex.doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) % 100 < 80 AS f_mix
+        FROM f_ex
+        LEFT JOIN boiler ON boiler.doc_id = f_ex.doc_id
+        LEFT JOIN contam ON contam.doc_id = f_ex.doc_id
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(count_if(f_exact) AS BIGINT) AS n1,
+               CAST(count_if(f_exact AND f_boiler) AS BIGINT) AS n2,
+               CAST(count_if(f_exact AND f_boiler AND f_c4) AS BIGINT) AS n3,
+               CAST(count_if(f_exact AND f_boiler AND f_c4 AND f_clean)
+                    AS BIGINT) AS n4,
+               CAST(count_if(f_exact AND f_boiler AND f_c4 AND f_clean
+                             AND f_mix) AS BIGINT) AS n5
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage, 'raw' AS stage_name, n0 AS n_docs,
+               CAST(1000000 AS BIGINT) AS cum_keep_ppm FROM agg
+        UNION ALL SELECT 1, 'exact_dedup', n1,
+               CAST(1000000 * n1 // n0 AS BIGINT) FROM agg
+        UNION ALL SELECT 2, 'boilerplate', n2,
+               CAST(1000000 * n2 // n0 AS BIGINT) FROM agg
+        UNION ALL SELECT 3, 'c4_quality', n3,
+               CAST(1000000 * n3 // n0 AS BIGINT) FROM agg
+        UNION ALL SELECT 4, 'decontaminated', n4,
+               CAST(1000000 * n4 // n0 AS BIGINT) FROM agg
+        UNION ALL SELECT 5, 'mixture_sampled', n5,
+               CAST(1000000 * n5 // n0 AS BIGINT) FROM agg
+    )
+    ORDER BY stage
+"""
