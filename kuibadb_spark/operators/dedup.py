@@ -180,6 +180,15 @@ def _pair_stats(d: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds")
         )
         .filter(F.size("ds") > 1)
+        # HOT-SHINGLE CAP — the adversarial-corpus guard: a shingle shared
+        # by k docs expands to C(k,2) pairs, so one boilerplate phrase in
+        # a million docs is 5·10¹¹ pairs from a single group. Stop-shingles
+        # past the cap are dropped entirely (they carry no discriminative
+        # signal; the standard LSH/postings trade — bounded work for
+        # bounded recall loss on pairs whose overlap is mostly
+        # boilerplate). 128 is 8× the widest posting this corpus produces
+        # (max 16 at sf0.01), so fixture results are provably unchanged.
+        .filter(F.size("ds") <= 128)
         .select(
             F.explode_outer(  # outer: see explode_outer note above
                 F.expr(
