@@ -1098,6 +1098,64 @@ class Engine:
         mf._persist(tdir, m3)
         return True
 
+    def stream_refresh_materialized_view(self, name: str, checkpoint_dir: str):
+        """TRUE incremental maintenance for single-source MVs whose body
+        is a streaming-supported aggregation: the body runs over
+        engine.stream(dep) (each committed segment arrives as a
+        micro-batch), and every trigger REPLACES the MV's file set in
+        one manifest swap (complete-mode semantics — Spark maintains
+        the aggregation state incrementally; only the result table is
+        rewritten). This is the third point on the freshness spectrum:
+        refresh_ (metadata-check batch recompute) < this (incremental,
+        state carried by Spark) < the raw streaming surface. Returns
+        the StreamingQuery; caller drives/stops it."""
+        tdir = self._table_dir(name)
+        m = mf.read_manifest(tdir)
+        sql = m["props"].get("mv_sql")
+        if sql is None:
+            raise ValueError(f"{name!r} is not a materialized view")
+        deps = m["props"]["mv_deps"]
+        if len(deps) != 1:
+            raise ValueError(
+                "streaming refresh supports single-source views; "
+                f"{name!r} depends on {sorted(deps)}"
+            )
+        dep = next(iter(deps))
+        view = f"__mv_stream_{name}"
+        self.stream(dep).createOrReplaceTempView(view)
+        body = re.sub(rf"\b{re.escape(dep)}\b", view, sql, flags=re.IGNORECASE)
+        out = self.spark.sql(body)
+        schema = _phys_schema(m["schema"])
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            aligned = batch_df.select(
+                *[
+                    batch_df[f.name].cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+            aligned.write.mode("overwrite").parquet(staging)
+            new_files = [
+                os.path.join(staging, f)
+                for f in os.listdir(staging)
+                if f.endswith(".parquet")
+            ]
+            cur = mf.read_manifest(tdir)
+            dep_v = mf.read_manifest(self._table_dir(dep))["version"]
+            mf.replace_files(tdir, new_files, cur["version"],
+                             stats=zonemap.collect_file_stats(new_files))
+            cur2 = mf.read_manifest(tdir)
+            cur2["props"]["mv_deps"] = {dep: dep_v}
+            mf._persist(tdir, cur2)
+
+        return (
+            out.writeStream.outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+
     # -- maintenance -----------------------------------------------------------
     def compact(
         self, name: str, target_files: int = 1,
