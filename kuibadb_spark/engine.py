@@ -554,8 +554,21 @@ class Engine:
         tdir = self._table_dir(name)
         if self._txn is None:
             if replace is None:
-                mf.commit_files(tdir, append or [], base_version, stats=stats,
-                                props=props_update)
+                # appends are COMMUTATIVE: the files are already written,
+                # so losing the optimistic race just means re-basing the
+                # manifest append on the new version — retry, don't fail
+                # (COW replaces are NOT retried: they were computed from
+                # a snapshot the winner may have invalidated).
+                base = base_version
+                for attempt in range(5):
+                    try:
+                        mf.commit_files(tdir, append or [], base,
+                                        stats=stats, props=props_update)
+                        break
+                    except SerializationFailure:
+                        if attempt == 4:
+                            raise
+                        base = mf.read_manifest(tdir)["version"]
             else:
                 mf.replace_files(tdir, replace, base_version, stats=stats)
                 if props_update:

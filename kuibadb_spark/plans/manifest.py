@@ -16,12 +16,40 @@ fails (SerializationFailure) if the base version moved.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import threading
+import uuid
+from contextlib import contextmanager
 
 from kuibadb_spark.errors import SerializationFailure
 
 MANIFEST = "manifest.json"
+
+# Commit critical section: the optimistic read-check-persist must be
+# atomic per table or two same-version committers both pass the check
+# and one silently overwrites the other (found by the round-2 concurrent
+# append test). threading.Lock serializes threads of this process;
+# flock on a sidecar file serializes other processes. The reference
+# holds its SupVer mutex across the same window (src/access/sv.rs).
+_LOCKS: dict[str, threading.Lock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+
+@contextmanager
+def commit_lock(table_dir: str):
+    with _LOCKS_GUARD:
+        lock = _LOCKS.setdefault(os.path.abspath(table_dir), threading.Lock())
+    with lock:
+        fd = os.open(os.path.join(table_dir, ".commit.lock"),
+                     os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
 
 def manifest_path(table_dir: str) -> str:
@@ -55,17 +83,18 @@ def commit_files(table_dir: str, new_files: list[str], base_version: int,
     `props` merges into the table props IN THE SAME swap — e.g. the
     streaming sink's last-committed-batch marker, which must be atomic
     with the data commit for exactly-once replay skipping."""
-    m = read_manifest(table_dir)
-    if m["version"] != base_version:
-        raise SerializationFailure(
-            f"manifest moved: base v{base_version}, now v{m['version']}"
-        )
-    m["version"] += 1
-    m["files"] = m["files"] + list(new_files)
-    m.setdefault("stats_by_file", {}).update(stats or {})
-    m["props"].update(props or {})
-    _persist(table_dir, m)
-    return m
+    with commit_lock(table_dir):
+        m = read_manifest(table_dir)
+        if m["version"] != base_version:
+            raise SerializationFailure(
+                f"manifest moved: base v{base_version}, now v{m['version']}"
+            )
+        m["version"] += 1
+        m["files"] = m["files"] + list(new_files)
+        m.setdefault("stats_by_file", {}).update(stats or {})
+        m["props"].update(props or {})
+        _persist(table_dir, m)
+        return m
 
 
 def replace_files(table_dir: str, new_files: list[str], base_version: int,
@@ -74,20 +103,21 @@ def replace_files(table_dir: str, new_files: list[str], base_version: int,
     stay on disk — pinned readers still see them (snapshot isolation);
     gc() reclaims them later. This is the reference's L0→L1 merge shape
     (src/access/sv.rs levels) on immutable parquet."""
-    m = read_manifest(table_dir)
-    if m["version"] != base_version:
-        raise SerializationFailure(
-            f"manifest moved: base v{base_version}, now v{m['version']}"
-        )
-    m["version"] += 1
-    m["files"] = list(new_files)
-    old_stats = m.get("stats_by_file", {})
-    m["stats_by_file"] = {
-        f: old_stats[f] for f in new_files if f in old_stats
-    }
-    m["stats_by_file"].update(stats or {})
-    _persist(table_dir, m)
-    return m
+    with commit_lock(table_dir):
+        m = read_manifest(table_dir)
+        if m["version"] != base_version:
+            raise SerializationFailure(
+                f"manifest moved: base v{base_version}, now v{m['version']}"
+            )
+        m["version"] += 1
+        m["files"] = list(new_files)
+        old_stats = m.get("stats_by_file", {})
+        m["stats_by_file"] = {
+            f: old_stats[f] for f in new_files if f in old_stats
+        }
+        m["stats_by_file"].update(stats or {})
+        _persist(table_dir, m)
+        return m
 
 
 def publish(table_dir: str, staged: dict, base_version: int) -> dict:
@@ -98,15 +128,16 @@ def publish(table_dir: str, staged: dict, base_version: int) -> dict:
     (src/access/xact.rs:215-733). Same optimistic check as commit_files:
     if the on-disk manifest moved past the transaction's base, the whole
     transaction fails with SerializationFailure (first-committer-wins)."""
-    disk = read_manifest(table_dir)
-    if disk["version"] != base_version:
-        raise SerializationFailure(
-            f"manifest moved: base v{base_version}, now v{disk['version']}"
-        )
-    out = dict(staged)
-    out["version"] = base_version + 1
-    _persist(table_dir, out)
-    return out
+    with commit_lock(table_dir):
+        disk = read_manifest(table_dir)
+        if disk["version"] != base_version:
+            raise SerializationFailure(
+                f"manifest moved: base v{base_version}, now v{disk['version']}"
+            )
+        out = dict(staged)
+        out["version"] = base_version + 1
+        _persist(table_dir, out)
+        return out
 
 
 def read_manifest_version(table_dir: str, version: int) -> dict:
@@ -118,8 +149,9 @@ def read_manifest_version(table_dir: str, version: int) -> dict:
 
 
 def _persist(table_dir: str, m: dict) -> None:
-    # temp file + fsync + rename + dir fsync (reference src/utils.rs:287-301)
-    tmp = manifest_path(table_dir) + ".tmp"
+    # temp file + fsync + rename + dir fsync (reference src/utils.rs:287-301);
+    # unique tmp name: concurrent committers must never share a temp path
+    tmp = manifest_path(table_dir) + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         json.dump(m, f, indent=1)
         f.flush()
@@ -140,13 +172,14 @@ def update_schema(table_dir: str, new_ddl: str, not_null: list[str],
     """Metadata-only schema change (ALTER TABLE): files untouched, schema
     swapped, version bumped — readers of pinned versions keep the schema
     their snapshot had. Same optimistic check as data commits."""
-    m = read_manifest(table_dir)
-    if m["version"] != base_version:
-        raise SerializationFailure(
-            f"concurrent commit: base {base_version}, now {m['version']}"
-        )
-    m["version"] += 1
-    m["schema"] = new_ddl
-    m["not_null"] = list(not_null)
-    _persist(table_dir, m)
-    return m
+    with commit_lock(table_dir):
+        m = read_manifest(table_dir)
+        if m["version"] != base_version:
+            raise SerializationFailure(
+                f"concurrent commit: base {base_version}, now {m['version']}"
+            )
+        m["version"] += 1
+        m["schema"] = new_ddl
+        m["not_null"] = list(not_null)
+        _persist(table_dir, m)
+        return m

@@ -395,3 +395,20 @@ def test_streaming_mv_refresh(engine, tmp_path):
         q.stop()
     # after the stream stops, batch refresh agrees the view is fresh
     assert engine.sql("REFRESH MATERIALIZED VIEW smv").collect()[0].refreshed is False
+
+
+def test_concurrent_appends_all_land(engine):
+    """Appends are commutative: racing autocommit inserts re-base and
+    retry on the optimistic version check instead of failing — all rows
+    land, one manifest version per insert, no lost updates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    engine.create_table("conc", "a INT")
+
+    def ins(i):
+        engine.insert("conc", engine.spark.createDataFrame([(i,)], "a INT"))
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(ins, range(12)))
+    assert sorted(r.a for r in engine.table("conc").collect()) == list(range(12))
+    assert _version(engine, "conc") == 12
