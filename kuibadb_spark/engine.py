@@ -718,6 +718,24 @@ class Engine:
             df = df.filter(where)
         return df
 
+    def scan_stats(self, name: str, where: str | None = None) -> dict:
+        """Observability for zone-map file skipping: how many of the
+        snapshot's files a `where=` scan would actually read — the
+        clustering-health gauge (files_pruned ≈ 0 on an append-ordered
+        table means compact(sort_by/zorder_by=…) is due). Metadata-only:
+        reads the manifest, never the data."""
+        m = self._read_m(name)
+        total = len(m["files"])
+        if where is None or not m["files"]:
+            return {"files_total": total, "files_read": total,
+                    "files_pruned": 0}
+        kept = zonemap.prune(m["files"], m.get("stats_by_file", {}), where)
+        return {
+            "files_total": total,
+            "files_read": len(kept),
+            "files_pruned": total - len(kept),
+        }
+
     def stream(self, name: str) -> DataFrame:
         """Streaming read over an engine table: every parquet file that
         appears under the table directory becomes streamable input, so

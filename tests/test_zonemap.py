@@ -305,3 +305,24 @@ def test_analyze_backfills_zone_maps(engine, tmp_path):
     df = engine.table("t", where="a >= 100")
     assert df.count() == 10
     assert len(df.inputFiles()) < len(m2["files"])
+
+
+def test_scan_stats_reports_pruning(spark, tmp_path):
+    """scan_stats: metadata-only gauge of zone-map file skipping — after
+    a clustered compaction, a selective predicate must show most files
+    pruned; without a predicate nothing is."""
+    from kuibadb_spark.engine import Engine
+
+    engine = Engine(spark, warehouse=str(tmp_path / "wh"))
+    engine.create_table("zs", "k INT, v STRING")
+    engine.insert(
+        "zs", spark.range(0, 10000).selectExpr("CAST(id AS INT) AS k",
+                                               "CAST(id AS STRING) AS v")
+    )
+    engine.compact("zs", target_files=8, sort_by=["k"])
+    st = engine.scan_stats("zs", "k = 7")
+    assert st["files_total"] == 8
+    assert st["files_pruned"] >= 6, st
+    assert engine.scan_stats("zs")["files_pruned"] == 0
+    # and the pruned read still answers correctly
+    assert engine.table("zs", where="k = 7").count() == 1
