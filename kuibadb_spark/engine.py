@@ -1278,9 +1278,10 @@ class Engine:
         ]
         return df.withColumn("_z", F.expr(" + ".join(z_terms)))
 
-    def gc(self, name: str) -> int:
+    def gc(self, name: str, keep_versions: int = 10) -> int:
         """Delete data files no longer referenced by the current manifest
-        (safe once pinned readers are done). Returns files removed."""
+        (safe once pinned readers are done) and trim time-travel manifest
+        copies older than `keep_versions` back. Returns files removed."""
         tdir = self._table_dir(name)
         live = set(mf.read_manifest(tdir)["files"])
         if self._txn is not None and name.lower() in self._txn:
@@ -1302,6 +1303,7 @@ class Engine:
                 import shutil
 
                 shutil.rmtree(seg_path)
+        removed += mf.trim_versions(tdir, keep_versions)
         return removed
 
     # -- helpers ---------------------------------------------------------------

@@ -21,6 +21,7 @@ import json
 import os
 import threading
 import uuid
+import zlib
 from contextlib import contextmanager
 
 from kuibadb_spark.errors import SerializationFailure
@@ -58,7 +59,25 @@ def manifest_path(table_dir: str) -> str:
 
 def read_manifest(table_dir: str) -> dict:
     with open(manifest_path(table_dir)) as f:
-        return json.load(f)
+        m = json.load(f)
+    _verify_crc(m, manifest_path(table_dir))
+    return m
+
+
+def _payload_crc(m: dict) -> int:
+    # CRC over the canonical JSON of everything except the crc field;
+    # the reference checksums every manifest/control-file write
+    # (src/access/sv.rs:229-242, CRC32C; zlib.crc32 here, same role)
+    body = {k: v for k, v in m.items() if k != "crc32"}
+    return zlib.crc32(json.dumps(body, sort_keys=True).encode())
+
+
+def _verify_crc(m: dict, path: str) -> None:
+    crc = m.get("crc32")
+    if crc is not None and crc != _payload_crc(m):
+        from kuibadb_spark.errors import KbError
+
+        raise KbError(f"manifest checksum mismatch: {path} is corrupt")
 
 
 def init_manifest(table_dir: str, schema_ddl: str, not_null: list[str],
@@ -145,13 +164,34 @@ def read_manifest_version(table_dir: str, version: int) -> dict:
     reference's checkpointed control-file copies, wal.rs:88-196)."""
     p = os.path.join(table_dir, f"manifest.v{version}.json")
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    _verify_crc(m, p)
+    return m
+
+
+def trim_versions(table_dir: str, keep: int) -> int:
+    """Drop per-version manifest copies older than (current - keep): the
+    metadata half of gc (data files have their own reclaim). Returns
+    files removed; the current manifest is never touched."""
+    cur = read_manifest(table_dir)["version"]
+    removed = 0
+    for f in os.listdir(table_dir):
+        if f.startswith("manifest.v") and f.endswith(".json"):
+            try:
+                v = int(f[len("manifest.v"):-len(".json")])
+            except ValueError:
+                continue
+            if v <= cur - keep:
+                os.remove(os.path.join(table_dir, f))
+                removed += 1
+    return removed
 
 
 def _persist(table_dir: str, m: dict) -> None:
     # temp file + fsync + rename + dir fsync (reference src/utils.rs:287-301);
     # unique tmp name: concurrent committers must never share a temp path
     tmp = manifest_path(table_dir) + f".{uuid.uuid4().hex[:8]}.tmp"
+    m["crc32"] = _payload_crc(m)
     with open(tmp, "w") as f:
         json.dump(m, f, indent=1)
         f.flush()

@@ -412,3 +412,36 @@ def test_concurrent_appends_all_land(engine):
         list(ex.map(ins, range(12)))
     assert sorted(r.a for r in engine.table("conc").collect()) == list(range(12))
     assert _version(engine, "conc") == 12
+
+
+def test_manifest_crc_detects_corruption(engine, tmp_path):
+    import json
+
+    _mk(engine)
+    p = mf.manifest_path(engine._table_dir("t"))
+    m = json.load(open(p))
+    m["files"] = m["files"][:0]  # tamper without recomputing the crc
+    json.dump(m, open(p, "w"))
+    from kuibadb_spark.errors import KbError
+
+    with pytest.raises(KbError, match="checksum"):
+        engine.table("t")
+
+
+def test_gc_trims_old_manifest_versions(engine):
+    import os
+
+    engine.create_table("vt", "a INT")
+    for i in range(15):
+        engine.insert("vt", engine.spark.createDataFrame([(i,)], "a INT"))
+    tdir = engine._table_dir("vt")
+    n_before = len([f for f in os.listdir(tdir) if f.startswith("manifest.v")])
+    engine.gc("vt", keep_versions=5)
+    kept = sorted(
+        int(f[len("manifest.v"):-5])
+        for f in os.listdir(tdir) if f.startswith("manifest.v")
+    )
+    assert n_before == 16  # v0 + 15 inserts
+    assert min(kept) > 15 - 5 and 15 in kept
+    # recent versions still time-travelable
+    assert engine.table("vt", version=14).count() == 14
