@@ -82,6 +82,18 @@ _REFRESH_MV_RE = re.compile(
 _VERSION_AS_OF_RE = re.compile(
     r"\b(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
 )
+# canonical upsert spelling: MERGE INTO t USING (SELECT …) [AS] s
+# ON (k1, k2, …) [WHEN MATCHED THEN UPDATE SET *]
+# [WHEN NOT MATCHED THEN INSERT *] — the fixed semantics Engine.merge
+# implements; other WHEN forms are rejected by non-match (fall through
+# to Spark, which errors clearly on MERGE without a catalog)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.*?)\)\s*(?:AS\s+)?\w*\s*"
+    r"ON\s*\(([\w\s,]+)\)\s*"
+    r"(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*)?"
+    r"(?:WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+((?:VALUES|SELECT)\s+.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -427,6 +439,15 @@ class Engine:
             return self.spark.createDataFrame([(n,)], "count BIGINT")
         if re.match(r"^\s*COPY\b", text, re.IGNORECASE):
             raise SqlSyntaxError(f"unsupported COPY syntax: {text.strip()[:80]!r}")
+        m = _MERGE_RE.match(text)
+        if m:
+            name, body, keys = m.group(1), m.group(2), m.group(3)
+            self._register_all()
+            src = self.spark.sql(body)
+            upd, ins = self.merge(name, src, [k.strip() for k in keys.split(",")])
+            return self.spark.createDataFrame(
+                [(upd, ins)], "updated BIGINT, inserted BIGINT"
+            )
         m = _DELETE_RE.match(text)
         if m and m.group(1).upper() != "SELECT":
             n = self.delete(m.group(1), m.group(2) or "true")

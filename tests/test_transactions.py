@@ -445,3 +445,16 @@ def test_gc_trims_old_manifest_versions(engine):
     assert min(kept) > 15 - 5 and 15 in kept
     # recent versions still time-travelable
     assert engine.table("vt", version=14).count() == 14
+
+
+def test_sql_merge_routing(engine):
+    _mk(engine, "mt", rows=((1, "a"), (2, "b")))
+    row = engine.sql(
+        "MERGE INTO mt USING (SELECT 2 AS a, 'B' AS b"
+        " UNION ALL SELECT 3, 'c') ON (a)"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert (row.updated, row.inserted) == (1, 1)
+    assert {tuple(r) for r in engine.table("mt").collect()} == {
+        (1, "a"), (2, "B"), (3, "c")}
