@@ -353,6 +353,10 @@ class Engine:
         m = _SHOW_RE.match(text)
         if m:
             name = m.group(1).lower()
+            if name == "tables":
+                return self.spark.createDataFrame(
+                    [(t,) for t in self.tables()] or [], "table_name STRING"
+                )
             if name == "all":
                 return self.spark.createDataFrame(
                     self.gucs.show_all(), "name STRING, setting STRING"
@@ -1097,6 +1101,11 @@ class Engine:
     # maintenance is the streaming surface's job
     # (streaming/events.py::write_stream_to_table + engine.stream).
     def create_materialized_view(self, name: str, body_sql: str) -> None:
+        if self._txn is not None:
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW is DDL and autocommits; "
+                "not allowed inside an open transaction"
+            )
         self._register_all()
         # dependency set = engine tables the body references by name
         # (word match — over-matching only widens the staleness check)

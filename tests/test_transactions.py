@@ -458,3 +458,13 @@ def test_sql_merge_routing(engine):
     assert (row.updated, row.inserted) == (1, 1)
     assert {tuple(r) for r in engine.table("mt").collect()} == {
         (1, "a"), (2, "B"), (3, "c")}
+
+
+def test_show_tables_and_mv_txn_guard(engine):
+    _mk(engine)
+    names = {r.table_name for r in engine.sql("SHOW TABLES").collect()}
+    assert names == {"t"}
+    engine.begin()
+    with pytest.raises(ValueError, match="autocommit"):
+        engine.sql("CREATE MATERIALIZED VIEW m1 AS SELECT * FROM t")
+    engine.rollback()
