@@ -43,7 +43,11 @@ from kuibadb_spark.functions.pg_ops import translate as _pg_translate
 from kuibadb_spark.gucs import GucSession, _fmt as _guc_fmt
 from kuibadb_spark.plans import manifest as mf, zonemap
 from kuibadb_spark.session import get_spark
-from kuibadb_spark.sources.copy import check_not_null, parse_typed
+from kuibadb_spark.sources.copy import (
+    check_constraint,
+    check_not_null,
+    parse_typed,
+)
 
 _BEGIN_RE = re.compile(r"^\s*(?:BEGIN|START\s+TRANSACTION)\s*;?\s*$", re.IGNORECASE)
 _COMMIT_RE = re.compile(r"^\s*(?:COMMIT|END)\s*;?\s*$", re.IGNORECASE)
@@ -807,6 +811,7 @@ class Engine:
         if parallel:
             df = df.repartition(parallel)
         check_not_null(df, m["not_null"])
+        check_constraint(df, m["props"].get("check"))
 
         staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(staging)
@@ -872,6 +877,7 @@ class Engine:
         from kuibadb_spark.sources.copy import check_not_null
 
         check_not_null(aligned, m["not_null"])
+        check_constraint(aligned, m["props"].get("check"))
         staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
         aligned.write.mode("overwrite").parquet(staging)
         new_files = [

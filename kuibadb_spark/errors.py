@@ -56,6 +56,11 @@ class CantChangeRuntimeParam(KbError):
     sqlstate = "55P02"
 
 
+class CheckViolation(KbError):
+    # write-path CHECK constraint (PG: 23514 check_violation)
+    sqlstate = "23514"
+
+
 class UndefinedParameter(KbError):
     # SHOW of an unknown GUC (PG: 42704 undefined_object)
     sqlstate = "42704"

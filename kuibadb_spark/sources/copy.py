@@ -28,7 +28,11 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from kuibadb_spark.errors import BadCopyFileFormat, NotNullViolation
+from kuibadb_spark.errors import (
+    BadCopyFileFormat,
+    CheckViolation,
+    NotNullViolation,
+)
 
 
 def parse_typed(
@@ -77,6 +81,23 @@ def parse_typed(
         )
         cols.append(typed.alias(field.name))
     return split_df.select(*cols)
+
+
+def check_constraint(df: DataFrame, expr: str | None) -> None:
+    """Write-path CHECK constraint: every incoming row must satisfy the
+    table's check expression (declared via CREATE TABLE … WITH
+    (check='…') reloptions). One aggregation pass, same shape as the
+    NOT NULL scan; a violating row raises with a sample — PG 23514
+    check_violation semantics on the lakehouse write path."""
+    if not expr:
+        return
+    bad = df.filter(~F.expr(expr).eqNullSafe(F.lit(True)))
+    n_bad = bad.count()
+    if n_bad:
+        sample = bad.limit(1).collect()[0].asDict()
+        raise CheckViolation(
+            f"{n_bad} row(s) violate CHECK ({expr}); first: {sample}"
+        )
 
 
 def check_not_null(df: DataFrame, not_null: list[str]) -> None:

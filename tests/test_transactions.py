@@ -468,3 +468,19 @@ def test_show_tables_and_mv_txn_guard(engine):
     with pytest.raises(ValueError, match="autocommit"):
         engine.sql("CREATE MATERIALIZED VIEW m1 AS SELECT * FROM t")
     engine.rollback()
+
+
+def test_check_constraint_on_write(engine, tmp_path):
+    from kuibadb_spark.errors import CheckViolation
+
+    engine.sql("CREATE TABLE ck (a INT, b STRING) WITH (check = 'a > 0')")
+    engine.sql("INSERT INTO ck VALUES (1, 'x')")
+    with pytest.raises(CheckViolation, match="a > 0"):
+        engine.sql("INSERT INTO ck VALUES (-5, 'bad')")
+    assert engine.table("ck").count() == 1
+    # COPY path enforces too
+    p = tmp_path / "ck.txt"
+    p.write_text("2|y\n-1|z\n")
+    with pytest.raises(CheckViolation):
+        engine.copy_from("ck", str(p), delimiter="|")
+    assert engine.table("ck").count() == 1
