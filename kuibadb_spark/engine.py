@@ -954,6 +954,7 @@ class Engine:
             ]
         )
         check_not_null(out, m["not_null"])
+        check_constraint(out, m["props"].get("check"))
         staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
         out.write.mode("overwrite").parquet(staging)
         new_files = [
@@ -986,6 +987,7 @@ class Engine:
             *[source[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
         )
         check_not_null(aligned, m["not_null"])
+        check_constraint(aligned, m["props"].get("check"))
         keys = aligned.select(*on).distinct()
 
         full = (

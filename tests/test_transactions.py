@@ -484,3 +484,20 @@ def test_check_constraint_on_write(engine, tmp_path):
     with pytest.raises(CheckViolation):
         engine.copy_from("ck", str(p), delimiter="|")
     assert engine.table("ck").count() == 1
+
+
+def test_check_constraint_on_update_and_merge(engine):
+    from kuibadb_spark.errors import CheckViolation
+
+    engine.sql("CREATE TABLE ck2 (a INT, b STRING) WITH (check = 'a > 0')")
+    engine.sql("INSERT INTO ck2 VALUES (1, 'x'), (2, 'y')")
+    with pytest.raises(CheckViolation):
+        engine.update("ck2", {"a": "a - 10"}, "a = 1")
+    assert {r.a for r in engine.table("ck2").collect()} == {1, 2}
+    with pytest.raises(CheckViolation):
+        engine.merge(
+            "ck2",
+            engine.spark.createDataFrame([(-3, "z")], "a INT, b STRING"),
+            ["a"],
+        )
+    assert engine.table("ck2").count() == 2
