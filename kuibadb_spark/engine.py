@@ -1359,3 +1359,43 @@ class Engine:
     def _register_all(self) -> None:
         for t in self.tables():
             self.table(t).createOrReplaceTempView(t)
+        self._register_catalog()
+
+    def _register_catalog(self) -> None:
+        """System catalog views, the reference's kb_* catalog surface
+        (initdb seeds kb_attribute/kb_type/… as REAL queryable tables,
+        src/bin/initdb/main.rs): kb_tables (pg_class analog over the
+        manifest catalog), kb_columns (kb_attribute's shape: relname/
+        attname/atttype/attnotnull/attnum), kb_settings (pg_settings
+        analog over gucs.py). Metadata-only — built from manifests, no
+        data scan."""
+        import json as _json
+
+        tables_rows, cols_rows = [], []
+        for t in self.tables():
+            m = mf.read_manifest(self._table_dir(t))
+            props = {k: v for k, v in m["props"].items()
+                     if k not in ("stats",)}
+            tables_rows.append(
+                (t, m["version"], len(m["files"]), _json.dumps(props))
+            )
+            for i, f in enumerate(T.StructType.fromDDL(m["schema"]).fields):
+                cols_rows.append(
+                    (t, f.name, f.dataType.simpleString(),
+                     f.name in m["not_null"], i + 1)
+                )
+        self.spark.createDataFrame(
+            tables_rows or [], "relname STRING, version INT, n_files INT,"
+                               " reloptions STRING"
+        ).createOrReplaceTempView("kb_tables")
+        self.spark.createDataFrame(
+            cols_rows or [], "relname STRING, attname STRING, atttype STRING,"
+                             " attnotnull BOOLEAN, attnum INT"
+        ).createOrReplaceTempView("kb_columns")
+        from kuibadb_spark.gucs import GUCS, _fmt as _gfmt
+
+        self.spark.createDataFrame(
+            [(n, _gfmt(self.gucs.show(n)), GUCS[n][0], GUCS[n][1])
+             for n in sorted(GUCS)],
+            "name STRING, setting STRING, vartype STRING, context STRING",
+        ).createOrReplaceTempView("kb_settings")

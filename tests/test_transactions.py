@@ -501,3 +501,27 @@ def test_check_constraint_on_update_and_merge(engine):
             ["a"],
         )
     assert engine.table("ck2").count() == 2
+
+
+def test_system_catalog_views(engine):
+    _mk(engine)
+    engine.sql("CREATE TABLE c2 (x BIGINT NOT NULL, y VARCHAR(5))"
+               " WITH (note = 'hi')")
+    rows = {r.relname: r for r in engine.sql(
+        "SELECT * FROM kb_tables ORDER BY relname").collect()}
+    assert set(rows) == {"t", "c2"}
+    assert rows["t"].n_files >= 1 and rows["t"].version == 1
+    assert "hi" in rows["c2"].reloptions
+    cols = engine.sql(
+        "SELECT attname, atttype, attnotnull FROM kb_columns"
+        " WHERE relname = 'c2' ORDER BY attnum").collect()
+    assert [(c.attname, c.atttype, c.attnotnull) for c in cols] == [
+        ("x", "bigint", True), ("y", "varchar(5)", False)]
+    s = {r.name: r for r in engine.sql("SELECT * FROM kb_settings").collect()}
+    assert s["batch_size"].vartype == "INT" and s["port"].context == "KuiBaDB"
+    # catalog joins with user tables like any other relation
+    n = engine.sql(
+        "SELECT count(*) AS n FROM kb_columns c JOIN kb_tables r"
+        " ON c.relname = r.relname WHERE r.n_files > 0"
+    ).collect()[0].n
+    assert n == 2  # t's two columns (c2 has no data files yet)
