@@ -931,3 +931,78 @@ ORACLES["ev_latency_percentiles_hourly"] = """
     GROUP BY hr
     ORDER BY hr
 """
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU / MAU: exact rolling distinct actives via calendar expansion
+# --------------------------------------------------------------------------
+def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth dashboard's staple triple. A rolling COUNT(DISTINCT)
+    window is quadratic; the scalable exact form is CALENDAR EXPANSION:
+    each (user, active-day) pair contributes that user to the 7-day
+    window of the next 7 days (and 30 for MAU), so the whole computation
+    is a bounded row multiplier (7x / 30x — linear) + per-day distinct
+    counts. Only days observed in the data are emitted.
+
+    Scale: the user-day table is one distinct over (user, date) — far
+    smaller than events; expansions are row-local explodes; each metric
+    is one partial-aggregated distinct count on the day key."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count_distinct("user_id").alias("dau"))
+
+    def rolling(window: int, alias: str) -> DataFrame:
+        return (
+            ud.selectExpr(
+                "user_id",
+                f"explode(sequence(0, {window - 1})) AS i",
+                "d",
+            )
+            .selectExpr("user_id", "date_add(d, i) AS day")
+            .groupBy("day")
+            .agg(F.count_distinct("user_id").alias(alias))
+        )
+
+    wau = rolling(7, "wau")
+    mau = rolling(30, "mau")
+    return (
+        dau.withColumnRenamed("d", "day")
+        .join(wau, "day")
+        .join(mau, "day")
+        .select("day", "dau", "wau", "mau")
+        .orderBy("day")
+    )
+
+
+QUERIES["ev_dau_wau_mau"] = ev_dau_wau_mau
+
+ORACLES["ev_dau_wau_mau"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    dau AS (
+        SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ud GROUP BY d
+    ),
+    wexp AS (
+        SELECT user_id, d + CAST(i AS INTEGER) AS day
+        FROM ud, unnest(range(0, 7)) AS u(i)
+    ),
+    wau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM wexp GROUP BY day
+    ),
+    mexp AS (
+        SELECT user_id, d + CAST(i AS INTEGER) AS day
+        FROM ud, unnest(range(0, 30)) AS u(i)
+    ),
+    mau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM mexp GROUP BY day
+    )
+    SELECT day, dau, wau, mau
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    ORDER BY day
+"""
