@@ -793,3 +793,93 @@ ORACLES["dedup_url_normalize"] = r"""
     HAVING count(*) > 1
     ORDER BY cu
 """
+
+
+# ---------------------------------------------------------------------------
+# 8. dedup quality evaluation: LSH pipeline vs exact ground truth
+# ---------------------------------------------------------------------------
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning harness every dedup deployment needs: score the
+    MinHash-LSH pipeline's emitted pairs against exact n-gram-Jaccard
+    ground truth (threshold 0.6), reporting truth/predicted/hit counts
+    and recall/precision in exact integer ppm. Run it after changing
+    k/bands/threshold — the number that justifies the sketch parameters.
+
+    Composition, not reimplementation: truth is the _pair_stats postings
+    pipeline, predictions are dedup_minhash_lsh's own output; the hit
+    set is one equi-join of two pair tables. Output is ONE row."""
+    truth = (
+        _pair_stats(_doc_shingles(_dup_corpus(spark, sf_dir)))
+        .filter(
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")) >= 0.6
+        )
+        .select("doc_a", "doc_b")
+    )
+    pred = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hit = truth.join(pred, ["doc_a", "doc_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(pred.agg(F.count(F.lit(1)).alias("n_pred")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.selectExpr(
+        "n_truth",
+        "n_pred",
+        "n_hit",
+        "CAST(1000000 * n_hit div n_truth AS BIGINT) AS recall_ppm",
+        "CAST(1000000 * n_hit div n_pred AS BIGINT) AS precision_ppm",
+    )
+
+
+QUERIES["dedup_lsh_eval"] = dedup_lsh_eval
+
+ORACLES["dedup_lsh_eval"] = f"""
+    WITH {_DUP_CORPUS_DUCK},
+    {_SHINGLES_DUCK},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.6
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {_P} AS ha,
+               CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % {_P} AS hb
+        FROM shingles
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_SIG_COLS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    pred AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+        WHERE ({_AGREE}) / {float(_K)} >= 0.5
+    ),
+    hit AS (SELECT * FROM truth INTERSECT SELECT * FROM pred)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM pred) AS n_pred,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+           CAST(1000000 * (SELECT count(*) FROM hit)
+                // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm,
+           CAST(1000000 * (SELECT count(*) FROM hit)
+                // (SELECT count(*) FROM pred) AS BIGINT) AS precision_ppm
+"""
