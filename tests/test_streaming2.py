@@ -258,3 +258,70 @@ def test_stream_into_engine_table(spark, sf_dir, tmp_path):
         q2.stop()
     assert engine.table("ing").count() == expected
     assert mf.read_manifest(engine._table_dir("ing"))["version"] == v_after_first
+
+
+def test_cdc_loop_composes(spark, sf_dir, tmp_path):
+    """Full lakehouse CDC chain: external stream → manifest table →
+    table-as-stream → downstream aggregate table. Proves the streaming
+    sink and source compose end-to-end with exactly-once at each hop."""
+    from pyspark.sql import functions as F
+
+    from kuibadb_spark.engine import Engine
+    from kuibadb_spark.streaming.events import (
+        read_events_stream,
+        write_stream_to_table,
+    )
+
+    engine = Engine(spark, warehouse=str(tmp_path / "wh"))
+    engine.create_table(
+        "raw_ev", "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                  " event_type STRING, value DOUBLE, props STRING"
+    )
+    engine.create_table("by_type", "event_type STRING, n BIGINT")
+
+    q1 = write_stream_to_table(
+        read_events_stream(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ),
+        engine, "raw_ev", str(tmp_path / "c1"),
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    agg = (
+        engine.stream("raw_ev")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from kuibadb_spark.plans import manifest as mf
+
+    def sink(batch_df, batch_id):
+        tdir = engine._table_dir("by_type")
+        last = mf.read_manifest(tdir)["props"].get("stream_last_batch", -1)
+        if batch_id <= last:
+            return
+        # complete mode: swap the aggregate table to this batch's result
+        engine.delete("by_type", "true")
+        engine.insert("by_type", batch_df,
+                      props_update={"stream_last_batch": batch_id})
+
+    q2 = (
+        agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {(r.event_type, r.n) for r in engine.table("by_type").collect()}
+    want = {
+        (r.event_type, r.n)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and len(got) >= 3
