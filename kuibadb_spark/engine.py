@@ -810,11 +810,21 @@ class Engine:
         df = parse_typed(self.spark, path, schema, delimiter, null_marker, csv)
         if parallel:
             df = df.repartition(parallel)
-        check_not_null(df, m["not_null"])
-        check_constraint(df, m["props"].get("check"))
 
         staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
-        df.write.mode("overwrite").parquet(staging)
+        try:
+            check_not_null(df, m["not_null"])
+            check_constraint(df, m["props"].get("check"))
+            df.write.mode("overwrite").parquet(staging)
+        except Exception as e:
+            # fast-path reader failure → re-derive the reference's counted
+            # column-count diagnostic; if counts are clean the failure was
+            # a type error — propagate the original (ANSI cast semantics)
+            if not csv and "MALFORMED_CSV_RECORD" in str(e):
+                from kuibadb_spark.sources.copy import diagnose_bad_lines
+
+                diagnose_bad_lines(self.spark, path, schema, delimiter)
+            raise
         new_files = [
             os.path.join(staging, f)
             for f in os.listdir(staging)

