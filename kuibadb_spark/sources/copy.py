@@ -62,9 +62,9 @@ def parse_typed(
     # quoting DISABLED enforces the reference's semantics wholesale —
     # extra AND missing columns raise MALFORMED_CSV_RECORD under
     # FAILFAST, the NULL marker matches exactly, type junk raises —
-    # at native-reader throughput (end-to-end COPY 152k → 219k rows/s at
-    # sf0.1, tools/ingest_bench.py — parquet write + manifest commit now
-    # dominate). Callers that want the reference's counted diagnostics
+    # at native-reader throughput (end-to-end COPY 152k → 574k rows/s
+    # steady-state at sf0.1, tools/ingest_bench.py — 3.8×; parquet write
+    # + manifest commit now dominate). Callers that want the reference's counted diagnostics
     # re-run diagnose_bad_lines() on failure (Engine.copy_from does).
     return spark.read.csv(
         path,

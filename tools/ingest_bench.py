@@ -49,6 +49,11 @@ def main() -> None:
             .csv(txt_dir)
         )
         engine = Engine(spark, warehouse=os.path.join(work, "wh"))
+        # warm-up: first COPY in a session pays file-listing + codegen
+        # (~1.7 s at sf0.1) — absorb it so dialects compare steady-state
+        engine.create_table("warmup", SCHEMA)
+        engine.copy_from("warmup", f"{txt_dir}/part-*", delimiter="|",
+                         parallel=32)
         results = {}
         for label, kwargs in (
             ("copy_text", {"delimiter": "|"}),
