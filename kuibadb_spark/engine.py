@@ -74,6 +74,9 @@ _ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_RE = re.compile(
     r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
 )
+_HISTORY_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(SELECT\s+.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -347,6 +350,12 @@ class Engine:
             st = self.analyze(m.group(1))
             return self.spark.createDataFrame(
                 [(st["rows"],)], "rows BIGINT"
+            )
+        m = _HISTORY_RE.match(text)
+        if m and self._table_exists(m.group(1)):
+            return self.spark.createDataFrame(
+                self.history(m.group(1)),
+                "version INT, n_files INT, schema STRING, available BOOLEAN",
             )
         m = _DESCRIBE_RE.match(text)
         if m and self._table_exists(m.group(1)):
@@ -704,6 +713,24 @@ class Engine:
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in kept)
         mf.update_schema(tdir, ddl,
                          [c for c in m["not_null"] if c != col], m["version"])
+
+    def history(self, name: str) -> list[tuple]:
+        """Table version history (Delta's DESCRIBE HISTORY analog) from
+        the retained per-version manifests: (version, n_files, schema,
+        available) — available=False for versions gc() has trimmed
+        (still listed so the timeline has no silent holes)."""
+        tdir = self._table_dir(name)
+        if not os.path.exists(mf.manifest_path(tdir)):
+            raise UndefinedTable(f"table {name!r} does not exist")
+        cur = mf.read_manifest(tdir)["version"]
+        out = []
+        for v in range(cur + 1):
+            try:
+                m = mf.read_manifest_version(tdir, v)
+                out.append((v, len(m["files"]), m["schema"], True))
+            except FileNotFoundError:
+                out.append((v, None, None, False))
+        return out
 
     def tables(self) -> list[str]:
         return sorted(

@@ -525,3 +525,20 @@ def test_system_catalog_views(engine):
         " ON c.relname = r.relname WHERE r.n_files > 0"
     ).collect()[0].n
     assert n == 2  # t's two columns (c2 has no data files yet)
+
+
+def test_describe_history(engine):
+    _mk(engine)  # v0 create + v1 insert
+    engine.sql("INSERT INTO t VALUES (3, 'c')")
+    engine.sql("DELETE FROM t WHERE a = 1")
+    h = engine.sql("DESCRIBE HISTORY t").collect()
+    assert [r.version for r in h] == [0, 1, 2, 3]
+    assert h[0].n_files == 0 and all(r.available for r in h)
+    # trimmed versions stay listed as unavailable
+    for i in range(12):
+        engine.insert("t", engine.spark.createDataFrame([(10 + i,)][:1],
+                                                        "a INT").selectExpr(
+            "a", "'z' AS b"))
+    engine.gc("t", keep_versions=3)
+    h2 = engine.sql("DESCRIBE HISTORY t").collect()
+    assert not h2[0].available and h2[-1].available
