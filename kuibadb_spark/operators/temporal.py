@@ -581,3 +581,87 @@ ORACLES["ts_gap_fill_interpolate"] = """
     FROM dense
     ORDER BY event_type, h
 """
+
+
+# --------------------------------------------------------------------------
+# forward as-of join: each purchase matched to the user's NEXT view
+# --------------------------------------------------------------------------
+def asof_purchase_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forward direction of the as-of join (asof_purchase_last_view
+    mirrors backward): each purchase paired with the user's first view
+    AT OR AFTER it, plus the wait in whole seconds — the time-to-next-
+    touch metric behind abandonment/attribution models. Same scalable
+    union-tag-window composition, with the carry running over the
+    FOLLOWING frame; the wait is exact integer microseconds divided to
+    seconds (truncating div, engine-identical)."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "value AS view_value",
+        "0 AS tag",
+        "event_id",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "CAST(NULL AS DOUBLE) AS view_value",
+        "1 AS tag",
+        "event_id",
+    )
+    merged = views.unionAll(purchases)
+    # views sort AFTER purchases at equal us (tag desc in a forward scan
+    # means: ordering asc by (us, -tag) puts the purchase first, so an
+    # exact-tie view is visible to it — ASOF's >= mirrored)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", F.desc("tag"), "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = merged.withColumn(
+        "next_view_value", F.first("view_value", ignorenulls=True).over(w)
+    ).withColumn(
+        "next_view_us",
+        F.first(
+            F.when(F.col("view_value").isNotNull(), F.col("us")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .selectExpr(
+            "user_id",
+            "event_id AS purchase_id",
+            "next_view_value",
+            "CAST((next_view_us - us) div 1000000 AS BIGINT) AS wait_s",
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+QUERIES["asof_purchase_next_view"] = asof_purchase_next_view
+
+ORACLES["asof_purchase_next_view"] = """
+    WITH merged AS (
+        SELECT user_id, epoch_us(ts) AS us, value AS view_value,
+               0 AS tag, event_id
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, epoch_us(ts), NULL, 1, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+        SELECT user_id, us, tag, event_id,
+               first_value(view_value IGNORE NULLS) OVER w
+                   AS next_view_value,
+               first_value(CASE WHEN view_value IS NOT NULL THEN us END
+                           IGNORE NULLS) OVER w AS next_view_us
+        FROM merged
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY us, tag DESC, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id AS purchase_id, next_view_value,
+           CAST((next_view_us - us) // 1000000 AS BIGINT) AS wait_s
+    FROM carried WHERE tag = 1
+    ORDER BY user_id, purchase_id
+"""
