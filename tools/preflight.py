@@ -72,6 +72,24 @@ def main() -> int:
         else:
             print(f"  {len(osql)} oracles green")
 
+    # 3b. the driver's NEXT grading window: first 50 keys must all have
+    # oracles and pass at the driver's sf0.01 (cheap: 50 of the 180+)
+    print("[3b/4] driver window (first 50 keys) at sf0.01…")
+    window_bad = []
+    for n in keys[:50]:
+        if n not in osql:
+            window_bad.append((n, "no oracle"))
+            continue
+        rep = compare(spark, n, "/root/testdata/sf0.01", qs[n], osql[n])
+        if not rep["match"] or rep["spark_rows"] == 0:
+            window_bad.append((n, rep.get("spark_rows")))
+    if window_bad:
+        failures += 1
+        for n, why in window_bad:
+            print(f"  FAIL {n}: {why}")
+    else:
+        print("  50/50 green")
+
     # 4. driver contract
     sys.path.insert(0, str(ROOT))
     import __spark_entry__ as entrymod
