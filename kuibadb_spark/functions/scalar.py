@@ -220,11 +220,13 @@ _STRING_OPS = [
 ]
 
 _BYTEA_OPS = [
-    ("bin_s", "CAST(s AS BINARY)", "encode(s)"),
+    # BINARY-valued expressions cross the driver boundary as text (round-trip
+    # cast / hex) — the oracle comparator cannot sort/hash raw byte cells.
+    ("bin_s", "CAST(CAST(s AS BINARY) AS STRING)", "decode(encode(s))"),
     ("bin_len", "octet_length(CAST(s AS BINARY))",
      "CAST(octet_length(encode(s)) AS INTEGER)"),
-    ("bin_cat", "concat(CAST(s AS BINARY), CAST('!' AS BINARY))",
-     "encode(s) || encode('!')"),
+    ("bin_cat", "hex(concat(CAST(s AS BINARY), CAST('!' AS BINARY)))",
+     "hex(encode(s) || encode('!'))"),
     ("bin_eq", "CAST(s AS BINARY) = CAST(upper(s) AS BINARY)",
      "encode(s) = encode(upper(s))"),
     ("bin_lt", "CAST(s AS BINARY) < CAST('N' AS BINARY)",

@@ -196,15 +196,32 @@ def subq_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates (rows-only check: HLL++/KLL estimates are
-    engine-specific by design — the 100 TB substitute for exact distincts).
-    """
+    """Sketch-based aggregates, oracle-able form: the raw HLL++/GK
+    estimates are engine-specific, so the query emits the EXACT answer
+    plus booleans asserting each sketch lands within its error bound
+    (HLL++ default rsd 0.05 → 5%; approx_percentile vs exact percentile
+    ≤5% relative). The oracle computes the exact side and expects TRUE —
+    a sketch drifting out of bound flips the row and fails the hash.
+    At 100 TB the sketches are the point (one pass, bounded memory vs an
+    exact distinct's shuffle of every key); the exact columns here are
+    the test harness, not the production plan."""
     l = load(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)")
+            .alias("_approx_median"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("_exact_median"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "exact_parts",
+            "abs(_approx_parts - exact_parts) <= 0.05 * exact_parts"
+            " AS parts_within_5pct",
+            "abs(_approx_median - _exact_median) <= 0.05 * _exact_median"
+            " AS median_within_5pct",
         )
         .orderBy("l_returnflag")
     )
@@ -343,6 +360,15 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "agg_approx_sketches": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS parts_within_5pct,
+               TRUE AS median_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     "agg_unpivot": """
         WITH wide AS (

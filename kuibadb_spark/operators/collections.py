@@ -32,17 +32,22 @@ def coll_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "size(toks) AS n_toks",
-            "slice(toks, 1, 3) AS first3",
-            "array_sort(array_distinct(toks)) AS vocab",
+            # array-valued results are joined to CSV text at the boundary —
+            # the driver comparator cannot sort/hash list cells; the array
+            # semantics under test are unchanged (join happens last)
+            "array_join(slice(toks, 1, 3), ',') AS first3",
+            "array_join(array_sort(array_distinct(toks)), ',') AS vocab",
             "array_contains(toks, 'the') AS has_the",
             "array_position(toks, 'hash') AS hash_pos",
-            "transform(slice(toks, 1, 5), t -> upper(t)) AS first5_upper",
-            "filter(toks, t -> length(t) > 5) AS long_toks",
+            "array_join(transform(slice(toks, 1, 5), t -> upper(t)), ',')"
+            " AS first5_upper",
+            "array_join(filter(toks, t -> length(t) > 5), ',') AS long_toks",
             "aggregate(toks, 0, (acc, t) -> acc + length(t)) AS total_chars",
             "element_at(toks, 1) AS head_tok",
             "element_at(toks, -1) AS tail_tok",
             "array_max(transform(toks, t -> length(t))) AS max_len",
-            "flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))) AS first4",
+            "array_join(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))),"
+            " ',') AS first4",
         )
         .filter(F.col("doc_id") < 100)
         .orderBy("doc_id")
@@ -76,7 +81,7 @@ def coll_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(m) AS m_size",
             "element_at(m, 'type') AS m_type",
             "element_at(m, 'user') AS m_user",
-            "array_sort(map_keys(m)) AS keys_sorted",
+            "array_join(array_sort(map_keys(m)), ',') AS keys_sorted",
             "array_contains(map_values(m), 'view') AS has_view_value",
         )
         .filter(F.col("event_id") < 200)
@@ -121,7 +126,8 @@ def coll_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "concat_ws('|', array_sort(collect_set(CAST(l_linenumber AS STRING))))"
             ).alias("linenos"),
-            F.expr("array_sort(collect_set(l_linestatus))").alias("status_list"),
+            F.expr("array_join(array_sort(collect_set(l_linestatus)), ',')")
+            .alias("status_list"),
         )
         .orderBy("l_returnflag")
     )
@@ -143,19 +149,22 @@ ORACLES = {
         )
         SELECT doc_id,
                CAST(len(toks) AS INTEGER) AS n_toks,
-               toks[1:3] AS first3,
-               list_sort(list_distinct(toks)) AS vocab,
+               array_to_string(toks[1:3], ',') AS first3,
+               array_to_string(list_sort(list_distinct(toks)), ',') AS vocab,
                list_contains(toks, 'the') AS has_the,
                CAST(list_position(toks, 'hash') AS BIGINT) AS hash_pos,
-               list_transform(toks[1:5], t -> upper(t)) AS first5_upper,
-               list_filter(toks, t -> length(t) > 5) AS long_toks,
+               array_to_string(list_transform(toks[1:5], t -> upper(t)), ',')
+                   AS first5_upper,
+               coalesce(array_to_string(
+                   list_filter(toks, t -> length(t) > 5), ','), '')
+                   AS long_toks,
                CAST(list_sum(list_transform(toks, t -> length(t))) AS INTEGER)
                    AS total_chars,
                toks[1] AS head_tok,
                toks[-1] AS tail_tok,
                CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER)
                    AS max_len,
-               flatten([toks[1:2], toks[3:4]]) AS first4
+               array_to_string(flatten([toks[1:2], toks[3:4]]), ',') AS first4
         FROM t
         ORDER BY doc_id
     """,
@@ -181,7 +190,7 @@ ORACLES = {
                CAST(cardinality(m) AS INTEGER) AS m_size,
                map_extract(m, 'type')[1] AS m_type,
                map_extract(m, 'user')[1] AS m_user,
-               list_sort(map_keys(m)) AS keys_sorted,
+               array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
                list_contains(map_values(m), 'view') AS has_view_value
         FROM t
         ORDER BY event_id
@@ -203,7 +212,8 @@ ORACLES = {
                    AS statuses,
                string_agg(DISTINCT CAST(l_linenumber AS VARCHAR), '|'
                           ORDER BY CAST(l_linenumber AS VARCHAR)) AS linenos,
-               list_sort(list_distinct(list(l_linestatus))) AS status_list
+               array_to_string(list_sort(list_distinct(list(l_linestatus))),
+                               ',') AS status_list
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -229,9 +239,9 @@ def coll_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "doc_id",
-            "array_sort(array_intersect(va, vb)) AS common",
+            "array_join(array_sort(array_intersect(va, vb)), ',') AS common",
             "size(array_sort(array_union(va, vb))) AS n_union",
-            "array_sort(array_except(va, vb)) AS only_first",
+            "array_join(array_sort(array_except(va, vb)), ',') AS only_first",
             "arrays_overlap(va, vb) AS overlaps",
         )
         .filter(F.col("doc_id") < 200)
@@ -252,10 +262,12 @@ ORACLES["coll_array_setops"] = r"""
         )
     )
     SELECT doc_id,
-           list_sort(list_intersect(va, vb)) AS common,
+           coalesce(array_to_string(list_sort(list_intersect(va, vb)), ','),
+                    '') AS common,
            CAST(len(list_sort(list_distinct(list_concat(va, vb)))) AS INTEGER) AS n_union,
-           list_sort(list_filter(va, x -> NOT list_contains(vb, x)))
-               AS only_first,
+           coalesce(array_to_string(
+               list_sort(list_filter(va, x -> NOT list_contains(vb, x))), ','),
+               '') AS only_first,
            len(list_intersect(va, vb)) > 0 AS overlaps
     FROM halves
     WHERE doc_id < 200

@@ -741,7 +741,10 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_variants"),
             F.min("doc_id").alias("canonical_doc"),
-            F.expr("array_sort(collect_list(doc_id))").alias("members"),
+            # stringified: the driver's pandas canonicalizer cannot sort/hash
+            # list cells, so the member list crosses the boundary as CSV text
+            F.expr("array_join(array_sort(collect_list(doc_id)), ',')")
+            .alias("members"),
         )
         .filter(F.col("n_variants") > 1)
         .orderBy("cu")
@@ -787,7 +790,7 @@ ORACLES["dedup_url_normalize"] = r"""
     SELECT cu,
            CAST(count(*) AS BIGINT) AS n_variants,
            min(doc_id) AS canonical_doc,
-           list_sort(list(doc_id)) AS members
+           array_to_string(list_sort(list(doc_id)), ',') AS members
     FROM canon
     GROUP BY cu
     HAVING count(*) > 1

@@ -44,7 +44,10 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal form: `members` is a real array (consumed by
+    dedup_cluster_verdicts' explode). The registry-facing
+    dedup_connected_components stringifies it at the boundary."""
     edges = _edges(spark, sf_dir).persist()
     # undirected: propagate both ways
     sym = edges.unionAll(
@@ -99,6 +102,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CSV members at the boundary — driver comparator can't hash array cells
+    return _connected_components(spark, sf_dir).selectExpr(
+        "cluster_id", "cluster_size", "array_join(members, ',') AS members"
+    )
+
+
 QUERIES = {"dedup_connected_components": dedup_connected_components}
 
 ORACLES = {
@@ -133,7 +143,7 @@ ORACLES = {
         )
         SELECT label AS cluster_id,
                count(*) AS cluster_size,
-               list_sort(list(node)) AS members
+               array_to_string(list_sort(list(node)), ',') AS members
         FROM final
         GROUP BY label
         ORDER BY cluster_id
@@ -366,7 +376,7 @@ def dedup_cluster_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id IS the canonical id). Composes the connected-components
     fixpoint with a row-local member explode; documents outside any
     near-dup component are implicitly kept and never shuffled."""
-    cc = dedup_connected_components(spark, sf_dir)
+    cc = _connected_components(spark, sf_dir)
     return (
         cc.select(
             "cluster_id",
@@ -386,7 +396,7 @@ ORACLES["dedup_cluster_verdicts"] = ORACLES[
 ].replace(
     """SELECT label AS cluster_id,
                count(*) AS cluster_size,
-               list_sort(list(node)) AS members
+               array_to_string(list_sort(list(node)), ',') AS members
         FROM final
         GROUP BY label
         ORDER BY cluster_id""",
@@ -397,6 +407,9 @@ ORACLES["dedup_cluster_verdicts"] = ORACLES[
         FROM final
         ORDER BY doc_id""",
 )
+# the verdicts oracle is derived by textual rewrite of the components
+# oracle — guard against a silent no-op if the source text drifts
+assert ORACLES["dedup_cluster_verdicts"] != ORACLES["dedup_connected_components"]
 
 
 # ---------------------------------------------------------------------------

@@ -100,7 +100,9 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feature extraction: mapInPandas over Arrow batches (the real plumbing),
 # deterministic fake "decode" so results are oracle-checkable
 # ---------------------------------------------------------------------------
-_FEATURE_SCHEMA = "doc_id long, fmt string, n_bytes int, mean_byte double, first8 array<int>"
+# first8 crosses the boundary as CSV text — the driver comparator cannot
+# sort/hash list cells (the Arrow batch plumbing under test is unchanged)
+_FEATURE_SCHEMA = "doc_id long, fmt string, n_bytes int, mean_byte double, first8 string"
 
 
 def fake_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,7 +119,9 @@ def fake_features_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "mean_byte": payloads.map(
                     lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
                 ),
-                "first8": payloads.map(lambda b: [int(x) for x in b[:8]]),
+                "first8": payloads.map(
+                    lambda b: ",".join(str(int(x)) for x in b[:8])
+                ),
             }
         )
 
@@ -198,7 +202,7 @@ ORACLES = {
         SELECT doc_id, fmt,
                CAST(n_bytes AS INTEGER) AS n_bytes,
                round(list_sum(all_bytes) / CAST(n_bytes AS DOUBLE), 6) AS mean_byte,
-               list_transform(all_bytes[1:8], x -> CAST(x AS INTEGER)) AS first8
+               array_to_string(all_bytes[1:8], ',') AS first8
         FROM bytes
         WHERE doc_id < 200
         ORDER BY doc_id
@@ -243,11 +247,13 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digest")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
-            F.expr("array_sort(collect_list(doc_id))").alias("doc_ids"),
+            F.expr("array_sort(collect_list(doc_id))").alias("doc_id_arr"),
         )
         .filter(F.col("n_copies") > 1)
-        .select("digest", "n_copies", "doc_ids",
-                F.expr("doc_ids[0]").alias("keeper"))
+        # CSV at the boundary — driver comparator can't hash array cells
+        .select("digest", "n_copies",
+                F.expr("array_join(doc_id_arr, ',')").alias("doc_ids"),
+                F.expr("doc_id_arr[0]").alias("keeper"))
         .orderBy("digest")
     )
 
@@ -259,7 +265,7 @@ ORACLES["mm_dedup_binary"] = f"""
     WITH {_DUP_DUCK}
     SELECT sha256(text) AS digest,
            CAST(count(*) AS BIGINT) AS n_copies,
-           list_sort(list(doc_id)) AS doc_ids,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
            min(doc_id) AS keeper
     FROM corpus
     GROUP BY digest

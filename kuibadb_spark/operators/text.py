@@ -763,8 +763,10 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, t) -> transform(acc, (v, i) ->"
             "   v + CASE WHEN CAST(conv(substring(md5(t), 1, 8), 16, 10)"
             f"        AS BIGINT) % {b} = i THEN 1L ELSE 0L END))"
-            " AS fvec",
+            " AS fvec_arr",
         )
+        # CSV at the boundary — driver comparator can't hash array cells
+        .selectExpr("doc_id", "n_tokens", "array_join(fvec_arr, ',') AS fvec")
         .filter(F.col("doc_id") < 100)
         .orderBy("doc_id")
     )
@@ -785,8 +787,8 @@ ORACLES["text_feature_hashing"] = r"""
         FROM toks
     )
     SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-           list_transform(generate_series(0, 15), i ->
-               CAST(len(list_filter(hs, h -> h = i)) AS BIGINT)) AS fvec
+           array_to_string(list_transform(generate_series(0, 15), i ->
+               CAST(len(list_filter(hs, h -> h = i)) AS BIGINT)), ',') AS fvec
     FROM hashed
     ORDER BY doc_id
 """

@@ -46,6 +46,32 @@ def main() -> int:
     print(f"[1/4] registry: {len(keys)} queries, {len(osql)} oracles, "
           f"{n_unverified} not yet driver-verified (ordered first)")
 
+    # 1b. no complex output types: the driver's pandas canonicalizer
+    # sorts/hashes every result cell, and raises `unhashable type` on
+    # bytearray/list cells — so no ARRAY/MAP/BINARY/STRUCT column may
+    # reach a final query schema (stringify at the boundary: hex() /
+    # array_join() / CAST AS STRING). type_audit can't catch this class:
+    # the types *agree* across engines (array<bigint> ≡ list<i64>).
+    print("[1b] complex-output-type scan (schemas at sf0.001)…")
+    spark = get_spark()
+    complex_bad = []
+    for n in sorted(qs):
+        try:
+            schema = qs[n](spark, "/root/testdata/sf0.001").schema
+        except Exception as e:  # schema derivation itself failing is a fail
+            complex_bad.append((n, f"schema error: {e}"))
+            continue
+        for f in schema.fields:
+            tn = f.dataType.typeName()
+            if tn in ("array", "map", "binary", "struct"):
+                complex_bad.append((n, f"{f.name}: {f.dataType.simpleString()}"))
+    if complex_bad:
+        failures += 1
+        for n, why in complex_bad:
+            print(f"  FAIL {n}: {why}")
+    else:
+        print(f"  {len(qs)} schemas scalar-only")
+
     # 2. type audit
     print("[2/4] type audit (sf0.001)…")
     if audit("/root/testdata/sf0.001") != 0:
@@ -55,7 +81,6 @@ def main() -> int:
     sfs = ["/root/testdata/sf0.001"]
     if "--sf01" in sys.argv:
         sfs.append("/root/testdata/sf0.01")
-    spark = get_spark()
     for sf in sfs:
         print(f"[3/4] value parity at {sf}…")
         bad = []
