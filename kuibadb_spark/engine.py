@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, types as T
@@ -91,14 +92,16 @@ _VERSION_AS_OF_RE = re.compile(
 )
 # canonical upsert spelling: MERGE INTO t USING (SELECT …) [AS] s
 # ON (k1, k2, …) [WHEN MATCHED THEN UPDATE SET *]
-# [WHEN NOT MATCHED THEN INSERT *] — the fixed semantics Engine.merge
-# implements; other WHEN forms are rejected by non-match (fall through
-# to Spark, which errors clearly on MERGE without a catalog)
+# [WHEN NOT MATCHED THEN INSERT *] — which WHEN clauses are present
+# restricts what merge() does (update-only / insert-only / both); a
+# MERGE with NO when clause is a syntax error, and other WHEN forms are
+# rejected by non-match (fall through to Spark, which errors clearly on
+# MERGE without a catalog)
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+\((.*?)\)\s*(?:AS\s+)?\w*\s*"
     r"ON\s*\(([\w\s,]+)\)\s*"
-    r"(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*)?"
-    r"(?:WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*)?;?\s*$",
+    r"(?P<upd>WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*)?"
+    r"(?P<ins>WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
@@ -459,9 +462,18 @@ class Engine:
         m = _MERGE_RE.match(text)
         if m:
             name, body, keys = m.group(1), m.group(2), m.group(3)
+            do_update = m.group("upd") is not None
+            do_insert = m.group("ins") is not None
+            if not (do_update or do_insert):
+                raise SqlSyntaxError(
+                    "MERGE requires at least one WHEN clause"
+                )
             self._register_all()
             src = self.spark.sql(body)
-            upd, ins = self.merge(name, src, [k.strip() for k in keys.split(",")])
+            upd, ins = self.merge(
+                name, src, [k.strip() for k in keys.split(",")],
+                update=do_update, insert=do_insert,
+            )
             return self.spark.createDataFrame(
                 [(upd, ins)], "updated BIGINT, inserted BIGINT"
             )
@@ -523,22 +535,41 @@ class Engine:
             return  # PG: WARNING, no transaction in progress
         txn, self._txn = self._txn, None
         dirty = {k: st for k, st in txn.items() if st["dirty"]}
-        # validate every base version before publishing any (all-or-nothing
-        # against concurrent single-table commits)
-        for key, st in dirty.items():
-            disk = mf.read_manifest(os.path.join(self.warehouse, key))
-            if disk["version"] != st["base_version"]:
-                self._discard_segs(dirty)
-                raise SerializationFailure(
-                    f"table {key!r} moved: base v{st['base_version']}, "
-                    f"now v{disk['version']} — transaction rolled back"
-                )
-        for key, st in dirty.items():
-            mf.publish(
-                os.path.join(self.warehouse, key),
-                st["manifest"],
-                st["base_version"],
+        if not dirty:
+            return
+        dirs = {k: os.path.join(self.warehouse, k) for k in dirty}
+        # ALL touched tables' commit locks are held (sorted — no deadlock)
+        # across the whole validate+publish window, so a concurrent commit
+        # cannot land between one table's validation and another table's
+        # publish: the multi-table transaction is all-or-nothing. Any
+        # failure inside the window (validation or publish itself) rolls
+        # the whole transaction back and reclaims the staged segments.
+        published: list[str] = []
+        try:
+            with mf.multi_commit_lock(dirs.values()):
+                for key, st in dirty.items():
+                    disk = mf.read_manifest(dirs[key])
+                    if disk["version"] != st["base_version"]:
+                        raise SerializationFailure(
+                            f"table {key!r} moved: base v{st['base_version']},"
+                            f" now v{disk['version']} — transaction rolled back"
+                        )
+                for key, st in dirty.items():
+                    mf.publish_held(
+                        dirs[key], st["manifest"], st["base_version"]
+                    )
+                    published.append(key)
+        except Exception:
+            # validation failure → nothing published, reclaim everything;
+            # an I/O failure mid-publish (disk full) reclaims only the
+            # UNpublished tables' segments — published manifests already
+            # reference theirs, deleting those would corrupt the table
+            self._discard_segs(
+                {k: v for k, v in dirty.items() if k not in published}
             )
+            self._unmark_segs({k: dirty[k] for k in published})
+            raise
+        self._unmark_segs(dirty)
 
     def rollback(self) -> None:
         if self._txn is None:
@@ -553,6 +584,38 @@ class Engine:
         for st in txn.values():
             for seg in st["segs"]:
                 shutil.rmtree(seg, ignore_errors=True)
+                try:
+                    os.remove(seg + ".staged")
+                except OSError:
+                    pass
+
+    @staticmethod
+    def _unmark_segs(txn: dict) -> None:
+        """Drop the .staged sidecar markers once the segments' files are
+        referenced by a published manifest (they're now gc-visible as
+        live files, no marker needed)."""
+        for st in txn.values():
+            for seg in st["segs"]:
+                try:
+                    os.remove(seg + ".staged")
+                except OSError:
+                    pass
+
+    @staticmethod
+    def _stage(tdir: str, prefix: str = "seg") -> str:
+        """Allocate a staging segment dir name and drop a `.staged`
+        sidecar marker FIRST. The marker makes in-flight segments
+        discoverable across sessions: another Engine's gc() must not
+        reclaim files that aren't in the on-disk manifest merely because
+        THIS session hasn't committed yet (an open transaction, or the
+        seconds between an autocommit write and its manifest swap).
+        Markers are removed on publish/rollback; a crash leaves one
+        behind, and gc treats markers older than its retention window as
+        crashed-transaction leftovers (crash ≡ rollback, eventually)."""
+        staging = os.path.join(tdir, f"{prefix}-{uuid.uuid4().hex[:12]}")
+        with open(staging + ".staged", "w") as f:
+            f.write(str(time.time()))
+        return staging
 
     def _read_m(self, name: str) -> dict:
         """Current manifest as this session sees it: the staged pending
@@ -591,28 +654,37 @@ class Engine:
         staged into the pending manifest inside a transaction."""
         tdir = self._table_dir(name)
         if self._txn is None:
-            if replace is None:
-                # appends are COMMUTATIVE: the files are already written,
-                # so losing the optimistic race just means re-basing the
-                # manifest append on the new version — retry, don't fail
-                # (COW replaces are NOT retried: they were computed from
-                # a snapshot the winner may have invalidated).
-                base = base_version
-                for attempt in range(5):
-                    try:
-                        mf.commit_files(tdir, append or [], base,
-                                        stats=stats, props=props_update)
-                        break
-                    except SerializationFailure:
-                        if attempt == 4:
-                            raise
-                        base = mf.read_manifest(tdir)["version"]
-            else:
-                mf.replace_files(tdir, replace, base_version, stats=stats)
-                if props_update:
-                    m2 = mf.read_manifest(tdir)
-                    m2["props"].update(props_update)
-                    mf._persist(tdir, m2)
+            try:
+                if replace is None:
+                    # appends are COMMUTATIVE: the files are already
+                    # written, so losing the optimistic race just means
+                    # re-basing the manifest append on the new version —
+                    # retry, don't fail (COW replaces are NOT retried:
+                    # they were computed from a snapshot the winner may
+                    # have invalidated).
+                    base = base_version
+                    for attempt in range(5):
+                        try:
+                            mf.commit_files(tdir, append or [], base,
+                                            stats=stats, props=props_update)
+                            break
+                        except SerializationFailure:
+                            if attempt == 4:
+                                raise
+                            base = mf.read_manifest(tdir)["version"]
+                else:
+                    # props merge INSIDE the locked, versioned swap —
+                    # an out-of-band _persist could be clobbered by a
+                    # concurrent commit and desyncs manifest.vN copies
+                    mf.replace_files(tdir, replace, base_version,
+                                     stats=stats, props=props_update)
+            except SerializationFailure:
+                # the commit lost: its staged files will never be
+                # referenced — reclaim them now instead of waiting for
+                # gc's crashed-txn retention window
+                self._discard_segs({"_": {"segs": segs or []}})
+                raise
+            self._unmark_segs({"_": {"segs": segs or []}})
             return
         st = self._txn[name.lower()]  # _read_m already staged it
         m = st["manifest"]
@@ -838,7 +910,7 @@ class Engine:
         if parallel:
             df = df.repartition(parallel)
 
-        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        staging = self._stage(tdir)
         try:
             check_not_null(df, m["not_null"])
             check_constraint(df, m["props"].get("check"))
@@ -915,7 +987,7 @@ class Engine:
 
         check_not_null(aligned, m["not_null"])
         check_constraint(aligned, m["props"].get("check"))
-        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        staging = self._stage(tdir)
         aligned.write.mode("overwrite").parquet(staging)
         new_files = [
             os.path.join(staging, f)
@@ -948,7 +1020,7 @@ class Engine:
         m = self._read_m(name)
         deleted = df.filter(F.expr(where)).count()
         kept = df.filter(~F.expr(where).eqNullSafe(F.lit(True)))
-        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        staging = self._stage(tdir)
         kept.write.mode("overwrite").parquet(staging)
         new_files = [
             os.path.join(staging, f)
@@ -992,7 +1064,7 @@ class Engine:
         )
         check_not_null(out, m["not_null"])
         check_constraint(out, m["props"].get("check"))
-        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        staging = self._stage(tdir)
         out.write.mode("overwrite").parquet(staging)
         new_files = [
             os.path.join(staging, f)
@@ -1004,11 +1076,16 @@ class Engine:
                       segs=[staging])
         return updated
 
-    def merge(self, name: str, source: DataFrame, on: list[str]) -> tuple[int, int]:
-        """MERGE (upsert): rows in `source` replace target rows with equal
-        key columns `on`; unmatched source rows are inserted. Copy-on-write
-        like delete()/update(): only target files containing matched keys
-        are rewritten, the rest carry into the new version untouched.
+    def merge(self, name: str, source: DataFrame, on: list[str],
+              update: bool = True, insert: bool = True) -> tuple[int, int]:
+        """MERGE: rows in `source` replace target rows with equal key
+        columns `on` (when `update`); unmatched source rows are inserted
+        (when `insert`). Which actions run mirrors the statement's WHEN
+        clauses — an update-only MERGE never inserts unmatched source
+        rows, an insert-only MERGE never rewrites a target file (it is a
+        pure filtered append). Copy-on-write like delete()/update():
+        only target files containing matched keys are rewritten, the
+        rest carry into the new version untouched.
         Returns (updated, inserted).
 
         Scale shape: one shuffle join target⋈source on the key to find
@@ -1017,6 +1094,8 @@ class Engine:
         Delta/Iceberg COW MERGE plan."""
         from pyspark.sql import functions as F
 
+        if not (update or insert):
+            raise ValueError("merge() requires update or insert")
         tdir = self._table_dir(name)
         m = self._read_m(name)
         schema = _phys_schema(m["schema"])
@@ -1025,16 +1104,43 @@ class Engine:
         )
         check_not_null(aligned, m["not_null"])
         check_constraint(aligned, m["props"].get("check"))
-        keys = aligned.select(*on).distinct()
 
         full = (
             self.spark.read.schema(schema).parquet(*m["files"])
             if m["files"]
             else self.spark.createDataFrame([], schema)
         )
+        # keys stay target-free: input_file_name() below requires a
+        # single parquet source in its plan, so the source keyset must
+        # not have the target scan in its lineage
+        keys = aligned.select(*on).distinct()
         matched = full.join(keys, on, "semi")  # AQE broadcasts small key sets
+        if not update:
+            # WHEN NOT MATCHED only: pure append of new-key source rows —
+            # no target file is rewritten
+            to_insert = aligned.join(full.select(*on), on, "anti")
+            inserted = to_insert.select(*on).distinct().count()
+            staging = self._stage(tdir)
+            to_insert.write.mode("overwrite").parquet(staging)
+            new_files = [
+                os.path.join(staging, f)
+                for f in os.listdir(staging)
+                if f.endswith(".parquet")
+            ]
+            self._publish(name, m["version"], append=new_files,
+                          stats=zonemap.collect_file_stats(new_files),
+                          segs=[staging])
+            return 0, inserted
         updated = matched.count()
-        inserted = keys.count() - matched.select(*on).distinct().count()
+        inserted = (
+            keys.count() - matched.select(*on).distinct().count()
+            if insert else 0
+        )
+        if not insert:
+            # WHEN MATCHED only: restrict the written source rows to keys
+            # present in the target (applied HERE, at write time — the
+            # matched/file-hit plans above must stay single-source)
+            aligned = aligned.join(full.select(*on), on, "semi")
 
         hit_uris = {
             r["__f"]
@@ -1054,7 +1160,7 @@ class Engine:
             else self.spark.createDataFrame([], schema)
         )
         out = survivors.unionByName(aligned)
-        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        staging = self._stage(tdir)
         out.write.mode("overwrite").parquet(staging)
         new_files = [
             os.path.join(staging, f)
@@ -1189,7 +1295,7 @@ class Engine:
         aligned = result.select(
             *[result[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
         )
-        staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+        staging = self._stage(tdir)
         aligned.write.mode("overwrite").parquet(staging)
         new_files = [
             os.path.join(staging, f)
@@ -1240,7 +1346,7 @@ class Engine:
                     for f in schema.fields
                 ]
             )
-            staging = os.path.join(tdir, f"seg-{uuid.uuid4().hex[:12]}")
+            staging = self._stage(tdir)
             aligned.write.mode("overwrite").parquet(staging)
             new_files = [
                 os.path.join(staging, f)
@@ -1297,7 +1403,7 @@ class Engine:
             return 0
         schema = _phys_schema(m["schema"])
         df = self.spark.read.schema(schema).parquet(*m["files"])
-        staging = os.path.join(tdir, f"compact-{uuid.uuid4().hex[:12]}")
+        staging = self._stage(tdir, "compact")
         if zorder_by:
             df = self._with_zvalue(df, zorder_by)
             df = (
@@ -1353,10 +1459,28 @@ class Engine:
         ]
         return df.withColumn("_z", F.expr(" + ".join(z_terms)))
 
-    def gc(self, name: str, keep_versions: int = 10) -> int:
+    # staged segments older than this are crashed-transaction leftovers
+    # (crash ≡ rollback): gc may reclaim them. Delta VACUUM's retention
+    # window, applied to in-flight writes instead of historical versions.
+    GC_STAGED_RETENTION_S = 24 * 3600
+
+    def gc(self, name: str, keep_versions: int = 10,
+           staged_retention_s: int | None = None) -> int:
         """Delete data files no longer referenced by the current manifest
         (safe once pinned readers are done) and trim time-travel manifest
-        copies older than `keep_versions` back. Returns files removed."""
+        copies older than `keep_versions` back. Returns files removed.
+
+        Cross-session safety: a segment dir with a fresh `.staged`
+        sidecar marker belongs to SOME session's in-flight write — this
+        session's open transaction or any other process's (the marker is
+        written before the first byte of data, engine._stage). Its files
+        are not in any on-disk manifest yet, so without the marker gc
+        would delete them and the owner's later COMMIT would publish a
+        manifest pointing at vanished parquet — silent corruption.
+        Markers older than the retention window are crashed-transaction
+        leftovers and are reclaimed with their dirs."""
+        retention = (self.GC_STAGED_RETENTION_S
+                     if staged_retention_s is None else staged_retention_s)
         tdir = self._table_dir(name)
         live = set(mf.read_manifest(tdir)["files"])
         if self._txn is not None and name.lower() in self._txn:
@@ -1365,10 +1489,20 @@ class Engine:
             # files belong to the writing txn until commit/abort)
             live |= set(self._txn[name.lower()]["manifest"]["files"])
         removed = 0
+        now = time.time()
         for seg in os.listdir(tdir):
             seg_path = os.path.join(tdir, seg)
             if not os.path.isdir(seg_path):
                 continue
+            marker = seg_path + ".staged"
+            if os.path.exists(marker):
+                try:
+                    age = now - float(open(marker).read().strip() or 0)
+                except (ValueError, OSError):
+                    age = now - os.path.getmtime(marker)
+                if age < retention:
+                    continue  # another session's in-flight write
+                os.remove(marker)  # crashed txn: fall through and reclaim
             for f in os.listdir(seg_path):
                 p = os.path.join(seg_path, f)
                 if p not in live and f.endswith(".parquet"):

@@ -34,6 +34,16 @@ import re
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
 _NUM = re.compile(r"\d+(?:\.\d+)?")
 
+# a `!` right after any of these is prefix NOT, never postfix factorial
+# (`WHERE !(a=b)`, `WHEN !flag`, `SELECT !true`, `AND !x` …)
+_KEYWORDS = frozenset(
+    """AND OR NOT SELECT WHERE WHEN THEN ELSE END ON BY FROM JOIN INNER
+    LEFT RIGHT FULL OUTER CROSS GROUP ORDER HAVING LIMIT OFFSET AS IN IS
+    LIKE ILIKE RLIKE BETWEEN CASE DISTINCT ALL ANY SOME UNION EXCEPT
+    INTERSECT EXISTS VALUES SET RETURNING USING OVER PARTITION IF
+    """.split()
+)
+
 
 def _skip_ws(s: str, i: int) -> int:
     while i < len(s) and s[i].isspace():
@@ -192,11 +202,41 @@ def translate(sql: str) -> str:
                 out.append(c)
                 i += 1
         elif c == "!" and (i + 1 >= n or sql[i + 1] not in "=~"):
-            # postfix factorial: rebind the preceding primary
+            # postfix factorial (PG `5!`) vs prefix NOT (Spark `!flag`,
+            # `!(a = b)`, `!true` — valid Spark SQL that must pass
+            # through untouched). Disambiguate both ways: rewrite only
+            # when the preceding token IS an operand (not any SQL
+            # keyword) AND what follows CANNOT start an operand — a `!`
+            # followed by an identifier/literal/'(' is prefix NOT.
+            k = i + 1
+            while k < n and sql[k].isspace():
+                k += 1
+            nxt = _IDENT.match(sql, k)
+            if nxt and nxt.group(0).upper() in _KEYWORDS:
+                # `5! AS f`, `x! FROM t`, `a! AND b`: a keyword can't
+                # start an operand — the `!` is postfix
+                follows_operand = False
+            else:
+                follows_operand = k < n and (
+                    sql[k].isalnum() or sql[k] in "_('\"!@|"
+                )
             prev = "".join(out)
             start = _start_of_primary(prev, len(prev))
+            # `SELECT (3+2)!`: _start_of_primary treats `KEYWORD (…)` as
+            # a call and swallows the keyword — peel leading keywords off
+            # the operand so only the paren group is rebound
+            while True:
+                lead = re.match(r"\s*([A-Za-z_][\w.]*)\s+", prev[start:])
+                if lead and lead.group(1).upper() in _KEYWORDS:
+                    start += lead.end()
+                else:
+                    break
             operand = prev[start:].strip()
-            if operand and not operand.upper() in ("AND", "OR", "NOT"):
+            if (
+                operand
+                and operand.upper() not in _KEYWORDS
+                and not follows_operand
+            ):
                 out = [prev[:start], f"factorial({operand})"]
             else:
                 out.append(c)

@@ -22,7 +22,7 @@ import os
 import threading
 import uuid
 import zlib
-from contextlib import contextmanager
+from contextlib import ExitStack, contextmanager
 
 from kuibadb_spark.errors import SerializationFailure
 
@@ -51,6 +51,22 @@ def commit_lock(table_dir: str):
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
+
+
+@contextmanager
+def multi_commit_lock(table_dirs):
+    """Hold the commit critical section for SEVERAL tables at once — the
+    transaction COMMIT window. Locks are acquired in sorted absolute-path
+    order so two multi-table committers touching overlapping table sets
+    can never deadlock; holding all of them across validate+publish makes
+    a multi-table transaction all-or-nothing against concurrent
+    single-table commits (no window between one table's validation and
+    another's publish)."""
+    dirs = sorted({os.path.abspath(d) for d in table_dirs})
+    with ExitStack() as stack:
+        for d in dirs:
+            stack.enter_context(commit_lock(d))
+        yield
 
 
 def manifest_path(table_dir: str) -> str:
@@ -117,11 +133,16 @@ def commit_files(table_dir: str, new_files: list[str], base_version: int,
 
 
 def replace_files(table_dir: str, new_files: list[str], base_version: int,
-                  stats: dict | None = None) -> dict:
-    """Atomically swap the whole file list (compaction commit). Old files
-    stay on disk — pinned readers still see them (snapshot isolation);
-    gc() reclaims them later. This is the reference's L0→L1 merge shape
-    (src/access/sv.rs levels) on immutable parquet."""
+                  stats: dict | None = None,
+                  props: dict | None = None) -> dict:
+    """Atomically swap the whole file list (compaction / COW-rewrite
+    commit). Old files stay on disk — pinned readers still see them
+    (snapshot isolation); gc() reclaims them later. This is the
+    reference's L0→L1 merge shape (src/access/sv.rs levels) on immutable
+    parquet. `props` merges into the table props in the SAME locked,
+    versioned swap — a props write outside the lock could be silently
+    clobbered by a concurrent commit and would desync manifest.json from
+    its manifest.vN copy."""
     with commit_lock(table_dir):
         m = read_manifest(table_dir)
         if m["version"] != base_version:
@@ -135,8 +156,25 @@ def replace_files(table_dir: str, new_files: list[str], base_version: int,
             f: old_stats[f] for f in new_files if f in old_stats
         }
         m["stats_by_file"].update(stats or {})
+        m["props"].update(props or {})
         _persist(table_dir, m)
         return m
+
+
+def publish_held(table_dir: str, staged: dict, base_version: int) -> dict:
+    """publish() body WITHOUT acquiring the commit lock — for callers
+    that already hold it via multi_commit_lock (Engine.commit publishing
+    several tables under one lock set). The version check is still
+    enforced (defense in depth)."""
+    disk = read_manifest(table_dir)
+    if disk["version"] != base_version:
+        raise SerializationFailure(
+            f"manifest moved: base v{base_version}, now v{disk['version']}"
+        )
+    out = dict(staged)
+    out["version"] = base_version + 1
+    _persist(table_dir, out)
+    return out
 
 
 def publish(table_dir: str, staged: dict, base_version: int) -> dict:
@@ -148,15 +186,7 @@ def publish(table_dir: str, staged: dict, base_version: int) -> dict:
     if the on-disk manifest moved past the transaction's base, the whole
     transaction fails with SerializationFailure (first-committer-wins)."""
     with commit_lock(table_dir):
-        disk = read_manifest(table_dir)
-        if disk["version"] != base_version:
-            raise SerializationFailure(
-                f"manifest moved: base v{base_version}, now v{disk['version']}"
-            )
-        out = dict(staged)
-        out["version"] = base_version + 1
-        _persist(table_dir, out)
-        return out
+        return publish_held(table_dir, staged, base_version)
 
 
 def read_manifest_version(table_dir: str, version: int) -> dict:

@@ -29,6 +29,16 @@ def test_translate_pure():
     assert translate("|/ @ 4") == "sqrt(abs(4))"
     assert translate("@@0") == "@@0"
     assert translate("(n + 1)!") == "factorial((n + 1))"
+    # prefix `!` as NOT (valid Spark SQL) must pass through untouched —
+    # only a true postfix position rewrites to factorial (round-3 ADVICE)
+    assert translate("SELECT !true") == "SELECT !true"
+    assert translate("WHERE !(a = b)") == "WHERE !(a = b)"
+    assert translate("WHEN !flag THEN 1") == "WHEN !flag THEN 1"
+    assert translate("SELECT a AND !b") == "SELECT a AND !b"
+    assert translate("SELECT 5! AS f") == "SELECT factorial(5) AS f"
+    assert translate("SELECT a! FROM t") == "SELECT factorial(a) FROM t"
+    assert translate("SELECT 5! + 3") == "SELECT factorial(5) + 3"
+    assert translate("SELECT (3+2)!") == "SELECT factorial((3+2))"
     # non-PG uses stay intact
     assert translate("a != b") == "a != b"
     assert translate("x || y") == "x || y"

@@ -542,3 +542,106 @@ def test_describe_history(engine):
     engine.gc("t", keep_versions=3)
     h2 = engine.sql("DESCRIBE HISTORY t").collect()
     assert not h2[0].available and h2[-1].available
+
+
+# -- MERGE clause restriction (round-3: which WHEN clauses are present
+# restricts what merge() does; MERGE with no WHEN clause is rejected) ---
+def test_merge_update_only_does_not_insert(engine):
+    _mk(engine, "mu", rows=((1, "a"), (2, "b")))
+    row = engine.sql(
+        "MERGE INTO mu USING (SELECT 2 AS a, 'B' AS b"
+        " UNION ALL SELECT 3, 'c') ON (a)"
+        " WHEN MATCHED THEN UPDATE SET *"
+    ).collect()[0]
+    assert (row.updated, row.inserted) == (1, 0)
+    assert {tuple(r) for r in engine.table("mu").collect()} == {
+        (1, "a"), (2, "B")}  # the unmatched (3,'c') must NOT appear
+
+
+def test_merge_insert_only_does_not_update(engine):
+    _mk(engine, "mi", rows=((1, "a"), (2, "b")))
+    v0 = _version(engine, "mi")
+    row = engine.sql(
+        "MERGE INTO mi USING (SELECT 2 AS a, 'B' AS b"
+        " UNION ALL SELECT 3, 'c') ON (a)"
+        " WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert (row.updated, row.inserted) == (0, 1)
+    assert {tuple(r) for r in engine.table("mi").collect()} == {
+        (1, "a"), (2, "b"), (3, "c")}  # (2,'b') must stay unmodified
+    # insert-only is a pure append: no target file rewritten
+    m = mf.read_manifest(engine._table_dir("mi"))
+    assert m["version"] == v0 + 1
+
+
+def test_merge_without_when_clause_rejected(engine):
+    _mk(engine, "mn")
+    with pytest.raises(SqlSyntaxError, match="WHEN"):
+        engine.sql("MERGE INTO mn USING (SELECT 1 AS a, 'x' AS b) ON (a)")
+    assert {tuple(r) for r in engine.table("mn").collect()} == {
+        (1, "a"), (2, "b")}
+
+
+# -- cross-session gc safety (round-3 ADVICE: another session's staged
+# segments must survive gc until the retention window expires) ----------
+def test_gc_spares_other_sessions_staged_segs(engine, spark, tmp_path):
+    _mk(engine, "g2")
+    other = Engine(spark, warehouse=str(tmp_path / "wh"))
+    other.begin()
+    other.insert("g2", spark.createDataFrame([(9, "z")], "a INT, b STRING"))
+    staged = [s for st in other._txn.values() for s in st["segs"]]
+    assert staged and all(os.path.exists(s + ".staged") for s in staged)
+    # a DIFFERENT engine's gc must not reclaim the in-flight files
+    engine.gc("g2")
+    for seg in staged:
+        assert any(f.endswith(".parquet") for f in os.listdir(seg))
+    other.commit()
+    # markers removed on publish; files now referenced and gc-safe
+    assert not any(os.path.exists(s + ".staged") for s in staged)
+    assert {tuple(r) for r in engine.table("g2").collect()} == {
+        (1, "a"), (2, "b"), (9, "z")}
+
+
+def test_gc_reclaims_crashed_txn_after_retention(engine, spark, tmp_path):
+    _mk(engine, "g3")
+    other = Engine(spark, warehouse=str(tmp_path / "wh"))
+    other.begin()
+    other.insert("g3", spark.createDataFrame([(9, "z")], "a INT, b STRING"))
+    staged = [s for st in other._txn.values() for s in st["segs"]]
+    other._txn = None  # simulate crash: markers left behind
+    engine.gc("g3", staged_retention_s=0)  # window expired
+    for seg in staged:
+        assert not os.path.exists(seg) and not os.path.exists(seg + ".staged")
+    assert engine.table("g3").count() == 2
+
+
+def test_multi_table_commit_all_or_nothing_on_conflict(engine, spark, tmp_path):
+    """A conflict on the SECOND table must leave the FIRST unpublished
+    (validate+publish under all tables' locks, not per-table)."""
+    _mk(engine, "ta")
+    _mk(engine, "tb")
+    engine.begin()
+    engine.insert("ta", spark.createDataFrame([(3, "c")], "a INT, b STRING"))
+    engine.insert("tb", spark.createDataFrame([(4, "d")], "a INT, b STRING"))
+    # concurrent session moves tb past the txn's base version
+    other = Engine(spark, warehouse=str(tmp_path / "wh"))
+    other.insert("tb", spark.createDataFrame([(9, "z")], "a INT, b STRING"))
+    with pytest.raises(SerializationFailure):
+        engine.commit()
+    # NEITHER table shows the transaction's rows
+    assert {r.a for r in engine.table("ta").collect()} == {1, 2}
+    assert {r.a for r in engine.table("tb").collect()} == {1, 2, 9}
+
+
+def test_compact_props_survive_concurrent_commit_path(engine, spark):
+    """props written through the COW-replace path ride the locked,
+    versioned swap (no out-of-band _persist): the manifest.vN copy and
+    manifest.json agree, and the version bumps exactly once."""
+    _mk(engine, "tp")
+    v0 = _version(engine, "tp")
+    engine.compact("tp", target_files=1)
+    v1 = _version(engine, "tp")
+    assert v1 == v0 + 1
+    cur = mf.read_manifest(engine._table_dir("tp"))
+    copy = mf.read_manifest_version(engine._table_dir("tp"), v1)
+    assert cur == copy
