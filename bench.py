@@ -56,6 +56,12 @@ HEADLINE = [
     "udf_apply_in_pandas",      # Arrow-batched applyInPandas path
     "ev_concurrent_sessions",   # banded interval-overlap self-join
     "text_line_dedup",          # cross-doc boilerplate chunk removal
+    # round 3: families landing in the r3/r4 grading windows, so their
+    # regressions are visible where grading happens
+    "coll_array_ops",           # array function matrix (post-stringify)
+    "stream_session_windows",   # Structured Streaming incremental path
+    "text_pack_sequences",      # sequence packing (training-data prep)
+    "mm_dedup_binary",          # content-digest binary dedup
 ]
 
 
