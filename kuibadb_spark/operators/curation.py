@@ -482,20 +482,24 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("bg")
     )
-    tcnt = (
-        feats.filter(F.col("lang") == "en")
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("t"))
+    # BOTH count tables in ONE aggregation pass (conditional count for
+    # the target slice): the explode+md5 of `feats` is evaluated twice
+    # instead of three times, and one broadcast join disappears
+    # (1.30 s → 1.08 s at sf0.1; persisting feats instead measured
+    # NEUTRAL — materialization ≈ recompute — so the cacheless form
+    # wins: at 100 TB it deletes a full corpus scan+explode without
+    # spilling bigram rows to executor storage)
+    cnt = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("b"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t"),
     )
-    bcnt = feats.groupBy("f").agg(F.count(F.lit(1)).alias("b"))
     ilog2 = "length(bin(1 + {})) - 1"
     return (
-        feats.join(F.broadcast(tcnt), "f", "left")
-        .join(F.broadcast(bcnt), "f")
+        feats.join(F.broadcast(cnt), "f")
         .selectExpr(
             "doc_id",
             "lang",
-            f"{ilog2.format('coalesce(t, 0L)')} AS lt",
+            f"{ilog2.format('t')} AS lt",
             f"{ilog2.format('b')} AS lb",
         )
         .groupBy("doc_id", "lang")
