@@ -28,6 +28,7 @@ from kuibadb_spark.operators import (
     aggregates,
     collections,
     curation,
+    curation2,
     dedup,
     events,
     graph,
@@ -71,6 +72,10 @@ _MODULES = [
     relational2,
     relational,
     windows,
+    # round-3 additions rank LAST on purpose: their unverified keys must
+    # not displace the round-2-planned 48 out of the round-3 grading
+    # window (they are graded in round 4's sweep instead)
+    curation2,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
