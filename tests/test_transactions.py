@@ -645,3 +645,42 @@ def test_compact_props_survive_concurrent_commit_path(engine, spark):
     cur = mf.read_manifest(engine._table_dir("tp"))
     copy = mf.read_manifest_version(engine._table_dir("tp"), v1)
     assert cur == copy
+
+
+def test_racing_two_table_transactions_serialize(engine, spark, tmp_path):
+    """Two sessions race overlapping two-table transactions (ta+tb) from
+    the same base versions. Under the all-locks-held commit window
+    exactly one wins wholesale; the loser fails BOTH tables (no partial
+    transaction ever becomes visible) and the surviving state is one
+    winner's rows on both tables."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _mk(engine, "ra", rows=())
+    _mk(engine, "rb", rows=())
+    engines = [Engine(spark, warehouse=str(tmp_path / "wh")) for _ in range(2)]
+
+    def txn(i):
+        e = engines[i]
+        e.begin()
+        e.insert("ra", spark.createDataFrame([(i, "x")], "a INT, b STRING"))
+        e.insert("rb", spark.createDataFrame([(i, "y")], "a INT, b STRING"))
+        try:
+            e.commit()
+            return ("ok", i)
+        except SerializationFailure:
+            return ("lost", i)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        results = list(ex.map(txn, range(2)))
+    outcomes = sorted(r[0] for r in results)
+    ra = {r.a for r in engine.table("ra").collect()}
+    rb = {r.a for r in engine.table("rb").collect()}
+    if outcomes == ["lost", "ok"]:
+        winner = next(i for s, i in results if s == "ok")
+        assert ra == {winner} and rb == {winner}
+    else:
+        # both may win if the OS serialized them with no overlap — then
+        # both tables must hold BOTH rows (still never a partial txn)
+        assert outcomes == ["ok", "ok"] and ra == {0, 1} and rb == {0, 1}
+    # invariant either way: ra and rb saw the SAME set of transactions
+    assert ra == rb
