@@ -62,6 +62,8 @@ HEADLINE = [
     "stream_session_windows",   # Structured Streaming incremental path
     "text_pack_sequences",      # sequence packing (training-data prep)
     "mm_dedup_binary",          # content-digest binary dedup
+    "sim_ann_recall_eval",      # ANN tuning harness (round-3 addition)
+    "text_unigram_surprisal",   # unigram-LM perplexity filter (round 3)
 ]
 
 

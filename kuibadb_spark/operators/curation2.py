@@ -124,12 +124,16 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("tok")
     )
+    # the corpus total rides INSIDE the bounded count table (unpartitioned
+    # window over ≤B rows — one tiny task) instead of a separate 1-row
+    # broadcast: the plan audit showed the crossJoin(total) variant
+    # re-scanning + re-exploding the corpus a THIRD time to derive the
+    # same sum the count table already holds
     cnt = feats.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
-    total = cnt.agg(F.sum("c").alias("n_total"))
+    cnt = cnt.withColumn("n_total", F.sum("c").over(W.partitionBy()))
     ilog2 = "length(bin(1 + {})) - 1"
     return (
         feats.join(F.broadcast(cnt), "f")
-        .crossJoin(F.broadcast(total))
         .selectExpr(
             "doc_id",
             # parenthesize each ilog2: the template ends in `- 1`, so an
