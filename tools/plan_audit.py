@@ -1,0 +1,90 @@
+"""Whole-registry physical-plan audit: flag scale-killer join shapes.
+
+    python tools/plan_audit.py [sf_dir]
+
+Builds every registry query's plan (no execution) and fails if any plan
+contains:
+- CartesianProduct                       — always a bug at 100 TB
+- BroadcastNestedLoopJoin OUTSIDE the whitelist below — BNLJ is legit
+  only when the build side is provably tiny (a 1-row scalar aggregate, a
+  bounded centroid/merge table, or an intentionally-cross tiny grid)
+
+Whitelisted BNLJ sites (audited by hand; each build side is bounded by a
+CONSTANT regardless of corpus size):
+- 1-row scalar broadcast (corpus count / total / threshold): tfidf,
+  pmi, length_band, search, bpe_apply (merge count), drift_chi2 (half
+  totals), q11 (total value), q22 (avg balance), lsh_eval + ann_recall
+  (1-row metric crosses), gap_fill (per-series bounds), pagerank
+  (n_nodes), kmeans (K centroids), ivf/knn/mips/rrf/topk (≤10-row query
+  vector broadcast with an inequality condition — the brute-force or
+  probe side of an ANN evaluation at fixed query-set size)
+- join_cross_grid — the deliberate tiny cross-join demo (25×7 grid)
+
+A NEW query acquiring a BNLJ must either justify itself here or
+restructure to an equi-join.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from kuibadb_spark import registry  # noqa: E402
+from kuibadb_spark.session import get_spark  # noqa: E402
+
+BNLJ_OK = {
+    "dedup_lsh_eval",
+    "graph_pagerank",
+    "join_cross_grid",
+    "profile_drift_chi2",
+    "q11_important_stock",
+    "q22_sales_opportunity",
+    "sim_ann_ivf",
+    "sim_ann_recall_eval",
+    "sim_kmeans_lloyd",
+    "sim_knn_classify",
+    "sim_mips_maxdot",
+    "sim_rrf_fusion",
+    "sim_topk_bruteforce",
+    "text_bpe_apply_merges",
+    "text_cooccurrence_pmi",
+    "text_length_band_filter",
+    "text_search_conjunctive",
+    "text_tfidf_top_terms",
+    "ts_gap_fill_interpolate",
+    "ts_gap_fill_locf",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark()
+    qs = registry.all_queries()
+    bad = []
+    for n in sorted(qs):
+        try:
+            df = qs[n](spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            txt = buf.getvalue()
+        except Exception as e:
+            bad.append((n, f"plan error: {e}"))
+            continue
+        if "CartesianProduct" in txt:
+            bad.append((n, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in txt and n not in BNLJ_OK:
+            bad.append((n, "unwhitelisted BroadcastNestedLoopJoin"))
+    for n, why in bad:
+        print(f"FAIL {n}: {why}")
+    print(f"plan audit: {len(qs)} queries, {len(bad)} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
