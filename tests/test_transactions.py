@@ -684,3 +684,12 @@ def test_racing_two_table_transactions_serialize(engine, spark, tmp_path):
         assert outcomes == ["ok", "ok"] and ra == {0, 1} and rb == {0, 1}
     # invariant either way: ra and rb saw the SAME set of transactions
     assert ra == rb
+
+
+def test_explain_passthrough(engine):
+    """EXPLAIN reaches Spark's native explain through the SQL front door
+    (the translate layer must not mangle it) — the plan text comes back
+    as a 1-row result like psql's EXPLAIN output."""
+    _mk(engine, "ex")
+    txt = engine.sql("EXPLAIN SELECT * FROM ex WHERE a > 0").collect()[0][0]
+    assert "Physical Plan" in txt and "Filter" in txt
