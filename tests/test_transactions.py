@@ -693,3 +693,22 @@ def test_explain_passthrough(engine):
     _mk(engine, "ex")
     txt = engine.sql("EXPLAIN SELECT * FROM ex WHERE a > 0").collect()[0][0]
     assert "Physical Plan" in txt and "Filter" in txt
+
+
+def test_no_stray_staged_markers_after_autocommit_dml(engine, spark, tmp_path):
+    """Every autocommit DML unmarks its staging dir on publish: after a
+    mix of insert/delete/update/merge/compact, no .staged sidecar may
+    remain (a stray marker would shield dead files from gc for the whole
+    retention window)."""
+    _mk(engine, "mk", rows=((1, "a"), (2, "b"), (3, "c")))
+    engine.sql("DELETE FROM mk WHERE a = 3")
+    engine.sql("UPDATE mk SET b = 'z' WHERE a = 2")
+    engine.sql(
+        "MERGE INTO mk USING (SELECT 9 AS a, 'n' AS b) ON (a)"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    engine.compact("mk", target_files=1)
+    strays = glob.glob(os.path.join(engine._table_dir("mk"), "*.staged"))
+    assert strays == []
+    assert {r.a for r in engine.table("mk").collect()} == {1, 2, 9}
