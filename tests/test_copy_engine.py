@@ -443,3 +443,39 @@ def test_sql_copy_routing(engine, tmp_path):
     out = str(tmp_path / "out_dir")
     n_out = engine.sql(f"COPY t TO '{out}' DELIMITERS '|'").collect()[0]["count"]
     assert n_out == 2
+
+
+def test_tpch_q1_through_engine_tables(engine, spark):
+    """End-to-end proof a reference user can run their analytics through
+    the ENGINE surface (not just the fixture views): ingest the sf0.001
+    lineitem into a manifest table via INSERT, run TPC-H Q1's SQL text
+    through engine.sql() against that table, and match the registry's
+    q1 over the raw parquet bit-for-bit."""
+    from kuibadb_spark.catalog import load
+    from kuibadb_spark.operators.relational import q1_pricing_summary
+
+    src = load(spark, "/root/testdata/sf0.001", "lineitem")
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in src.schema.fields)
+    engine.create_table("li", ddl)
+    engine.insert("li", src)
+    got = engine.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM li
+        WHERE l_shipdate <= timestamp'1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    want = q1_pricing_summary(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
