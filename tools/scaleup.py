@@ -1,0 +1,113 @@
+"""×10 scale-up stress test: does each operator's runtime survive a
+10× data increase, measured empirically rather than argued?
+
+    python tools/scaleup.py [build|run]
+
+`build` synthesizes /tmp/sfbig: every fixture table except the broadcast
+dims (region/nation) is replicated 10× with ALL key columns offset by
+shard·1e8, preserving join structure within each shard — the layout of
+10 tenant shards in one lakehouse. `run` times a representative query
+set at sf0.1 and at the ×10 copy and prints the scaling ratio; ratios
+well under 10 mean fixed per-stage costs still dominate (healthy), ~10
+is linear, and materially above 10 demands an explanation (quadratic
+OUTPUT, like all-overlapping-pairs workloads, is the legitimate one —
+check output growth before blaming the plan).
+
+Writes only under /tmp; the driver fixture dirs are never touched.
+Results are recorded in SCALING.md §"×10 scale-up".
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kuibadb_spark import registry  # noqa: E402
+from kuibadb_spark.catalog import load  # noqa: E402
+from kuibadb_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sfbig"
+OFF = 100_000_000  # fits the 32-bit key columns at 10 shards
+KEYCOLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+REP = [
+    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+    "q18_large_volume_customer", "q2_min_cost_supplier",
+    "ev_session_windows", "ev_concurrent_sessions",
+    "dedup_minhash_lsh", "dedup_simhash", "sim_topk_bruteforce",
+    "graph_pagerank", "text_unigram_surprisal", "text_dsir_importance",
+    "asof_purchase_last_view", "w_ranking_parts", "agg_cube",
+    "text_line_dedup", "mm_dedup_binary",
+]
+
+
+def build(spark) -> None:
+    for t in ("region", "nation"):
+        load(spark, SRC, t).write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+    for t, kcs in KEYCOLS.items():
+        df = load(spark, SRC, t)
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        out = df.select(
+            "*",
+            F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("_sh"),
+        )
+        for k in kcs:
+            out = out.withColumn(
+                k,
+                (
+                    F.col(k).cast("bigint")
+                    + F.col("_sh").cast("bigint") * F.lit(OFF)
+                ).cast(types[k]),
+            )
+        out.drop("_sh").write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        print(t, spark.read.parquet(f"{DST}/{t}.parquet").count())
+
+
+def run(spark) -> None:
+    qs = registry.all_queries()
+    spark.read.parquet(f"{DST}/region.parquet").count()  # warm
+
+    def best(n: str, sf: str) -> float:
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[n](spark, sf).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    tots = [0.0, 0.0]
+    print(f"{'query':32s} {'sf0.1':>7} {'x10':>8} {'ratio':>6}")
+    for n in REP:
+        a, b = best(n, SRC), best(n, DST)
+        tots[0] += a
+        tots[1] += b
+        print(f"{n:32s} {a:7.2f} {b:8.2f} {b/a:6.1f}")
+    print(f"{'TOTAL':32s} {tots[0]:7.2f} {tots[1]:8.2f} "
+          f"{tots[1]/tots[0]:6.1f}")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    s = get_spark("kuibadb-scaleup")
+    if mode == "build":
+        build(s)
+    else:
+        run(s)
