@@ -1,4 +1,4 @@
-"""Round-3 curation/evaluation extensions — four first-class pipeline
+"""Round-3 curation/evaluation extensions — five first-class pipeline
 operators a 100 TB training-data deployment runs that the round-2
 surface didn't yet cover:
 
@@ -7,6 +7,9 @@ surface didn't yet cover:
   perplexity filtering, integer-exact)
 - dedup_keep_newest_crawl : freshness keep-rule over exact-dup groups
 - mm_byte_entropy : payload byte-entropy scoring (binary-junk filter)
+- ev_peak_concurrency : linear-output overlap timeline (the measured
+  scale path for the quadratic pair-listing form; SCALING.md ×10 test:
+  ratio 1.4 vs the pair form's 31.7)
 
 Registered LAST in the registry's module ranking on purpose: the driver
 grades 50 keys per round in unverified-first order, and these must not
@@ -335,4 +338,121 @@ ORACLES["mm_byte_entropy"] = """
     FROM scored
     GROUP BY doc_id, n_bytes
     ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. peak-concurrency timeline: the LINEAR-output scale path for overlap
+# ---------------------------------------------------------------------------
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the linear-output form of the
+    overlap question whose pair-listing form (ev_concurrent_sessions)
+    has an inherently quadratic answer (the ×10 scale-up measured its
+    output at exactly ×100; SCALING.md). Ops dashboards want THIS shape:
+    one row per hour, not one per user pair.
+
+    Scale shape — the two-level segmented scan: sessions (10-min gap,
+    end-padded like the pair op) emit ±1 deltas; a per-hour-bucket
+    running sum needs only a PARTITIONED window (shuffle on bucket), and
+    the cross-bucket carry is a prefix sum over the per-bucket totals —
+    a window over #buckets rows (720 at sf0.1, bounded by the time
+    span, never by event volume). No global sort of the event stream
+    ever happens; ties at one timestamp process ends before starts
+    (strict a.s < b.e overlap ⇒ touching sessions never overlap)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = 10 * 60 * 1_000_000
+    sess = (
+        e.selectExpr(
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "event_id",
+        )
+        .withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > gap),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s"), (F.max("us") + gap).alias("e"))
+    )
+    bucket = 3600 * 1_000_000
+    deltas = sess.selectExpr("s AS t", "1 AS d").unionAll(
+        sess.selectExpr("e AS t", "-1 AS d")
+    ).withColumn("hb", F.expr(f"t div {bucket}"))
+    in_bucket = Window.partitionBy("hb").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = deltas.withColumn("r", F.sum("d").over(in_bucket))
+    per_bucket = run.groupBy("hb").agg(
+        F.max("r").alias("peak_in"),
+        F.sum("d").alias("net"),
+    )
+    carry = Window.orderBy("hb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_bucket.withColumn(
+            "base", F.coalesce(F.sum("net").over(carry), F.lit(0))
+        )
+        .selectExpr(
+            "hb",
+            "CAST(base + peak_in AS BIGINT) AS peak_concurrency",
+        )
+        .orderBy("hb")
+    )
+
+
+QUERIES["ev_peak_concurrency"] = ev_peak_concurrency
+
+ORACLES["ev_peak_concurrency"] = """
+    WITH ev AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) IS NULL
+                     OR us - lag(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) > 600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, sid, min(us) AS s, max(us) + 600000000 AS e
+        FROM (
+            SELECT user_id, us,
+                   sum(new_s) OVER (PARTITION BY user_id
+                       ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        GROUP BY user_id, sid
+    ),
+    deltas AS (
+        SELECT s AS t, 1 AS d, s // 3600000000 AS hb FROM sess
+        UNION ALL
+        SELECT e AS t, -1 AS d, e // 3600000000 AS hb FROM sess
+    ),
+    run AS (
+        SELECT hb, t, d,
+               sum(d) OVER (PARTITION BY hb ORDER BY t, d
+                            ROWS UNBOUNDED PRECEDING) AS r
+        FROM deltas
+    ),
+    per_bucket AS (
+        SELECT hb, max(r) AS peak_in, sum(d) AS net FROM run GROUP BY hb
+    )
+    SELECT hb,
+           CAST(coalesce(sum(net) OVER (ORDER BY hb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + peak_in AS BIGINT) AS peak_concurrency
+    FROM per_bucket
+    ORDER BY hb
 """
