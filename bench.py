@@ -64,6 +64,7 @@ HEADLINE = [
     "mm_dedup_binary",          # content-digest binary dedup
     "sim_ann_recall_eval",      # ANN tuning harness (round-3 addition)
     "text_unigram_surprisal",   # unigram-LM perplexity filter (round 3)
+    "ev_peak_concurrency",      # linear-output overlap scale path (r3)
 ]
 
 
