@@ -1,4 +1,4 @@
-"""Round-3 curation/evaluation extensions — five first-class pipeline
+"""Round-3 curation/evaluation extensions — six first-class pipeline
 operators a 100 TB training-data deployment runs that the round-2
 surface didn't yet cover:
 
@@ -10,6 +10,9 @@ surface didn't yet cover:
 - ev_peak_concurrency : linear-output overlap timeline (the measured
   scale path for the quadratic pair-listing form; SCALING.md ×10 test:
   ratio 1.4 vs the pair form's 31.7)
+- ts_asof_tolerance : backward as-of join with a staleness bound
+  (pandas merge_asof `tolerance` semantics), zero extra shuffles over
+  the plain as-of scan
 
 Registered LAST in the registry's module ranking on purpose: the driver
 grades 50 keys per round in unverified-first order, and these must not
@@ -455,4 +458,97 @@ ORACLES["ev_peak_concurrency"] = """
                 + peak_in AS BIGINT) AS peak_concurrency
     FROM per_bucket
     ORDER BY hb
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. as-of join with tolerance: merge_asof's max-staleness semantics
+# ---------------------------------------------------------------------------
+def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a STALENESS BOUND (pandas merge_asof's
+    `tolerance`): each purchase is attributed to the user's most recent
+    view only if that view happened within the last 30 minutes —
+    older context is noise, not signal (the attribution-window rule
+    every ads/analytics pipeline applies). Purchases with no
+    fresh-enough view keep a NULL attribution and are counted as
+    organic.
+
+    Scale shape: identical to asof_purchase_last_view's one-pass
+    merge-union scan (temporal.py:67 — union views+purchases, one
+    window per user, last(ignorenulls) carry); the tolerance is a
+    row-local timestamp subtraction AFTER the carry, so the bound adds
+    ZERO shuffles — carrying ts alongside value is the whole trick."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("vv"),
+        F.col("ts").alias("vts"), F.lit(0).alias("tag"), "event_id",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("double").alias("vv"),
+        F.lit(None).cast(views.schema["vts"].dataType).alias("vts"),
+        F.lit(1).alias("tag"), "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tol_us = 30 * 60 * 1_000_000
+    carried = (
+        views.unionAll(purchases)
+        .withColumn("lv", F.last("vv", ignorenulls=True).over(w))
+        .withColumn("lts", F.last("vts", ignorenulls=True).over(w))
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .selectExpr(
+            "user_id",
+            "event_id AS purchase_id",
+            "ts AS purchase_ts",
+            f"""CASE WHEN lts IS NOT NULL AND
+                     unix_micros(CAST(ts AS TIMESTAMP))
+                   - unix_micros(CAST(lts AS TIMESTAMP)) <= {tol_us}
+                THEN lv END AS attributed_view_value""",
+            f"""lts IS NOT NULL AND
+                unix_micros(CAST(ts AS TIMESTAMP))
+              - unix_micros(CAST(lts AS TIMESTAMP)) <= {tol_us}
+                AS attributed""",
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_id")
+    )
+
+
+QUERIES["ts_asof_tolerance"] = ts_asof_tolerance
+
+ORACLES["ts_asof_tolerance"] = """
+    WITH merged AS (
+        SELECT user_id, ts, value AS vv, ts AS vts, 0 AS tag, event_id
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts, NULL, NULL, 1, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+        SELECT user_id, ts, tag, event_id,
+               last_value(vv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, tag, event_id
+                   ROWS UNBOUNDED PRECEDING) AS lv,
+               last_value(vts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, tag, event_id
+                   ROWS UNBOUNDED PRECEDING) AS lts
+        FROM merged
+    )
+    SELECT user_id,
+           event_id AS purchase_id,
+           ts AS purchase_ts,
+           CASE WHEN lts IS NOT NULL AND
+                     epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(lts AS TIMESTAMP)) <= 1800000000
+                THEN lv END AS attributed_view_value,
+           lts IS NOT NULL AND
+           epoch_us(CAST(ts AS TIMESTAMP))
+         - epoch_us(CAST(lts AS TIMESTAMP)) <= 1800000000 AS attributed
+    FROM carried
+    WHERE tag = 1
+    ORDER BY user_id, purchase_ts, purchase_id
 """
