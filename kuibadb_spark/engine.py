@@ -1512,6 +1512,15 @@ class Engine:
                 import shutil
 
                 shutil.rmtree(seg_path)
+        # crashed committers can strand manifest temp files (written but
+        # never renamed — the rename is the commit point, so they are
+        # garbage by construction); reap them on the same age rule
+        for f in os.listdir(tdir):
+            if ".tmp" in f and f.startswith(mf.MANIFEST):
+                p = os.path.join(tdir, f)
+                if now - os.path.getmtime(p) >= retention:
+                    os.remove(p)
+                    removed += 1
         removed += mf.trim_versions(tdir, keep_versions)
         return removed
 

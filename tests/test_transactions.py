@@ -712,3 +712,20 @@ def test_no_stray_staged_markers_after_autocommit_dml(engine, spark, tmp_path):
     strays = glob.glob(os.path.join(engine._table_dir("mk"), "*.staged"))
     assert strays == []
     assert {r.a for r in engine.table("mk").collect()} == {1, 2, 9}
+
+
+def test_gc_reaps_stranded_manifest_tmp_files(engine):
+    """A committer that crashes between writing manifest.json.<id>.tmp
+    and the rename leaves the temp file stranded (the rename IS the
+    commit point, so it is garbage by construction). gc reaps them on
+    the staged-retention age rule; fresh ones are left for the writer."""
+    _mk(engine, "gt")
+    tdir = engine._table_dir("gt")
+    stray = os.path.join(tdir, "manifest.json.deadbeef.tmp")
+    with open(stray, "w") as f:
+        f.write("{}")
+    engine.gc("gt")  # fresh: survives the default retention window
+    assert os.path.exists(stray)
+    engine.gc("gt", staged_retention_s=0)  # aged out: reaped
+    assert not os.path.exists(stray)
+    assert engine.table("gt").count() == 2
