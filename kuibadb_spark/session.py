@@ -43,6 +43,11 @@ def builder(app_name: str = APP_NAME, extra_conf: dict | None = None):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # WITH RECURSIVE safety valve: the 1M-row default aborts the
+        # ancestor-walk CTE at 10× fixture scale (×10 stress test:
+        # RECURSION_ROW_LIMIT_EXCEEDED on 2M parts) — a real deployment
+        # sizes this to the recursion's expected working set
+        .config("spark.sql.cteRecursionRowLimit", "100000000")
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.memory",
