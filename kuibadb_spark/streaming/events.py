@@ -29,10 +29,18 @@ from kuibadb_spark.catalog import table_path
 def _events_ts_is_nanos(sf_dir: str) -> bool:
     """Fixture generations differ: ts is TIMESTAMP(NANOS) (read as raw long
     under the legacy conf) in older data, TIMESTAMP(MICROS) in newer. One
-    footer read settles which shim applies (see catalog.load)."""
+    footer read settles which shim applies (see catalog.load). The table
+    may be a single file (driver fixtures) or a directory of part files
+    (engine/Spark-written tables) — read the first footer either way."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    p = table_path(sf_dir, "events")
+    if os.path.isdir(p):
+        p = sorted(glob.glob(os.path.join(p, "*.parquet")))[0]
+    t = pq.read_schema(p).field("ts").type
     return "ns" in str(t)
 
 
@@ -50,12 +58,15 @@ def _raw_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def _stream_dir(sf_dir: str) -> str:
-    """The parquet stream source requires a directory; the fixture is a
-    single file → expose it through a symlink dir (no data copy)."""
+    """The parquet stream source requires a directory; a single-file
+    fixture is exposed through a symlink dir (no data copy), while a
+    directory table (engine/Spark-written) streams as-is."""
     import hashlib
     import os
 
     src = table_path(sf_dir, "events")
+    if os.path.isdir(src):
+        return src
     d = f"/tmp/kuibadb_stream_{hashlib.md5(src.encode()).hexdigest()[:10]}"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
