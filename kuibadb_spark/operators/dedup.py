@@ -379,34 +379,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.unionAll(copies).withColumn(
         "norm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
     )
-    a = c.alias("a")
-    b = c.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    # ×10 stress finding (round 3): label has only 10 distinct values, so
+    # the original label-blocked pair self-join hashed into ≤10 buckets,
+    # and the higher-order zip_with/aggregate dot — CodegenFallback,
+    # interpreted — cost ~180 µs of CPU per candidate pair: 24M ×10-scale
+    # candidates took 176 s (join alone: 3.7 s; dot projection: +134 s).
+    # Vectorized blocked verify instead: side b keys each row by
+    # vec_id mod S, side a replicates across all S slices, and a COGROUP
+    # on (label, slice) hands each (a-block, b-slice) pair of pandas
+    # frames to one BLAS matmul — every candidate pair is still scored
+    # EXACTLY once (same pair set as the join: a.label = b.label AND
+    # a.vec_id < b.vec_id), but at numpy speed and with label_count × S
+    # tasks of bounded memory (block_rows × dim doubles). 176 s → ~6 s at
+    # ×10; at 100 TB, S scales with cluster width and the matmul tiles.
+    import numpy as np
+    import pandas as pd
+
+    S = 32
+    # NB: both sides' slice keys must be the SAME TYPE — cogroup matches
+    # group keys without inserting casts, so an int lit slice on one side
+    # and a bigint pmod slice on the other silently land in DIFFERENT
+    # groups (observed: 514 groups instead of label×S=320, every pair
+    # whose two sides split across the mismatched twins dropped).
+    a_side = c.withColumn(
+        "sl",
+        F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(S)])),
     )
+    b_side = c.withColumn("sl", F.pmod("vec_id", F.lit(S)).cast("bigint"))
+
+    def _verify(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+        if left.empty or right.empty:
+            return empty
+        A = np.vstack(left["v"].to_numpy())
+        B = np.vstack(right["v"].to_numpy())
+        ids_a = left["vec_id"].to_numpy()
+        ids_b = right["vec_id"].to_numpy()
+        cos = np.round(
+            (A @ B.T) / np.outer(left["norm"].to_numpy(),
+                                 right["norm"].to_numpy()),
+            6,
+        )
+        ia, jb = np.nonzero((cos >= 0.99) & (ids_a[:, None] < ids_b[None, :]))
+        if not len(ia):
+            return empty
+        return pd.DataFrame(
+            {"vec_a": ids_a[ia], "vec_b": ids_b[jb], "cos": cos[ia, jb]}
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias(
-                "cos0"
-            ),
-        )
-        # HAVING-style barrier: filtering the projected cos directly lets
-        # Catalyst fold it into the join CONDITION, where the higher-order
-        # dot product evaluates interpreted per candidate (CodegenFallback)
-        # — measured 5.5s; behind this identity aggregate the filter
-        # cannot push below (non-grouping output), the dot evaluates once
-        # per pair in the projection, and the exchange doubles as the
-        # orderBy range-sampling barrier — 2.2s at sf0.1.
-        .groupBy("vec_a", "vec_b")
-        .agg(F.max("cos0").alias("cos"))
-        .filter(F.col("cos") >= 0.99)
+        a_side.groupBy("label", "sl")
+        .cogroup(b_side.groupBy("label", "sl"))
+        .applyInPandas(_verify, "vec_a bigint, vec_b bigint, cos double")
         .orderBy("vec_a", "vec_b")
     )
 
@@ -424,6 +452,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the verify cost is bounded by block sizes, not corpus size; at
     100 TB you'd union several blocking keys (prefix, length-band,
     minhash band) to raise recall — each is still an equi-join."""
+    par = spark.sparkContext.defaultParallelism
     c = _dup_corpus(spark, sf_dir).withColumn("blk", F.substring("text", 1, 40))
     # block members collected per key, pairs expanded ROW-LOCALLY (the
     # _pair_stats shape) instead of a self-join: the self-join spelling
@@ -434,20 +463,42 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = c.groupBy("blk").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("ds")
     )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds)), y -> "
-                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
-                " x.text AS ta, y.text AS tb))))"
-            )
-        ).alias("p")
-    ).select("p.*")
+    # ×10 stress finding (round 3): text shuffles compress so well that
+    # AQE coalesced the block-group exchange to ONE partition, so the
+    # whole 394k-pair levenshtein verify ran in that single task (17+
+    # min). Two structural fixes, both needed:
+    #  1. WIDEN THE VERIFY STAGE with a round-robin repartition of the
+    #     grouped blocks (cheap: one row per block). It must be
+    #     round-robin, not hash-on-blk — a hash repartition on the
+    #     grouping key gets collapsed into the aggregate's own
+    #     ENSURE_REQUIREMENTS exchange, which AQE happily re-coalesces;
+    #     an explicit-count round-robin exchange survives and is exempt
+    #     from AQE coalescing.
+    #  2. COMPUTE THE DISTANCE INSIDE THE PAIR LAMBDA, not in a later
+    #     projection: a post-hoc `.withColumn + .filter` is split by
+    #     Catalyst into Filter(lev >= 0) + Project(lev) — levenshtein
+    #     evaluated TWICE per pair — and the filter pushes through any
+    #     repartition placed after it, landing back in the narrow stage.
+    #     In-lambda, each pair is scored once and non-dups are dropped
+    #     before the explode even emits them.
+    # Also banded: levenshtein's 3-arg threshold form computes only the
+    # ±15 diagonal with early exit — O(k·n) vs O(m·n), identical
+    # distances for kept pairs (beyond-threshold returns -1, dropped
+    # exactly like the oracle's full-distance `<= 15`). 345 s → ~6 s ×10.
+    grouped = grouped.repartition(par)
     return (
-        pairs.withColumn("edit_dist", F.levenshtein("ta", "tb"))
-        .filter(F.col("edit_dist") <= 15)
-        .select("doc_a", "doc_b", "edit_dist")
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "filter(transform(slice(ds, i + 2, size(ds)), y -> "
+                    "struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                    " levenshtein(x.text, y.text, 15) AS edit_dist)),"
+                    " s -> s.edit_dist >= 0)))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         # shuffle barrier before the global sort: orderBy's range-sampling
         # job re-executes its child; behind a fresh exchange the sample
         # pass reuses shuffle files instead of recomputing the whole
