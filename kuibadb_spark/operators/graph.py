@@ -443,6 +443,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ah = (
         ev.select("user_id", F.date_trunc("hour", "ts").alias("h"))
         .distinct()
+        # ×10 stress finding (round 3, DESIGN.md #19): the distinct's
+        # (user, hour) output is a few MB compressed, so AQE coalesced
+        # the exchange feeding the hour self-join to ~1 partition — and
+        # the per-hour pair expansion (638M candidate pairs at ×10) ran
+        # nearly single-task: 225 s. An explicit-count hash repartition
+        # on the JOIN key both survives AQE (explicit counts are never
+        # coalesced) and co-partitions the self-join's two sides, so no
+        # further exchange is inserted. 225 s → 21 s (ratio ×50 → ×4.7).
+        .repartition(spark.sparkContext.defaultParallelism, "h")
     )
     e = (
         ah.alias("p")
