@@ -389,7 +389,49 @@ def dedup_cluster_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-based representative selection — the curation policy a
+    real pipeline wants instead of keep-min-id: per near-dup cluster,
+    keep the member with the best content score (distinct-token count
+    as the primary signal, text length as the integer tiebreak, doc_id
+    as the final deterministic tiebreak). Complements
+    dedup_cluster_verdicts (positional keep-min-id policy) with the
+    keep-best-quality policy; reference has no analog (SURVEY §2.3
+    LLM-pipeline extras).
+
+    Scale: the score is row-local over the corpus, members are only the
+    duplicate-involved docs, and the arg-max is a per-cluster window —
+    one equi-join + one bounded window partition per cluster."""
+    cc = _connected_components(spark, sf_dir)
+    members = cc.select(
+        "cluster_id", "cluster_size", F.explode("members").alias("doc_id")
+    )
+    scores = _dup_corpus(spark, sf_dir).selectExpr(
+        "doc_id",
+        r"CAST(size(array_distinct(split(text, '\\s+'))) AS BIGINT)"
+        " * 1000000 + length(text) AS score",
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        members.join(scores, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("score").alias("rep_score"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES["dedup_cluster_verdicts"] = dedup_cluster_verdicts
+QUERIES["dedup_cluster_representatives"] = dedup_cluster_representatives
 
 ORACLES["dedup_cluster_verdicts"] = ORACLES[
     "dedup_connected_components"
@@ -410,6 +452,40 @@ ORACLES["dedup_cluster_verdicts"] = ORACLES[
 # the verdicts oracle is derived by textual rewrite of the components
 # oracle — guard against a silent no-op if the source text drifts
 assert ORACLES["dedup_cluster_verdicts"] != ORACLES["dedup_connected_components"]
+
+ORACLES["dedup_cluster_representatives"] = ORACLES[
+    "dedup_connected_components"
+].replace(
+    """SELECT label AS cluster_id,
+               count(*) AS cluster_size,
+               array_to_string(list_sort(list(node)), ',') AS members
+        FROM final
+        GROUP BY label
+        ORDER BY cluster_id""",
+    """SELECT cluster_id, cluster_size, rep_doc_id, rep_score FROM (
+            SELECT f.label AS cluster_id,
+                   count(*) OVER (PARTITION BY f.label) AS cluster_size,
+                   f.node AS rep_doc_id,
+                   s.score AS rep_score,
+                   row_number() OVER (
+                       PARTITION BY f.label
+                       ORDER BY s.score DESC, f.node ASC
+                   ) AS rn
+            FROM final f
+            JOIN (
+                SELECT doc_id,
+                       CAST(len(list_distinct(
+                           string_split_regex(text, '\\s+'))) AS BIGINT)
+                       * 1000000 + length(text) AS score
+                FROM corpus
+            ) s ON s.doc_id = f.node
+        ) WHERE rn = 1
+        ORDER BY cluster_id""",
+)
+assert (
+    ORACLES["dedup_cluster_representatives"]
+    != ORACLES["dedup_connected_components"]
+)
 
 
 # ---------------------------------------------------------------------------
