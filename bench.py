@@ -65,6 +65,11 @@ HEADLINE = [
     "sim_ann_recall_eval",      # ANN tuning harness (round-3 addition)
     "text_unigram_surprisal",   # unigram-LM perplexity filter (round 3)
     "ev_peak_concurrency",      # linear-output overlap scale path (r3)
+    # round 3b: the three ops whose ×10 stage-width cliffs were fixed —
+    # benched so a regression of the fix is visible immediately
+    "dedup_embedding_cosine",   # cogrouped blocked-BLAS verify
+    "dedup_fuzzy_levenshtein",  # widened in-lambda banded lev verify
+    "graph_link_prediction",    # widened hour-bucket edge join
 ]
 
 
