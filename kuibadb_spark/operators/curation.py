@@ -849,3 +849,78 @@ ORACLES["pipeline_attrition_funnel"] = rf"""
     )
     ORDER BY stage
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixing (alpha = 0.5), exact integer arithmetic
+# ---------------------------------------------------------------------------
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling — the multilingual-corpus
+    mixing standard (sampling probability ∝ count^α, α = 0.5): big
+    sources are downsampled, small sources upweighted, flattening the
+    source distribution without inverting it. Weights use an EXACT
+    integer sqrt (floor-sqrt with ±1 correction, so both engines agree
+    bit-for-bit regardless of their double rounding), rates are integer
+    ppm, and expected kept-doc counts are integer products — the whole
+    mixture plan is reproducible arithmetic, no floats.
+
+    Scale: one groupBy(source) over the corpus (partial-agg combine),
+    then per-source arithmetic against a broadcast 1-row total — the
+    corpus-count scalar pattern (plan_audit-whitelisted BNLJ)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = d.selectExpr(
+        "source",
+        "n_docs",
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0",
+    ).selectExpr(
+        "source",
+        "n_docs",
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1 "
+        "WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0 END AS weight_isqrt",
+    )
+    tot = w.agg(F.sum("weight_isqrt").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "weight_isqrt",
+            "(1000000 * weight_isqrt) div tw AS rate_ppm",
+            "(n_docs * ((1000000 * weight_isqrt) div tw)) div 1000000"
+            " AS expected_docs",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["sample_temperature_mixture"] = sample_temperature_mixture
+
+ORACLES["sample_temperature_mixture"] = """
+    WITH c AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1
+                    WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0
+               END AS weight_isqrt
+        FROM (
+            SELECT source, n_docs,
+                   CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0
+            FROM c
+        )
+    ),
+    t AS (SELECT CAST(sum(weight_isqrt) AS BIGINT) AS tw FROM w)
+    SELECT source,
+           n_docs,
+           weight_isqrt,
+           CAST((1000000 * weight_isqrt) // tw AS BIGINT) AS rate_ppm,
+           CAST((n_docs * ((1000000 * weight_isqrt) // tw)) // 1000000
+                AS BIGINT) AS expected_docs
+    FROM w, t
+    ORDER BY source
+"""

@@ -937,3 +937,48 @@ ORACLES["dedup_lsh_eval"] = f"""
            CAST(1000000 * (SELECT count(*) FROM hit)
                 // (SELECT count(*) FROM pred) AS BIGINT) AS precision_ppm
 """
+
+
+# ---------------------------------------------------------------------------
+# 10. soft dedup: keep every copy, downweight by duplicate multiplicity
+# ---------------------------------------------------------------------------
+def dedup_soft_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication — the data-mixing alternative to dropping
+    duplicates: every copy stays in the corpus, but its sampling weight
+    is scaled 1/n by exact-content multiplicity, so n copies jointly
+    contribute one document's worth of training mass. Output is one row
+    per duplicate-involved doc with its multiplicity and integer-ppm
+    weight (unique docs implicitly keep weight 1.0 and never shuffle).
+
+    Scale: md5 content hash is row-local; one groupBy(h) count and one
+    equi-join back — the dedup_exact shuffle shape, no pair expansion
+    at all (multiplicity, not pair listing)."""
+    h = _dup_corpus(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    grp = h.groupBy("h").agg(F.count(F.lit(1)).alias("dup_count"))
+    return (
+        h.join(grp, "h")
+        .filter(F.col("dup_count") > 1)
+        .selectExpr(
+            "doc_id",
+            "dup_count",
+            "1000000 div dup_count AS weight_ppm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_soft_downweight"] = dedup_soft_downweight
+
+ORACLES["dedup_soft_downweight"] = f"""
+    WITH {_DUP_CORPUS_DUCK},
+    h AS (SELECT doc_id, md5(text) AS h FROM corpus),
+    g AS (SELECT h, count(*) AS dup_count FROM h GROUP BY h)
+    SELECT doc_id,
+           dup_count,
+           CAST(1000000 // dup_count AS BIGINT) AS weight_ppm
+    FROM h JOIN g USING (h)
+    WHERE dup_count > 1
+    ORDER BY doc_id
+"""

@@ -13,7 +13,8 @@ Whitelisted BNLJ sites (audited by hand; each build side is bounded by a
 CONSTANT regardless of corpus size):
 - 1-row scalar broadcast (corpus count / total / threshold): tfidf,
   pmi, length_band, search, bpe_apply (merge count), drift_chi2 (half
-  totals), q11 (total value), q22 (avg balance), lsh_eval + ann_recall
+  totals), q11 (total value), q22 (avg balance), temperature_mixture
+  (1-row weight total), lsh_eval + ann_recall
   (1-row metric crosses), gap_fill (per-series bounds), pagerank
   (n_nodes), kmeans (K centroids), ivf/knn/mips/rrf/topk (≤10-row query
   vector broadcast with an inequality condition — the brute-force or
@@ -43,6 +44,7 @@ BNLJ_OK = {
     "join_cross_grid",
     "profile_drift_chi2",
     "q11_important_stock",
+    "sample_temperature_mixture",
     "q22_sales_opportunity",
     "sim_ann_ivf",
     "sim_ann_recall_eval",
