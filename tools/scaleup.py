@@ -1,7 +1,7 @@
 """×10 scale-up stress test: does each operator's runtime survive a
 10× data increase, measured empirically rather than argued?
 
-    python tools/scaleup.py [build|run]
+    python tools/scaleup.py [build|run|build100|run100]
 
 `build` synthesizes /tmp/sfbig: every fixture table except the broadcast
 dims (region/nation) is replicated 10× with ALL key columns offset by
@@ -56,17 +56,19 @@ REP = [
 ]
 
 
-def build(spark) -> None:
+def build(spark, nshards: int = 10, dst: str = DST) -> None:
     for t in ("region", "nation"):
         load(spark, SRC, t).write.mode("overwrite").parquet(
-            f"{DST}/{t}.parquet"
+            f"{dst}/{t}.parquet"
         )
     for t, kcs in KEYCOLS.items():
         df = load(spark, SRC, t)
         types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         out = df.select(
             "*",
-            F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("_sh"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(nshards)])
+            ).alias("_sh"),
         )
         for k in kcs:
             out = out.withColumn(
@@ -76,8 +78,8 @@ def build(spark) -> None:
                     + F.col("_sh").cast("bigint") * F.lit(OFF)
                 ).cast(types[k]),
             )
-        out.drop("_sh").write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
-        print(t, spark.read.parquet(f"{DST}/{t}.parquet").count())
+        out.drop("_sh").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
 
 
 def run(spark) -> None:
@@ -104,10 +106,57 @@ def run(spark) -> None:
           f"{tots[1]/tots[0]:6.1f}")
 
 
+DST100 = "/tmp/sf100"
+# ×100 representative set: the families whose candidate/output sets do
+# NOT inherently blow up quadratically when 100 identical-content shards
+# are merged (the merged-tenant pair listings measured at ×10 already
+# decompose into output growth; re-listing 10000× the pairs measures the
+# fixture, not the engine). All key columns are BIGINT, so 100 shards ×
+# 1e8 offsets stay collision-free.
+REP100 = [
+    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+    "q18_large_volume_customer", "q2_min_cost_supplier",
+    "ev_session_windows", "ev_peak_concurrency",
+    "dedup_exact", "text_line_dedup", "text_dsir_importance",
+    "text_unigram_surprisal", "asof_purchase_last_view",
+    "w_ranking_parts", "agg_cube", "agg_salted_skew",
+    "sample_temperature_mixture", "mm_dedup_binary",
+    "stream_tumbling_hourly",
+]
+
+
+def run100(spark) -> None:
+    """Single-shot ×100 timing (1 warm-up run of the session, then one
+    timed run per query per scale — magnitude gaps at ×100 dwarf
+    run-to-run noise)."""
+    qs = registry.all_queries()
+    spark.read.parquet(f"{DST100}/region.parquet").count()  # warm
+
+    def once(n: str, sf: str) -> float:
+        t0 = time.time()
+        qs[n](spark, sf).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        return time.time() - t0
+
+    tots = [0.0, 0.0]
+    print(f"{'query':32s} {'sf0.1':>7} {'x100':>8} {'ratio':>6}", flush=True)
+    for n in REP100:
+        a, b = once(n, SRC), once(n, DST100)
+        tots[0] += a
+        tots[1] += b
+        print(f"{n:32s} {a:7.2f} {b:8.2f} {b/a:6.1f}", flush=True)
+    print(f"{'TOTAL':32s} {tots[0]:7.2f} {tots[1]:8.2f} "
+          f"{tots[1]/tots[0]:6.1f}", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     s = get_spark("kuibadb-scaleup")
     if mode == "build":
         build(s)
+    elif mode == "build100":
+        build(s, nshards=100, dst=DST100)
+    elif mode == "run100":
+        run100(s)
     else:
         run(s)
