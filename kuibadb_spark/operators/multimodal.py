@@ -416,3 +416,154 @@ ORACLES["mm_audio_frame_energy"] = """
     FROM frames
     ORDER BY doc_id, frame
 """
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup: 32-bit average-hash + byte-band LSH + Hamming verify
+# ---------------------------------------------------------------------------
+def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection — the step AFTER
+    mm_dedup_binary's exact digests: a 60-bit average-hash over a fixed
+    256-byte prefix window (64 blocks × 4 bytes; bit k = 1 iff block
+    k's byte-sum exceeds the window average by exact integer
+    cross-multiplication; bits 60-63 dropped to stay clear of BIGINT
+    sign semantics across engines), banded LSH blocking (4 bands × 15
+    bits — by pigeonhole ANY pair within Hamming ≤ 3 shares at least
+    one intact band, so recall at the verify threshold is exact), a
+    hot-bucket cap (buckets holding > 1000 members are dropped whole —
+    they carry no discriminative signal; the dedup hot-shingle-cap
+    policy, mirrored in the oracle), and a bit_count(XOR) Hamming
+    verify ≤ 3. The FIXED window makes appended-content edits invisible
+    (the dup corpus's ' zzduptoken' near-copies hash identically),
+    mirroring real aHash's robustness to re-encoding. Payload bytes
+    stand in for decoded luma (codecs are the import-gated real path).
+
+    The first cut used a 32-bit hash with 8-bit bands: 1024 possible
+    buckets TOTAL, so bucket occupancy — and candidate pairs — grew
+    quadratically with corpus size (~3.5B candidates at ×10). Band
+    capacity must scale with corpus size; 4×15 bits gives 131k buckets
+    and the cap bounds the stragglers.
+
+    Scale: the hash is row-local; candidates come from an equi-join on
+    (band_idx, band_value); the verify is one XOR + popcount per
+    candidate."""
+    from kuibadb_spark.operators.dedup import _dup_corpus
+
+    par = spark.sparkContext.defaultParallelism
+    c = _dup_corpus(spark, sf_dir).selectExpr(
+        "doc_id", "CAST(text AS BINARY) AS payload"
+    )
+    # The hash is ONE expression with let-bindings spelled as
+    # transform(array(<expr>), v -> <body>) — the array value binds to
+    # the lambda variable and is evaluated exactly ONCE however the
+    # surrounding plan is optimized. A staged selectExpr chain
+    # (s → sums → ahash) is NOT safe here: in the full plan (this frame
+    # feeds a groupBy, a semi-join and a self-join) Catalyst collapses
+    # the projections so each of the 60 bit terms inlines and re-runs
+    # the whole 64-block × 256-substring pipeline — a row-local hash
+    # became minutes of interpreted re-evaluation at sf0.001, and
+    # repartition barriers between the stages did not survive
+    # optimization of the full plan. Lambda-bound values cannot be
+    # inlined, by construction.
+    _ahash = (
+        "element_at(transform(array("
+        " transform(sequence(1, 256),"
+        "  i -> ascii(substring(CAST(payload AS STRING), i, 1)))"
+        "), sarr -> element_at(transform(array("
+        " transform(sequence(0, 63),"
+        "  k -> aggregate(slice(sarr, k * 4 + 1, 4), 0L, (a, x) -> a + x))"
+        "), sm -> aggregate(sequence(0, 59), 0L, (acc, k) ->"
+        "  acc + CASE WHEN element_at(sm, k + 1) * 64 >"
+        "   aggregate(sm, 0L, (a, x) -> a + x)"
+        "  THEN shiftleft(1L, k) ELSE 0L END)"
+        "), 1)), 1) AS ahash"
+    )
+    h = (
+        c.filter(F.expr("octet_length(payload) >= 256"))
+        .selectExpr("doc_id", _ahash)
+        .repartition(par)
+    )
+    bands = h.selectExpr(
+        "doc_id",
+        "ahash",
+        "explode(transform(sequence(0, 3), j -> struct(j AS bi,"
+        " shiftright(ahash, j * 15) % 32768 AS bv))) AS b",
+    ).select(
+        "doc_id", "ahash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+    bucket_n = bands.groupBy("bi", "bv").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    bands = bands.join(
+        bucket_n.filter(F.col("bn") <= 1000), ["bi", "bv"]
+    ).drop("bn")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["mm_ahash_near_dup"] = mm_ahash_near_dup
+
+from kuibadb_spark.operators.dedup import _DUP_CORPUS_DUCK as _DUP_DUCK2
+
+ORACLES["mm_ahash_near_dup"] = f"""
+    WITH {_DUP_DUCK2},
+    s AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, 256),
+                              i -> ord(substr(text, i, 1))) AS s
+        FROM corpus WHERE length(text) >= 256
+    ),
+    sums AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                   k -> list_sum(s[k * 4 + 1 : k * 4 + 4])) AS sums
+        FROM s
+    ),
+    tot AS (
+        SELECT doc_id, sums, list_sum(sums) AS total FROM sums
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(0, 59),
+                   k -> CASE WHEN sums[k + 1] * 64 > total
+                             THEN (CAST(1 AS BIGINT) << k)
+                             ELSE 0 END)) AS BIGINT) AS ahash
+        FROM tot
+    ),
+    all_bands AS (
+        SELECT doc_id, ahash, j AS bi, (ahash >> (j * 15)) % 32768 AS bv
+        FROM hashes, unnest(generate_series(0, 3)) AS t(j)
+    ),
+    bucket_n AS (
+        SELECT bi, bv FROM all_bands GROUP BY bi, bv
+        HAVING count(*) <= 1000
+    ),
+    bands AS (
+        SELECT ab.doc_id, ab.ahash, ab.bi, ab.bv
+        FROM all_bands ab JOIN bucket_n USING (bi, bv)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ORDER BY doc_a, doc_b
+"""
