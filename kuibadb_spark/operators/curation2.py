@@ -625,3 +625,113 @@ ORACLES["stream_peak_concurrency"] = ORACLES["ev_peak_concurrency"].replace(
     "> 600000000", ">= 600000000"
 )
 assert ORACLES["stream_peak_concurrency"] != ORACLES["ev_peak_concurrency"]
+
+
+# ---------------------------------------------------------------------------
+# hashed bigram-LM conditional surprisal: sequential-context quality filter
+# ---------------------------------------------------------------------------
+_BLM_B1 = 2048  # hashed prefix (w1) buckets
+_BLM_B2 = 4096  # hashed bigram (w1 w2) buckets
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the sequential-context upgrade of
+    text_unigram_surprisal: per-bigram conditional surprisal
+    −log2 p(w2|w1) ≈ ilog2(1 + cnt[prefix_bucket]) −
+    ilog2(1 + cnt[bigram_bucket]) (ilog2 = bit length − 1, the
+    integer-log determinism trick), summed per doc and ×100-normalized
+    by bigram count. Catches word-salad that unigram stats miss: every
+    token can be corpus-typical while the TRANSITIONS are junk.
+
+    Scale shape: both count tables are bounded (2048 prefix / 4096
+    bigram buckets) however large the corpus — they broadcast; bigrams
+    are built row-locally from the token array (the _doc_shingles
+    post-exchange-attribute discipline), and nothing wider than
+    (doc_id, int) shuffles."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = (
+        d.withColumn("w", F.split(F.lower("text"), r"\s+"))
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN size(w) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(w) - 1), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"
+            " AS bgs",
+        )
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
+    )
+    feats = (
+        arr.select("doc_id", F.explode_outer("bgs").alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .selectExpr(
+            "doc_id",
+            f"CAST(conv(substring(md5(substring_index(bg, ' ', 1)), 1, 15),"
+            f" 16, 10) AS BIGINT) % {_BLM_B1} AS f1",
+            f"CAST(conv(substring(md5(bg), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_BLM_B2} AS f2",
+        )
+    )
+    c1 = feats.groupBy("f1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = feats.groupBy("f2").agg(F.count(F.lit(1)).alias("c2"))
+    ilog2 = "length(bin(1 + {})) - 1"
+    return (
+        feats.join(F.broadcast(c1), "f1")
+        .join(F.broadcast(c2), "f2")
+        .selectExpr(
+            "doc_id",
+            f"({ilog2.format('c1')}) - ({ilog2.format('c2')}) AS s",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s").alias("surprisal_sum"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_sum",
+            "100 * surprisal_sum div n_bigrams AS surprisal_x100",
+        )
+        .filter(F.col("doc_id") < 300)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_bigram_surprisal"] = text_bigram_surprisal
+
+ORACLES["text_bigram_surprisal"] = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(split_part(bg, ' ', 1)), 1, 15)
+                    AS BIGINT) % {_BLM_B1} AS f1,
+               CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT)
+                    % {_BLM_B2} AS f2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> w[i] || ' ' || w[i + 1])) AS bg
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\\s+') AS w
+                FROM documents
+            )
+        )
+    ),
+    c1t AS (SELECT f1, count(*) AS c1 FROM feats GROUP BY f1),
+    c2t AS (SELECT f2, count(*) AS c2 FROM feats GROUP BY f2),
+    scored AS (
+        SELECT doc_id,
+               (length(printf('%b', CAST(1 + c1 AS BIGINT))) - 1)
+             - (length(printf('%b', CAST(1 + c2 AS BIGINT))) - 1) AS s
+        FROM feats JOIN c1t USING (f1) JOIN c2t USING (f2)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(s) AS BIGINT) AS surprisal_sum,
+           100 * CAST(sum(s) AS BIGINT) // count(*) AS surprisal_x100
+    FROM scored
+    WHERE doc_id < 300
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
