@@ -50,6 +50,7 @@ REP = [
     "q18_large_volume_customer", "q2_min_cost_supplier",
     "ev_session_windows", "ev_concurrent_sessions",
     "dedup_minhash_lsh", "dedup_simhash", "sim_topk_bruteforce",
+    "dedup_embedding_cosine", "dedup_fuzzy_levenshtein",
     "graph_pagerank", "text_unigram_surprisal", "text_dsir_importance",
     "asof_purchase_last_view", "w_ranking_parts", "agg_cube",
     "text_line_dedup", "mm_dedup_binary",
