@@ -624,3 +624,98 @@ ORACLES["profile_drift_chi2"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: quintile scores over recency/frequency/monetary
+# ---------------------------------------------------------------------------
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per customer,
+    recency (latest order date), frequency (order count), and monetary
+    (lifetime value, exact integer cents so double summation order can't
+    drift), each ntile(5)-scored with a fully deterministic ordering
+    (metric, then custkey — ntile's bucket-remainder rule is the SQL
+    standard in both engines, so assignments match exactly). Output is
+    the segment-level rollup: customers, total cents, and min/max of
+    each score in the segment.
+
+    Scale shape: one groupBy(custkey) over orders (partial-agg), then
+    three global ntile windows. An unpartitioned window IS a
+    single-task sort — acceptable here because its input is the
+    per-customer frame (entity cardinality, ~1/10th of fact rows at
+    TPC-H shape, a few compact columns), not orders; at a scale where
+    even the entity frame outgrows one task, exact ntile needs the
+    two-pass distributed rank (range-sort + partition-offset prefix)
+    or value-boundary quantile assignment instead."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "o_orderdate",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+    scored = (
+        per_cust.withColumn(
+            "r",
+            F.ntile(5).over(
+                W.orderBy(F.asc("last_order"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "f",
+            F.ntile(5).over(W.orderBy(F.asc("n_orders"), F.asc("o_custkey"))),
+        )
+        .withColumn(
+            "m",
+            F.ntile(5).over(
+                W.orderBy(F.asc("total_cents"), F.asc("o_custkey"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("total_cents").alias("segment_cents"),
+            F.min("n_orders").alias("min_orders"),
+            F.max("n_orders").alias("max_orders"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+QUERIES["rfm_segmentation"] = rfm_segmentation
+
+ORACLES["rfm_segmentation"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               ntile(5) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r,
+               ntile(5) OVER (ORDER BY n_orders ASC, o_custkey ASC) AS f,
+               ntile(5) OVER (ORDER BY total_cents ASC, o_custkey ASC) AS m
+        FROM per_cust
+    )
+    SELECT CAST(r AS INTEGER) AS r,
+           CAST(f AS INTEGER) AS f,
+           CAST(m AS INTEGER) AS m,
+           count(*) AS n_customers,
+           CAST(sum(total_cents) AS BIGINT) AS segment_cents,
+           min(n_orders) AS min_orders,
+           max(n_orders) AS max_orders
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+"""

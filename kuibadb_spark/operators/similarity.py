@@ -849,3 +849,202 @@ ORACLES["sim_mips_maxdot"] = f"""
     WHERE rank <= 5
     ORDER BY q_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# 9. IVF + PQ hybrid: coarse cell probe, then table-lookup (ADC) refine
+# ---------------------------------------------------------------------------
+_IVF_CELLS = 8  # coarse quantizer cells (training-free seeding, like PQ)
+
+
+def sim_ivf_pq_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN index shape (FAISS IVFPQ): a coarse quantizer
+    routes each vector to one of 8 cells (exact integer L2 argmin on
+    the 1e6 fixed-point grid, cells seeded from vec_id < 8 — swap in
+    kmeans-trained cells at deployment), queries probe their 2 nearest
+    cells, and ONLY vectors in probed cells are scored — by PQ
+    asymmetric distance (8 table lookups per vector) rather than the
+    raw 64-dim dot. Combines sim_ann_ivf's candidate pruning with
+    sim_ann_pq's per-candidate cost: work ≈ probed_fraction × corpus ×
+    O(m) lookups, independent of dimension.
+
+    Everything is exact BIGINT arithmetic (grid L2, ADC sums), ties
+    break on (distance, id) — bit-identical across engines.
+
+    Scale shape: cell seeds and PQ codebooks broadcast (8 + 128 tiny
+    rows); assignment and encoding are broadcast joins + argmin
+    groupBys; the probe restriction is an equi-join on cell; ADC is an
+    equi-join on (subspace, code). Nothing quadratic, nothing wider
+    than codes shuffles."""
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            f"transform(v, x -> CAST(floor(x * {_PQ_SCALE}D + 0.5D) AS BIGINT))"
+        ).alias("xi"),
+    )
+    # coarse stage: integer L2 to each of the 8 cell seeds
+    cells = e.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("xi").alias("cw")
+    )
+    l2full = (
+        "aggregate(zip_with(xi, cw, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    scored = e.crossJoin(F.broadcast(cells)).selectExpr(
+        "vec_id", "xi", "cell", f"{l2full} AS cd"
+    )
+    w_assign = W.partitionBy("vec_id").orderBy("cd", "cell")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < 5)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= 2)
+        .selectExpr("vec_id AS qid", "cell")
+    )
+    # PQ stage (the sim_ann_pq encode, verbatim shapes)
+    js = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j")
+    sub = e.select("vec_id", "xi", js).selectExpr(
+        "vec_id", "j", f"slice(xi, j * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv"
+    )
+    cent = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("c"), "xi", js)
+        .selectExpr("j", "c", f"slice(xi, j * {_PQ_SUB} + 1, {_PQ_SUB}) AS cw")
+    )
+    l2 = (
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    dists = sub.join(F.broadcast(cent), "j").selectExpr(
+        "vec_id", "j", "c", f"{l2} AS dist"
+    )
+    codes = (
+        dists.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("dist", "c")).alias("b"))
+        .selectExpr("vec_id", "j", "b.c AS code")
+    )
+    dt = dists.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS qid", "j", "c", "dist"
+    )
+    # candidates = vectors living in a probed cell (self excluded)
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .alias("cd")
+        .join(
+            F.broadcast(dt).alias("q"),
+            (F.col("cd.j") == F.col("q.j"))
+            & (F.col("cd.code") == F.col("q.c"))
+            & (F.col("cd.qid") == F.col("q.qid")),
+        )
+        .groupBy(F.col("cd.qid").alias("qid"), "vec_id")
+        .agg(F.sum("q.dist").alias("adist"))
+    )
+    w = W.partitionBy("qid").orderBy("adist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "adist")
+        .orderBy("qid", "rank")
+    )
+
+
+QUERIES["sim_ivf_pq_hybrid"] = sim_ivf_pq_hybrid
+
+ORACLES["sim_ivf_pq_hybrid"] = f"""
+    WITH {_EMB_DUCK},
+    e AS (
+        SELECT vec_id,
+               list_transform(v, x ->
+                   CAST(floor(x * {_PQ_SCALE} + 0.5) AS BIGINT)) AS xi
+        FROM emb
+    ),
+    cells AS (
+        SELECT vec_id AS cell, xi AS cw FROM e WHERE vec_id < {_IVF_CELLS}
+    ),
+    cscored AS (
+        SELECT e.vec_id, c.cell,
+               CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+                   i -> (e.xi[i] - c.cw[i]) * (e.xi[i] - c.cw[i])))
+                   AS BIGINT) AS cd
+        FROM e CROSS JOIN cells c
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cd, cell) AS rn
+            FROM cscored
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cd, cell) AS rn
+            FROM cscored WHERE vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    sub AS (
+        SELECT vec_id, j,
+               xi[j * {_PQ_SUB} + 1 : j * {_PQ_SUB} + {_PQ_SUB}] AS sv
+        FROM e CROSS JOIN js
+    ),
+    cent AS (
+        SELECT j, vec_id AS c,
+               xi[j * {_PQ_SUB} + 1 : j * {_PQ_SUB} + {_PQ_SUB}] AS cw
+        FROM e CROSS JOIN js
+        WHERE vec_id < {_PQ_K}
+    ),
+    dists AS (
+        SELECT s.vec_id, s.j, c.c,
+               CAST(list_sum(list_transform(
+                   generate_series(1, {_PQ_SUB}),
+                   i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])))
+                   AS BIGINT) AS dist
+        FROM sub s JOIN cent c ON c.j = s.j
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist, c) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    dt AS (
+        SELECT vec_id AS qid, j, c, dist FROM dists WHERE vec_id < 5
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE a.vec_id <> p.qid
+    ),
+    adc AS (
+        SELECT cand.qid, cand.vec_id, CAST(sum(dt.dist) AS BIGINT) AS adist
+        FROM cand
+        JOIN codes ON codes.vec_id = cand.vec_id
+        JOIN dt ON dt.qid = cand.qid AND dt.j = codes.j
+               AND dt.c = codes.code
+        GROUP BY cand.qid, cand.vec_id
+    )
+    SELECT qid, rank, vec_id, adist FROM (
+        SELECT qid, vec_id, adist,
+               CAST(row_number() OVER (PARTITION BY qid
+                                  ORDER BY adist, vec_id) AS INTEGER) AS rank
+        FROM adc
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+"""

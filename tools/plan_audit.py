@@ -14,7 +14,8 @@ CONSTANT regardless of corpus size):
 - 1-row scalar broadcast (corpus count / total / threshold): tfidf,
   pmi, length_band, search, bpe_apply (merge count), drift_chi2 (half
   totals), q11 (total value), q22 (avg balance), temperature_mixture
-  (1-row weight total), lsh_eval + ann_recall
+  (1-row weight total), ivf_pq_hybrid (8-row coarse-cell seed
+  broadcast), lsh_eval + ann_recall
   (1-row metric crosses), gap_fill (per-series bounds), pagerank
   (n_nodes), kmeans (K centroids), ivf/knn/mips/rrf/topk (≤10-row query
   vector broadcast with an inequality condition — the brute-force or
@@ -48,6 +49,7 @@ BNLJ_OK = {
     "q22_sales_opportunity",
     "sim_ann_ivf",
     "sim_ann_recall_eval",
+    "sim_ivf_pq_hybrid",
     "sim_kmeans_lloyd",
     "sim_knn_classify",
     "sim_mips_maxdot",
