@@ -665,3 +665,88 @@ ORACLES["asof_purchase_next_view"] = """
     FROM carried WHERE tag = 1
     ORDER BY user_id, purchase_id
 """
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition (STL-lite): trend + day-of-week seasonal + residual
+# ---------------------------------------------------------------------------
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily order-count series —
+    the STL shape with exact integer arithmetic so both engines agree
+    bit-for-bit: trend = centered 7-day moving SUM ×1e6 div 7 (emitted
+    only for FULL windows, the standard edge rule), seasonal = per
+    day-of-week mean deviation from trend (×1e6, integer div), residual
+    = value×1e6 − trend − seasonal. The decomposition every forecasting
+    pipeline starts from, as three window/groupBy passes.
+
+    Scale shape: the series is one row per DAY (bounded by calendar, not
+    order volume) after one partial-agg groupBy; the moving window and
+    the day-of-week means run on that compact frame. At 100 TB the only
+    fact-proportional stage is the first groupBy."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("DAY", "o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w7 = W.orderBy("d").rowsBetween(-3, 3)
+    trended = (
+        daily.withColumn("wn", F.count(F.lit(1)).over(w7))
+        .withColumn("wsum", F.sum("n").over(w7))
+        .filter(F.col("wn") == 7)
+        .selectExpr("d", "n", "(wsum * 1000000) div 7 AS trend_e6")
+    )
+    dev = trended.withColumn(
+        "dow", F.dayofweek("d")
+    ).withColumn("dev_e6", F.expr("n * 1000000 - trend_e6"))
+    seasonal = dev.groupBy("dow").agg(
+        F.expr("sum(dev_e6) div count(1)").alias("seasonal_e6")
+    )
+    return (
+        dev.join(F.broadcast(seasonal), "dow")
+        .selectExpr(
+            "d",
+            "n",
+            "trend_e6",
+            "seasonal_e6",
+            "n * 1000000 - trend_e6 - seasonal_e6 AS residual_e6",
+        )
+        .orderBy("d")
+    )
+
+
+QUERIES["ts_seasonal_decompose"] = ts_seasonal_decompose
+
+ORACLES["ts_seasonal_decompose"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    trended AS (
+        SELECT d, n, (wsum * 1000000) // 7 AS trend_e6 FROM (
+            SELECT d, n,
+                   count(*) OVER (ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+                   sum(n) OVER (ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum
+            FROM daily
+        ) WHERE wn = 7
+    ),
+    dev AS (
+        SELECT d, n, trend_e6, dayofweek(d) + 1 AS dow,
+               n * 1000000 - trend_e6 AS dev_e6
+        FROM trended
+    ),
+    seasonal AS (
+        SELECT dow, CAST(sum(dev_e6) // count(*) AS BIGINT) AS seasonal_e6
+        FROM dev GROUP BY dow
+    )
+    SELECT dev.d, dev.n,
+           CAST(dev.trend_e6 AS BIGINT) AS trend_e6,
+           seasonal.seasonal_e6,
+           CAST(dev.n * 1000000 - dev.trend_e6 - seasonal.seasonal_e6
+                AS BIGINT) AS residual_e6
+    FROM dev JOIN seasonal USING (dow)
+    ORDER BY d
+"""
