@@ -612,3 +612,68 @@ ORACLES["stream_error_rate_timeline"] = """
     GROUP BY hr
     ORDER BY hr
 """
+
+
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_anomaly_zscore, in the two-tier shape
+    Structured Streaming actually allows (chained stream aggregations
+    are unsupported): the STREAM maintains the per-(hour, type) count
+    state incrementally — the only fact-proportional work — and the
+    z-scoring runs as a batch pass over that compact materialized
+    aggregate (hours × types rows), exactly how a production scoring
+    job reads a continuously-maintained rollup table. Same
+    integer-exact moment formula as the batch op, so the streamed
+    answer converges to the batch oracle on the finite source."""
+    hourly = run_to_memory(
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # rename the stats key: both sides derive from the same memory view,
+    # and a same-attribute self-join trips conflicting-reference
+    # resolution on MemoryPlan
+    stats = hourly.groupBy(
+        F.col("event_type").alias("et")
+    ).agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    mu = F.col("s1") / F.col("cnt")
+    var = F.col("s2") / F.col("cnt") - mu * mu
+    return (
+        hourly.join(
+            F.broadcast(stats), F.col("event_type") == F.col("et")
+        )
+        .withColumn("mu", F.round(mu, 4))
+        .withColumn("z", F.round((F.col("n") - mu) / F.sqrt(var), 4))
+        .filter(F.abs(F.col("z")) >= 1.5)
+        .withColumn("hr", F.col("hr").cast("timestamp_ntz"))
+        .select("event_type", "hr", "n", "mu", "z")
+        .orderBy("event_type", "hr")
+    )
+
+
+QUERIES["stream_anomaly_zscore"] = stream_anomaly_zscore
+
+# identical oracle as batch ev_anomaly_zscore — streaming must converge
+ORACLES["stream_anomaly_zscore"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+        FROM events GROUP BY hr, event_type
+    ),
+    stats AS (
+        SELECT event_type, sum(n) AS s1, sum(n * n) AS s2,
+               count(*) AS cnt
+        FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, hr, n,
+           round(s1 / cnt, 4) AS mu,
+           round((n - s1 / cnt)
+                 / sqrt(s2 / cnt - (s1 / cnt) * (s1 / cnt)), 4) AS z
+    FROM hourly JOIN stats USING (event_type)
+    WHERE abs(round((n - s1 / cnt)
+              / sqrt(s2 / cnt - (s1 / cnt) * (s1 / cnt)), 4)) >= 1.5
+    ORDER BY event_type, hr
+"""
