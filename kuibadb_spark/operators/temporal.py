@@ -750,3 +750,127 @@ ORACLES["ts_seasonal_decompose"] = """
     FROM dev JOIN seasonal USING (dow)
     ORDER BY d
 """
+
+
+# ---------------------------------------------------------------------------
+# nearest as-of join: min |Δt| across both directions (merge_asof 'nearest')
+# ---------------------------------------------------------------------------
+def asof_purchase_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third merge_asof direction ('nearest', completing
+    backward/forward): each purchase pairs with the view minimizing
+    |ts_view − ts_purchase|, distance ties resolved backward (the
+    pandas rule). One union scan + TWO window passes over the same
+    (user, ts, tag, id) exchange — the carried struct keeps the view's
+    ts/value/id together so the pick is a row-local integer-microsecond
+    comparison; no join ever forms, same as the other as-of spellings.
+    Within-timestamp view ties are pinned by event_id (backward carries
+    the highest, forward the lowest) so the answer is fully
+    deterministic in both engines."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.struct(
+            F.col("ts").alias("vts"),
+            F.col("value").alias("vv"),
+            F.col("event_id").alias("vid"),
+        ).alias("vs"),
+        F.lit(0).alias("tag"), F.col("event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("struct<vts:timestamp_ntz,vv:double,vid:bigint>").alias(
+            "vs"
+        ),
+        F.lit(1).alias("tag"), "event_id",
+    )
+    merged = views.unionAll(purchases)
+    order = [F.col("ts"), F.col("tag"), F.col("event_id")]
+    w_b = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_f = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = merged.withColumn(
+        "b", F.last("vs", ignorenulls=True).over(w_b)
+    ).withColumn("f", F.first("vs", ignorenulls=True).over(w_f))
+    return (
+        carried.filter(F.col("tag") == 1)
+        .selectExpr(
+            "user_id",
+            "event_id AS purchase_id",
+            "ts AS purchase_ts",
+            "CASE WHEN b IS NULL THEN f"
+            " WHEN f IS NULL THEN b"
+            " WHEN unix_micros(CAST(ts AS TIMESTAMP))"
+            "      - unix_micros(CAST(b.vts AS TIMESTAMP))"
+            "      <= unix_micros(CAST(f.vts AS TIMESTAMP))"
+            "      - unix_micros(CAST(ts AS TIMESTAMP)) THEN b"
+            " ELSE f END AS nv",
+        )
+        .selectExpr(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            "nv.vv AS nearest_view_value",
+            "nv.vid AS nearest_view_id",
+            "abs(unix_micros(CAST(nv.vts AS TIMESTAMP))"
+            " - unix_micros(CAST(purchase_ts AS TIMESTAMP))) AS dist_us",
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_id")
+    )
+
+
+QUERIES["asof_purchase_nearest_view"] = asof_purchase_nearest_view
+
+ORACLES["asof_purchase_nearest_view"] = """
+    WITH merged AS (
+        SELECT user_id, ts, ts AS vts, value AS vv, event_id AS vid,
+               0 AS tag, event_id
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts, NULL, NULL, NULL, 1, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+        SELECT user_id, ts, tag, event_id,
+               last_value(vts IGNORE NULLS) OVER wb AS b_vts,
+               last_value(vv IGNORE NULLS) OVER wb AS b_vv,
+               last_value(vid IGNORE NULLS) OVER wb AS b_vid,
+               first_value(vts IGNORE NULLS) OVER wf AS f_vts,
+               first_value(vv IGNORE NULLS) OVER wf AS f_vv,
+               first_value(vid IGNORE NULLS) OVER wf AS f_vid
+        FROM merged
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    picked AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               CASE WHEN b_vts IS NULL THEN f_vv
+                    WHEN f_vts IS NULL THEN b_vv
+                    WHEN epoch_us(ts) - epoch_us(b_vts)
+                         <= epoch_us(f_vts) - epoch_us(ts) THEN b_vv
+                    ELSE f_vv END AS nearest_view_value,
+               CASE WHEN b_vts IS NULL THEN f_vid
+                    WHEN f_vts IS NULL THEN b_vid
+                    WHEN epoch_us(ts) - epoch_us(b_vts)
+                         <= epoch_us(f_vts) - epoch_us(ts) THEN b_vid
+                    ELSE f_vid END AS nearest_view_id,
+               CASE WHEN b_vts IS NULL THEN f_vts
+                    WHEN f_vts IS NULL THEN b_vts
+                    WHEN epoch_us(ts) - epoch_us(b_vts)
+                         <= epoch_us(f_vts) - epoch_us(ts) THEN b_vts
+                    ELSE f_vts END AS nearest_vts
+        FROM carried WHERE tag = 1
+    )
+    SELECT user_id, purchase_id, purchase_ts,
+           nearest_view_value, nearest_view_id,
+           CAST(abs(epoch_us(nearest_vts) - epoch_us(purchase_ts))
+                AS BIGINT) AS dist_us
+    FROM picked
+    ORDER BY user_id, purchase_ts, purchase_id
+"""
