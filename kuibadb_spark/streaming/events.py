@@ -677,3 +677,38 @@ ORACLES["stream_anomaly_zscore"] = """
               / sqrt(s2 / cnt - (s1 / cnt) * (s1 / cnt)), 4)) >= 1.5
     ORDER BY event_type, hr
 """
+
+
+def stream_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming DAU — the canonical stateful-dedup-then-aggregate
+    chain Structured Streaming supports natively: dropDuplicates on
+    (user_id, day) holds per-key dedup state (bounded by the watermark
+    horizon), and the downstream daily count is then a plain associative
+    aggregate — no approximate sketches, no second aggregation needed.
+    Converges to the batch COUNT(DISTINCT user_id) per day on the
+    finite source."""
+    ev = read_events_stream(spark, sf_dir)
+    daily = (
+        ev.withWatermark("ts", "1 day")
+        .withColumn("day", F.date_trunc("DAY", "ts"))
+        .dropDuplicates(["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    out = run_to_memory(daily)
+    return (
+        out.withColumn("day", F.col("day").cast("timestamp_ntz"))
+        .orderBy("day")
+    )
+
+
+QUERIES["stream_daily_active_users"] = stream_daily_active_users
+
+# identical oracle as a batch daily COUNT(DISTINCT) — streaming converges
+ORACLES["stream_daily_active_users"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS dau
+    FROM events
+    GROUP BY day
+    ORDER BY day
+"""
