@@ -719,3 +719,104 @@ ORACLES["rfm_segmentation"] = """
     GROUP BY r, f, m
     ORDER BY r, f, m
 """
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution: credit purchases across preceding touches
+# ---------------------------------------------------------------------------
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each purchase splits one unit of
+    credit equally (integer ppm) across ALL the user's view/click
+    touches in the trailing 7 days (inclusive of the purchase instant).
+    No join forms: purchases and touches ride ONE per-user exchange and
+    the per-type touch counts come from conditional counts over a
+    RANGE frame keyed on integer microseconds — the w_trailing window
+    discipline. Output is the per-channel credit rollup marketers
+    actually consume.
+
+    Scale shape: one shuffle on user_id; the range frame scans each
+    user's 7-day trailing span once (sorted within partition); the
+    final per-type rollup is a 2-row aggregate."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    tagged = e.selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    seven_d = 7 * 24 * 3600 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-seven_d, 0)
+    )
+    counted = (
+        tagged.withColumn(
+            "n_view",
+            F.count(F.when(F.col("event_type") == "view", 1)).over(w),
+        )
+        .withColumn(
+            "n_click",
+            F.count(F.when(F.col("event_type") == "click", 1)).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("n_touch", F.col("n_view") + F.col("n_click"))
+        .filter(F.col("n_touch") > 0)
+    )
+    per_purchase = counted.selectExpr(
+        "event_id",
+        "n_view",
+        "n_click",
+        "n_touch",
+        "(1000000 * n_view) div n_touch AS view_credit_ppm",
+        "(1000000 * n_click) div n_touch AS click_credit_ppm",
+    )
+    return per_purchase.agg(
+        F.count(F.lit(1)).alias("n_attributed_purchases"),
+        F.sum("view_credit_ppm").alias("view_credit_ppm_total"),
+        F.sum("click_credit_ppm").alias("click_credit_ppm_total"),
+        F.sum("n_view").alias("touches_view"),
+        F.sum("n_click").alias("touches_click"),
+    )
+
+
+QUERIES["ev_attribution_linear"] = ev_attribution_linear
+
+ORACLES["ev_attribution_linear"] = """
+    WITH tagged AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    counted AS (
+        SELECT event_id, event_type,
+               count(CASE WHEN event_type = 'view' THEN 1 END)
+                   OVER w AS n_view_raw,
+               count(CASE WHEN event_type = 'click' THEN 1 END)
+                   OVER w AS n_click_raw
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    ),
+    purchases AS (
+        SELECT event_id,
+               CAST(n_view_raw AS BIGINT) AS n_view,
+               CAST(n_click_raw AS BIGINT) AS n_click,
+               CAST(n_view_raw + n_click_raw AS BIGINT) AS n_touch
+        FROM counted
+        WHERE event_type = 'purchase' AND n_view_raw + n_click_raw > 0
+    )
+    SELECT count(*) AS n_attributed_purchases,
+           CAST(sum((1000000 * n_view) // n_touch) AS BIGINT)
+               AS view_credit_ppm_total,
+           CAST(sum((1000000 * n_click) // n_touch) AS BIGINT)
+               AS click_credit_ppm_total,
+           CAST(sum(n_view) AS BIGINT) AS touches_view,
+           CAST(sum(n_click) AS BIGINT) AS touches_click
+    FROM purchases
+"""
