@@ -372,7 +372,10 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.selectExpr(
             "doc_id",
-            "transform(sequence(1, octet_length(payload)),"
+            # CHARACTER positions (see mm_scene_cuts): octet_length over a
+            # char-indexed substring fabricates trailing zero samples on
+            # multi-byte docs that the oracle never sees
+            "transform(sequence(1, length(CAST(payload AS STRING))),"
             " i -> ascii(substring(CAST(payload AS STRING), i, 1))) AS s",
         )
         .filter(F.col("doc_id") < 200)
@@ -566,4 +569,110 @@ ORACLES["mm_ahash_near_dup"] = f"""
       ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
     ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# scene-cut detection: per-frame signature deltas over the frame sequence
+# ---------------------------------------------------------------------------
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection on opaque bytes: split each payload
+    into fixed 64-byte 'frames', signature each frame by its byte sum
+    and a 16-bit block pattern (4 blocks × sign-vs-frame-mean bits ×
+    4-bit positions — deterministic integer ops), then flag a CUT where
+    the absolute byte-sum delta between CONSECUTIVE frames exceeds 25%
+    of the per-doc mean frame sum (exact cross-multiplied integers).
+    The lag ride is a per-doc ordered window — the shot-boundary
+    detection shape with real decode swapped in at deployment.
+
+    Scale shape: frame explosion is linear in payload bytes, the lag
+    window partitions by doc (bounded frames per doc), and the rollup
+    is one groupBy. Nothing crosses docs."""
+    p = _payloads(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    frames = (
+        p.filter(F.col("doc_id") < 200)
+        .selectExpr(
+            "doc_id",
+            # CHARACTER positions on both sides: substring indexes chars,
+            # and octet_length > length on multi-byte docs would fabricate
+            # trailing zero samples the oracle never sees
+            "transform(sequence(1, length(CAST(payload AS STRING))),"
+            " i -> ascii(substring(CAST(payload AS STRING), i, 1))) AS s",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.expr("size(s) >= 64"))
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(0, (size(s) div 64) - 1),"
+            " f -> struct(f AS frame,"
+            "  CAST(aggregate(slice(s, f * 64 + 1, 64), 0L, (a, x) -> a + x)"
+            "  AS BIGINT) AS fsum))) AS fr",
+        )
+        .select("doc_id", F.col("fr.frame").alias("frame"),
+                F.col("fr.fsum").alias("fsum"))
+    )
+    w = W.partitionBy("doc_id").orderBy("frame")
+    deltas = (
+        frames.withColumn("prev", F.lag("fsum").over(w))
+        .withColumn(
+            "mean_num", F.sum("fsum").over(W.partitionBy("doc_id"))
+        )
+        .withColumn(
+            "n_frames", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+        )
+        .filter(F.col("prev").isNotNull())
+        # |Δ| > 0.25 × mean  ⇔  4·n·|Δ| > Σ  (exact integers)
+        .withColumn(
+            "is_cut",
+            4 * F.col("n_frames") * F.abs(F.col("fsum") - F.col("prev"))
+            > F.col("mean_num"),
+        )
+    )
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).alias("n_cuts"),
+            F.max(F.abs(F.col("fsum") - F.col("prev"))).alias("max_delta"),
+        )
+        .filter(F.col("n_transitions") > 0)
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["mm_scene_cuts"] = mm_scene_cuts
+
+ORACLES["mm_scene_cuts"] = """
+    WITH s AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text)),
+                              i -> ord(substr(text, i, 1))) AS s
+        FROM documents WHERE doc_id < 200
+    ),
+    sized AS (SELECT * FROM s WHERE len(s) >= 64),
+    frames AS (
+        SELECT doc_id, f AS frame,
+               CAST(list_sum(s[f * 64 + 1 : f * 64 + 64]) AS BIGINT) AS fsum
+        FROM sized, unnest(generate_series(0,
+                 CAST(len(s) // 64 AS INTEGER) - 1)) AS t(f)
+    ),
+    deltas AS (
+        SELECT doc_id, frame, fsum,
+               lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame) AS prev,
+               sum(fsum) OVER (PARTITION BY doc_id) AS mean_num,
+               count(*) OVER (PARTITION BY doc_id) AS n_frames
+        FROM frames
+    )
+    SELECT doc_id,
+           count(*) AS n_transitions,
+           CAST(count(CASE WHEN 4 * n_frames * abs(fsum - prev) > mean_num
+                      THEN 1 END) AS BIGINT) AS n_cuts,
+           max(abs(fsum - prev)) AS max_delta
+    FROM deltas
+    WHERE prev IS NOT NULL
+    GROUP BY doc_id
+    HAVING count(*) > 0
+    ORDER BY doc_id
 """
