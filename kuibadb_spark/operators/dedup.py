@@ -982,3 +982,150 @@ ORACLES["dedup_soft_downweight"] = f"""
     WHERE dup_count > 1
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# 11. incremental dedup: score an incoming crawl AGAINST the existing corpus
+# ---------------------------------------------------------------------------
+def dedup_incremental_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: an INCOMING batch (here the dup
+    corpus's synthesized copies, doc_id ≥ 1e6) is scored against the
+    EXISTING corpus (the base docs) — an asymmetric band join, never a
+    self-join, which is what makes continuous-crawl dedup cheap: work
+    is |incoming| × bucket collision rate, independent of corpus size
+    once signatures are stored. Per incoming doc: dup verdict at
+    est_sim ≥ 0.5, best (lowest-id) matching existing doc, and match
+    count; unmatched incoming docs report is_dup = false — the rows a
+    crawler would admit.
+
+    Scale: incoming bands hash-join the existing band INDEX (stored
+    once, reused every batch); the signature pass over incoming is
+    linear; the verdict is one groupBy(incoming id)."""
+    c = _dup_corpus(spark, sf_dir)
+    toks = c.withColumn("w", F.split("text", r"\s+"))
+    sh = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                "CASE WHEN size(w) < 3 THEN array() "
+                "ELSE transform(sequence(1, size(w) - 2), "
+                "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1),"
+                " element_at(w, i+2))) END"
+            )
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    hashed = sh.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+         % _P).alias("ha"),
+        (F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint")
+         % _P).alias("hb"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("ha") + i * F.col("hb")) % _P).alias(f"h{i}")
+            for i in range(_K)
+        ]
+    ).persist()
+    band_exprs = ", ".join(
+        f"{j}, concat_ws(':', h{3*j}, h{3*j+1}, h{3*j+2})"
+        for j in range(_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id",
+        f"array({', '.join(f'h{i}' for i in range(_K))}) AS hs",
+        f"stack({_BANDS}, {band_exprs}) AS (band_idx, band_hash)",
+    )
+    ex = bands.filter(F.col("doc_id") < 1000000).alias("ex")
+    inc = bands.filter(F.col("doc_id") >= 1000000).alias("inc")
+    agree = sum(
+        F.when(F.expr(f"inc.hs[{i}] = ex.hs[{i}]"), 1).otherwise(0)
+        for i in range(_K)
+    )
+    cand = (
+        inc.join(
+            ex,
+            (F.col("inc.band_idx") == F.col("ex.band_idx"))
+            & (F.col("inc.band_hash") == F.col("ex.band_hash")),
+        )
+        .select(
+            F.col("inc.doc_id").alias("in_id"),
+            F.col("ex.doc_id").alias("ex_id"),
+            F.round(agree / F.lit(float(_K)), 4).alias("est_sim"),
+        )
+        .distinct()
+        .filter(F.col("est_sim") >= 0.5)
+    )
+    matches = cand.groupBy("in_id").agg(
+        F.min("ex_id").alias("best_match"),
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("est_sim").alias("best_sim"),
+    )
+    incoming_ids = sig.filter(F.col("doc_id") >= 1000000).select(
+        F.col("doc_id").alias("in_id")
+    )
+    return (
+        incoming_ids.join(matches, "in_id", "left")
+        .selectExpr(
+            "in_id AS doc_id",
+            "n_matches IS NOT NULL AS is_dup",
+            "coalesce(best_match, -1) AS best_match",
+            "coalesce(n_matches, 0) AS n_matches",
+            "coalesce(best_sim, 0.0) AS best_sim",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_incremental_crawl"] = dedup_incremental_crawl
+
+ORACLES["dedup_incremental_crawl"] = f"""
+    WITH {_DUP_CORPUS_DUCK},
+    {_SHINGLES_DUCK},
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {_P} AS ha,
+               CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % {_P} AS hb
+        FROM shingles
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_SIG_COLS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS ({_BAND_ROWS}),
+    cand AS (
+        SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+        FROM bands i JOIN bands e
+          ON i.band_idx = e.band_idx AND i.band_hash = e.band_hash
+         AND i.doc_id >= 1000000 AND e.doc_id < 1000000
+    ),
+    scored AS (
+        SELECT in_id, ex_id,
+               round(({{_AGREE_IE}}) / {float(_K)}, 4) AS est_sim
+        FROM cand
+        JOIN sig si ON si.doc_id = in_id
+        JOIN sig se ON se.doc_id = ex_id
+    ),
+    matches AS (
+        SELECT in_id, min(ex_id) AS best_match,
+               count(*) AS n_matches, max(est_sim) AS best_sim
+        FROM scored WHERE est_sim >= 0.5
+        GROUP BY in_id
+    )
+    SELECT s.doc_id,
+           m.in_id IS NOT NULL AS is_dup,
+           coalesce(m.best_match, -1) AS best_match,
+           CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+           coalesce(m.best_sim, 0.0) AS best_sim
+    FROM sig s LEFT JOIN matches m ON m.in_id = s.doc_id
+    WHERE s.doc_id >= 1000000
+    ORDER BY s.doc_id
+"""
+
+_AGREE_IE = " + ".join(
+    f"CASE WHEN si.h{i} = se.h{i} THEN 1 ELSE 0 END" for i in range(_K)
+)
+ORACLES["dedup_incremental_crawl"] = ORACLES[
+    "dedup_incremental_crawl"
+].replace("{_AGREE_IE}", _AGREE_IE)
