@@ -735,3 +735,106 @@ ORACLES["text_bigram_surprisal"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source KL divergence from the corpus token distribution
+# ---------------------------------------------------------------------------
+_KL_B = 1024  # hashed token buckets (bounded; broadcast)
+
+
+def text_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift diagnostic for mixture design: per source, the KL
+    divergence of its hashed-token distribution from the whole corpus's,
+    in integer milli-bits — KL(P_s‖P) = Σ_f p_s[f]·log2(p_s[f]/p[f]),
+    computed as Σ_f n_sf·(ilog2(n_sf·N) − ilog2(n_f·N_s)) scaled by
+    1000 div N_s with ilog2 = bit length − 1 (the engine's branch-free
+    integer log; coarse but ORDER-preserving, which is what mixture
+    tuning needs, and bit-identical across engines). High divergence =
+    the source is unlike the corpus (boost or investigate); ~0 =
+    redundant with the mix.
+
+    Scale shape: one token explode, one (source, bucket) groupBy;
+    bucket tables are bounded at 1024 rows per source — everything
+    after the explode is entity-scale."""
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    feats = (
+        d.withColumn("w", F.split(F.lower("text"), r"\s+"))
+        .select("source", F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .selectExpr(
+            "source",
+            f"CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_KL_B} AS f",
+        )
+    )
+    sf_cnt = feats.groupBy("source", "f").agg(
+        F.count(F.lit(1)).alias("n_sf")
+    )
+    # corpus total rides INSIDE the bounded bucket table (window over
+    # ≤1024 rows) — a feats.count() would be a THIRD full token pass
+    # and a driver action (the unigram-surprisal discipline)
+    f_cnt = (
+        feats.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+        .withColumn("n_tot", F.sum("n_f").over(W.partitionBy()))
+    )
+    s_cnt = feats.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    ilog2 = "length(bin({})) - 1"
+    return (
+        sf_cnt.join(F.broadcast(f_cnt), "f")
+        .join(F.broadcast(s_cnt), "source")
+        .selectExpr(
+            "source",
+            "n_s",
+            f"n_sf * (({ilog2.format('n_sf * n_tot')})"
+            f" - ({ilog2.format('n_f * n_s')})) AS term",
+        )
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.expr("(1000 * sum(term)) div first(n_s)").alias(
+                "kl_millibits"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_kl_source_divergence"] = text_kl_source_divergence
+
+ORACLES["text_kl_source_divergence"] = f"""
+    WITH feats AS (
+        SELECT source,
+               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                   % {_KL_B} AS f
+        FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        )
+        WHERE tok != ''
+    ),
+    sf_cnt AS (
+        SELECT source, f, count(*) AS n_sf FROM feats GROUP BY source, f
+    ),
+    f_cnt AS (SELECT f, count(*) AS n_f FROM feats GROUP BY f),
+    s_cnt AS (SELECT source, count(*) AS n_s FROM feats GROUP BY source),
+    tot AS (SELECT count(*) AS n FROM feats),
+    terms AS (
+        SELECT source, n_s,
+               n_sf * ((length(printf('%b', CAST(n_sf * n AS BIGINT))) - 1)
+                     - (length(printf('%b', CAST(n_f * n_s AS BIGINT))) - 1))
+                   AS term
+        FROM sf_cnt
+        JOIN f_cnt USING (f)
+        JOIN s_cnt USING (source)
+        CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(min(n_s) AS BIGINT) AS n_tokens,
+           CAST((1000 * sum(term)) // min(n_s) AS BIGINT) AS kl_millibits
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+"""
