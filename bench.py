@@ -70,6 +70,13 @@ HEADLINE = [
     "dedup_embedding_cosine",   # cogrouped blocked-BLAS verify
     "dedup_fuzzy_levenshtein",  # widened in-lambda banded lev verify
     "graph_link_prediction",    # widened hour-bucket edge join
+    # round 4: representatives of the families graded in the r4 window,
+    # so the newly green keys get regression guards the same round
+    "dedup_connected_components",  # iterative label propagation
+    "mm_ahash_near_dup",        # 60-bit aHash band-LSH near-dup
+    "agg_approx_sketches",      # HLL/CMS error-bound reshape (first grade)
+    "pipeline_attrition_funnel",  # multi-stage pipeline family
+    "rec_price_streaks",        # linear-recurrence recursive CTE
 ]
 
 

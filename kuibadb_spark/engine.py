@@ -541,29 +541,34 @@ class Engine:
         # ALL touched tables' commit locks are held (sorted — no deadlock)
         # across the whole validate+publish window, so a concurrent commit
         # cannot land between one table's validation and another table's
-        # publish: the multi-table transaction is all-or-nothing. Any
-        # failure inside the window (validation or publish itself) rolls
-        # the whole transaction back and reclaims the staged segments.
+        # publish: the multi-table transaction is all-or-nothing against
+        # concurrent committers. Durability is two-phase: every table's
+        # new manifest is first WRITTEN (fsync'd temp — all byte-allocating
+        # I/O, where disk-full strikes, happens here with nothing yet
+        # visible), and only then RENAMED into place, shrinking the
+        # partial-commit window to N same-filesystem renames that allocate
+        # no data blocks. Any failure rolls the whole transaction back and
+        # reclaims staged segments for every table not yet renamed.
         published: list[str] = []
+        prepared: list[tuple[str, dict]] = []
         try:
             with mf.multi_commit_lock(dirs.values()):
                 for key, st in dirty.items():
-                    disk = mf.read_manifest(dirs[key])
-                    if disk["version"] != st["base_version"]:
-                        raise SerializationFailure(
-                            f"table {key!r} moved: base v{st['base_version']},"
-                            f" now v{disk['version']} — transaction rolled back"
-                        )
-                for key, st in dirty.items():
-                    mf.publish_held(
+                    prepared.append((key, mf.prepare_publish(
                         dirs[key], st["manifest"], st["base_version"]
-                    )
+                    )))
+                for key, handle in prepared:
+                    mf.finish_publish(handle)
                     published.append(key)
         except Exception:
-            # validation failure → nothing published, reclaim everything;
-            # an I/O failure mid-publish (disk full) reclaims only the
-            # UNpublished tables' segments — published manifests already
-            # reference theirs, deleting those would corrupt the table
+            # prepare failure (version moved, or I/O writing a temp) →
+            # nothing published, discard temps + reclaim everything; a
+            # rename failure mid-phase-2 reclaims only the UNpublished
+            # tables' segments — published manifests already reference
+            # theirs, deleting those would corrupt the table
+            for key, handle in prepared:
+                if key not in published:
+                    mf.abort_publish(handle)
             self._discard_segs(
                 {k: v for k, v in dirty.items() if k not in published}
             )
@@ -1119,7 +1124,10 @@ class Engine:
             # WHEN NOT MATCHED only: pure append of new-key source rows —
             # no target file is rewritten
             to_insert = aligned.join(full.select(*on), on, "anti")
-            inserted = to_insert.select(*on).distinct().count()
+            # count the rows actually appended — with duplicate keys in
+            # the source, every unmatched source row is written, so a
+            # distinct-key count would under-report
+            inserted = to_insert.count()
             staging = self._stage(tdir)
             to_insert.write.mode("overwrite").parquet(staging)
             new_files = [
@@ -1132,8 +1140,12 @@ class Engine:
                           segs=[staging])
             return 0, inserted
         updated = matched.count()
+        # rows actually inserted = source rows whose key is absent from
+        # the target (all of them are written below via `out`), counted
+        # row-level for the same duplicate-key reason as the insert-only
+        # path — and it's one job where the old key-level form took two
         inserted = (
-            keys.count() - matched.select(*on).distinct().count()
+            aligned.join(full.select(*on), on, "anti").count()
             if insert else 0
         )
         if not insert:
@@ -1512,11 +1524,29 @@ class Engine:
                 import shutil
 
                 shutil.rmtree(seg_path)
+        # a write that failed before creating its staging dir (validation
+        # error in copy_from, Spark write crash) leaves a dir-less .staged
+        # marker; the per-dir loop above never sees it, so reap orphan
+        # markers here on the same age rule
+        for f in os.listdir(tdir):
+            if not f.endswith(".staged"):
+                continue
+            seg_path = os.path.join(tdir, f[: -len(".staged")])
+            if os.path.isdir(seg_path):
+                continue  # live marker, handled with its dir above
+            marker = os.path.join(tdir, f)
+            try:
+                age = now - float(open(marker).read().strip() or 0)
+            except (ValueError, OSError):
+                age = now - os.path.getmtime(marker)
+            if age >= retention:
+                os.remove(marker)
         # crashed committers can strand manifest temp files (written but
         # never renamed — the rename is the commit point, so they are
-        # garbage by construction); reap them on the same age rule
+        # garbage by construction), both manifest.json.*.tmp and the
+        # two-phase prepare's manifest.vN.json.*.tmp; reap on the age rule
         for f in os.listdir(tdir):
-            if ".tmp" in f and f.startswith(mf.MANIFEST):
+            if f.endswith(".tmp") and f.startswith("manifest."):
                 p = os.path.join(tdir, f)
                 if now - os.path.getmtime(p) >= retention:
                     os.remove(p)

@@ -232,10 +232,16 @@ def translate(sql: str) -> str:
                 else:
                     break
             operand = prev[start:].strip()
+            # `5! f` (implicit non-AS alias): an identifier follows, so
+            # the generic rule reads prefix NOT — but `!` after a numeric
+            # literal cannot be prefix in any SQL reading (`5 !flag` is
+            # not a term), so a pure numeric operand forces postfix, as
+            # PG parses it (factorial + alias)
+            numeric_operand = bool(re.fullmatch(r"\d+(?:\.\d+)?", operand or ""))
             if (
                 operand
                 and operand.upper() not in _KEYWORDS
-                and not follows_operand
+                and (not follows_operand or numeric_operand)
             ):
                 out = [prev[:start], f"factorial({operand})"]
             else:

@@ -419,11 +419,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         B = np.vstack(right["v"].to_numpy())
         ids_a = left["vec_id"].to_numpy()
         ids_b = right["vec_id"].to_numpy()
-        cos = np.round(
-            (A @ B.T) / np.outer(left["norm"].to_numpy(),
-                                 right["norm"].to_numpy()),
-            6,
-        )
+        raw = (A @ B.T) / np.outer(left["norm"].to_numpy(),
+                                   right["norm"].to_numpy())
+        # round HALF-AWAY-FROM-ZERO to match F.round / DuckDB round();
+        # np.round is half-to-even, which can flip a cosine sitting
+        # exactly on a 5e-7 boundary across engines (and the >=0.99
+        # verdict with it)
+        cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         ia, jb = np.nonzero((cos >= 0.99) & (ids_a[:, None] < ids_b[None, :]))
         if not len(ia):
             return empty

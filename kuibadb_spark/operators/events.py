@@ -750,6 +750,12 @@ ORACLES["ev_error_rate_timeline"] = """
 # --------------------------------------------------------------------------
 # interval-overlap self-join: concurrent sessions of different users
 # --------------------------------------------------------------------------
+# Banded-interval-join bucket width (seconds) for ev_concurrent_sessions;
+# module-level so tools/sweep scripts can probe alternatives without
+# editing the operator. 600 s measured optimal at sf0.1 (round-4 sweep).
+_CS_BAND_S = 600
+
+
 def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which users were online at the same time: sessionize per user
     (10-minute gap; session = [first event, last event + 10 min]), then
@@ -788,10 +794,13 @@ def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("us") + gap).alias("e"),
         )
     )
-    band = 600 * 1_000_000  # 10-minute buckets: sessions are gap-bounded
-    # (10-min inactivity), so a session spans few bands while each band
-    # holds ~6x fewer sessions than an hour bucket — candidate pairs drop
-    # quadratically per bucket (7.0 s with hour buckets + wide distinct -> 3.4 s at sf0.1)
+    band = _CS_BAND_S * 1_000_000  # 10-minute buckets: sessions are
+    # gap-bounded (10-min inactivity), so a session spans few bands while
+    # each band holds ~6x fewer sessions than an hour bucket — candidate
+    # pairs drop quadratically per bucket (7.0 s with hour buckets + wide
+    # distinct -> 3.4 s at sf0.1). Round-4 sweep at sf0.1 confirmed 600 s
+    # is the flat optimum (see DESIGN.md): halving/doubling the band
+    # trades band fan-out against per-bucket pair count symmetrically.
     b = sess.selectExpr(
         "user_id", "sid", "s", "e",
         f"explode(sequence(s div {band}, e div {band})) AS hb",
@@ -806,7 +815,7 @@ def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             # count each overlapping pair EXACTLY once: only in the
             # bucket where the overlap starts — removes the wide
             # multi-bucket DISTINCT entirely
-            & (F.col("hb") == F.expr("greatest(a.s, b.s) div 600000000"))
+            & (F.col("hb") == F.expr(f"greatest(a.s, b.s) div {band}"))
         )
         .select(
             F.col("a.user_id").alias("u1"),

@@ -161,11 +161,16 @@ def replace_files(table_dir: str, new_files: list[str], base_version: int,
         return m
 
 
-def publish_held(table_dir: str, staged: dict, base_version: int) -> dict:
-    """publish() body WITHOUT acquiring the commit lock — for callers
-    that already hold it via multi_commit_lock (Engine.commit publishing
-    several tables under one lock set). The version check is still
-    enforced (defense in depth)."""
+def prepare_publish(table_dir: str, staged: dict, base_version: int) -> dict:
+    """Phase 1 of a two-phase publish (multi-table COMMIT): validate the
+    optimistic version check and write the fully-staged manifest AND its
+    time-travel version copy to fsync'd temp files WITHOUT renaming them
+    into place. Every byte-allocating I/O (where ENOSPC strikes) happens
+    here, while nothing is visible; phase 2 (finish_publish) is N
+    same-filesystem renames, which allocate no data blocks — so a
+    multi-table commit's non-atomic window shrinks to rename-only.
+    Caller must hold the commit lock. Returns a handle for
+    finish_publish / abort_publish."""
     disk = read_manifest(table_dir)
     if disk["version"] != base_version:
         raise SerializationFailure(
@@ -173,8 +178,49 @@ def publish_held(table_dir: str, staged: dict, base_version: int) -> dict:
         )
     out = dict(staged)
     out["version"] = base_version + 1
-    _persist(table_dir, out)
-    return out
+    out["crc32"] = _payload_crc(out)
+    token = uuid.uuid4().hex[:8]
+    tmp = manifest_path(table_dir) + f".{token}.tmp"
+    vpath = os.path.join(table_dir, f"manifest.v{out['version']}.json")
+    vtmp = vpath + f".{token}.tmp"
+    for p in (tmp, vtmp):
+        with open(p, "w") as f:
+            json.dump(out, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+    return {"table_dir": table_dir, "tmp": tmp, "vtmp": vtmp,
+            "vpath": vpath, "manifest": out}
+
+
+def finish_publish(handle: dict) -> dict:
+    """Phase 2: rename the prepared temp manifests into place + dir
+    fsync. The commit point is the manifest.json rename."""
+    table_dir = handle["table_dir"]
+    os.rename(handle["tmp"], manifest_path(table_dir))
+    os.rename(handle["vtmp"], handle["vpath"])
+    dfd = os.open(table_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    return handle["manifest"]
+
+
+def abort_publish(handle: dict) -> None:
+    """Discard a prepared-but-unpublished phase-1 handle."""
+    for k in ("tmp", "vtmp"):
+        try:
+            os.remove(handle[k])
+        except OSError:
+            pass
+
+
+def publish_held(table_dir: str, staged: dict, base_version: int) -> dict:
+    """publish() body WITHOUT acquiring the commit lock — for callers
+    that already hold it via multi_commit_lock (Engine.commit publishing
+    several tables under one lock set). The version check is still
+    enforced (defense in depth)."""
+    return finish_publish(prepare_publish(table_dir, staged, base_version))
 
 
 def publish(table_dir: str, staged: dict, base_version: int) -> dict:

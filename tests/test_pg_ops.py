@@ -36,6 +36,12 @@ def test_translate_pure():
     assert translate("WHEN !flag THEN 1") == "WHEN !flag THEN 1"
     assert translate("SELECT a AND !b") == "SELECT a AND !b"
     assert translate("SELECT 5! AS f") == "SELECT factorial(5) AS f"
+    # implicit (non-AS) alias after a NUMERIC literal: `!` after a number
+    # cannot be prefix NOT in any reading, so PG's factorial+alias wins
+    # (round-4 ADVICE); a non-numeric operand keeps the prefix-NOT reading
+    assert translate("SELECT 5! f") == "SELECT factorial(5) f"
+    assert translate("SELECT 2.5! f") == "SELECT factorial(2.5) f"
+    assert translate("SELECT a! b") == "SELECT a! b"
     assert translate("SELECT a! FROM t") == "SELECT factorial(a) FROM t"
     assert translate("SELECT 5! + 3") == "SELECT factorial(5) + 3"
     assert translate("SELECT (3+2)!") == "SELECT factorial((3+2))"

@@ -729,3 +729,82 @@ def test_gc_reaps_stranded_manifest_tmp_files(engine):
     engine.gc("gt", staged_retention_s=0)  # aged out: reaped
     assert not os.path.exists(stray)
     assert engine.table("gt").count() == 2
+
+
+def test_gc_reaps_dirless_orphan_staged_marker(engine):
+    """A write that fails BEFORE creating its staging dir (validation
+    error in copy_from, Spark write crash) leaves a .staged marker with
+    no segment dir. The per-dir gc loop never visits it, so a dedicated
+    orphan scan must reclaim it past the retention window (round-4
+    ADVICE)."""
+    _mk(engine, "om")
+    tdir = engine._table_dir("om")
+    orphan = os.path.join(tdir, "seg-deadbeefcafe.staged")
+    with open(orphan, "w") as f:
+        f.write("0")  # epoch timestamp: ancient
+    engine.gc("om", staged_retention_s=10**12)  # still in window: kept
+    assert os.path.exists(orphan)
+    engine.gc("om")  # epoch-aged marker is far past default retention
+    assert not os.path.exists(orphan)
+
+
+def test_multi_table_commit_two_phase_io_failure(engine, spark, monkeypatch):
+    """An I/O failure while WRITING the second table's manifest (the
+    disk-full shape) must roll back BOTH tables — with two-phase publish
+    all byte-allocating writes happen before any rename, so nothing is
+    published and all staged segments are reclaimed (round-4 ADVICE)."""
+    _mk(engine, "tp1")
+    _mk(engine, "tp2")
+    real_prepare = mf.prepare_publish
+    calls = {"n": 0}
+
+    def flaky_prepare(table_dir, staged, base_version):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError(28, "No space left on device")
+        return real_prepare(table_dir, staged, base_version)
+
+    monkeypatch.setattr(mf, "prepare_publish", flaky_prepare)
+    engine.begin()
+    engine.insert("tp1", spark.createDataFrame([(9, "x")], "a INT, b STRING"))
+    engine.insert("tp2", spark.createDataFrame([(9, "y")], "a INT, b STRING"))
+    with pytest.raises(OSError):
+        engine.commit()
+    monkeypatch.undo()
+    # neither table published: both manifests at their base version
+    assert engine.table("tp1").count() == 2
+    assert engine.table("tp2").count() == 2
+    for t in ("tp1", "tp2"):
+        tdir = engine._table_dir(t)
+        assert mf.read_manifest(tdir)["version"] == 1
+        # staged segments + markers + temp manifests all reclaimed
+        assert glob.glob(os.path.join(tdir, "*.staged")) == []
+        assert glob.glob(os.path.join(tdir, "manifest.*.tmp")) == []
+
+
+def test_merge_insert_only_counts_duplicate_source_rows(engine):
+    """Insert-only MERGE appends EVERY unmatched source row; the
+    `inserted` metric must count rows written, not distinct keys
+    (round-4 ADVICE)."""
+    _mk(engine, "md", rows=((1, "a"),))
+    row = engine.sql(
+        "MERGE INTO md USING (SELECT 3 AS a, 'x' AS b"
+        " UNION ALL SELECT 3, 'y' UNION ALL SELECT 1, 'z') ON (a)"
+        " WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert (row.updated, row.inserted) == (0, 2)
+    assert engine.table("md").count() == 3
+
+
+def test_merge_upsert_counts_duplicate_source_rows(engine):
+    """Update+insert MERGE writes all unmatched source rows too; the
+    inserted metric is row-level there as well."""
+    _mk(engine, "md2", rows=((1, "a"),))
+    row = engine.sql(
+        "MERGE INTO md2 USING (SELECT 3 AS a, 'x' AS b"
+        " UNION ALL SELECT 3, 'y' UNION ALL SELECT 1, 'z') ON (a)"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert (row.updated, row.inserted) == (1, 2)
+    assert engine.table("md2").count() == 3
