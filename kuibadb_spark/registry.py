@@ -29,6 +29,7 @@ from kuibadb_spark.operators import (
     collections,
     curation,
     curation2,
+    curation3,
     dedup,
     events,
     graph,
@@ -76,6 +77,10 @@ _MODULES = [
     # not displace the round-2-planned 48 out of the round-3 grading
     # window (they are graded in round 4's sweep instead)
     curation2,
+    # round-4 additions rank after curation2's nine round-5-window
+    # stragglers for the same reason: slots 50-58 must stay exactly
+    # those nine after round 4's artifact lands
+    curation3,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
