@@ -812,3 +812,489 @@ ORACLES["profile_outlier_iqr"] = """
     GROUP BY flag
     ORDER BY flag
 """
+
+
+# ---------------------------------------------------------------------------
+# 8. vocabulary growth / type-token ratio per source
+# ---------------------------------------------------------------------------
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics — the Heaps-law corpus health
+    check (vocabulary should grow sublinearly in tokens; a source whose
+    type-token ratio is near 1 is ID-like noise, near 0 is boilerplate):
+    docs, tokens, distinct tokens, and the type-token ratio in exact
+    integer ppm. One explode + one groupBy(source) with countDistinct —
+    Spark plans the distinct as a two-level partial aggregate, so the
+    token stream is never collected anywhere."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = d.selectExpr(
+        "doc_id", "source",
+        r"explode(filter(split(text, '\\s+'), t -> t <> '')) AS tok",
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("vocab"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_tokens", "vocab",
+            "(1000000 * vocab) div n_tokens AS ttr_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_vocab_growth"] = text_vocab_growth
+
+ORACLES["text_vocab_growth"] = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_tokens,
+               count(DISTINCT tok) AS vocab
+        FROM toks GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, vocab,
+           (1000000 * vocab) // n_tokens AS ttr_ppm
+    FROM agg
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. top event-type trigram paths
+# ---------------------------------------------------------------------------
+def ev_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step behavioral paths (event-type trigrams per user in
+    time order) — the path-analysis rollup product teams read as a
+    Sankey. One user_id exchange: two LEADs over the same sort produce
+    the trigram row-locally, then a global count. Ties in ts break on
+    event_id so the sequence is deterministic in both engines."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    tri = (
+        e.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .selectExpr("concat(event_type, '>', t2, '>', t3) AS path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+QUERIES["ev_path_trigrams"] = ev_path_trigrams
+
+ORACLES["ev_path_trigrams"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    tri AS (
+        SELECT event_type || '>' ||
+               lead(event_type, 1) OVER w || '>' ||
+               lead(event_type, 2) OVER w AS path
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT path, count(*) AS n
+    FROM tri WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. audio silence runs (gaps-and-islands over frame energies)
+# ---------------------------------------------------------------------------
+def mm_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence detection over the fake-PCM payloads (multimodal.py's
+    char-sample convention; real decoders stay import-gated): 32-sample
+    non-overlapping frames, a frame is `quiet` when its integer energy
+    < 310000, and consecutive quiet frames merge into runs via the
+    islands trick (frame_idx - row_number over quiet frames). Per doc:
+    frames, quiet frames, runs, longest run — the trim-silence /
+    segment-audio preprocessing stats. Framing is row-local; the only
+    shuffle is the per-doc window."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "transform(sequence(1, length(text)),"
+        " i -> ascii(substring(text, i, 1))) AS s",
+    )
+    frames = d.selectExpr(
+        "doc_id",
+        "explode(transform("
+        " sequence(0, greatest(CAST(floor((size(s) - 32) / 32) AS INT), 0)),"
+        " f -> struct(f AS frame,"
+        "   CAST(aggregate(slice(s, f * 32 + 1, 32), 0L,"
+        "        (a, x) -> a + x * x) AS BIGINT) AS energy))) AS fr",
+    ).select("doc_id", F.col("fr.frame").alias("frame"),
+             F.col("fr.energy").alias("energy"))
+    quiet = frames.filter(F.col("energy") < 310000).withColumn(
+        "isl",
+        F.col("frame")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("frame")),
+    )
+    runs = (
+        quiet.groupBy("doc_id", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("longest_run"),
+            F.sum("run_len").alias("n_quiet"),
+        )
+    )
+    totals = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        totals.join(runs, "doc_id", "left")
+        .selectExpr(
+            "doc_id", "n_frames",
+            "coalesce(n_quiet, 0L) AS n_quiet",
+            "coalesce(n_runs, 0L) AS n_runs",
+            "coalesce(longest_run, 0L) AS longest_run",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["mm_silence_runs"] = mm_silence_runs
+
+ORACLES["mm_silence_runs"] = """
+    WITH samples AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text)),
+                              i -> ord(substr(text, i, 1))) AS s
+        FROM documents
+    ),
+    fidx AS (
+        SELECT doc_id, s,
+               unnest(generate_series(0,
+                   greatest(CAST(floor((len(s) - 32) / 32.0) AS INTEGER), 0)))
+                   AS frame
+        FROM samples
+    ),
+    frames AS (
+        SELECT doc_id, frame,
+               CAST(list_sum(list_transform(s[frame * 32 + 1 : frame * 32 + 32],
+                                            x -> x * x)) AS BIGINT) AS energy
+        FROM fidx
+    ),
+    quiet AS (
+        SELECT doc_id, frame,
+               frame - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY frame) AS isl
+        FROM frames WHERE energy < 310000
+    ),
+    runs AS (
+        SELECT doc_id, count(*) AS run_len
+        FROM quiet GROUP BY doc_id, isl
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_runs, max(run_len) AS longest_run,
+               sum(run_len) AS n_quiet
+        FROM runs GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_frames FROM frames GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_frames,
+           CAST(coalesce(p.n_quiet, 0) AS BIGINT) AS n_quiet,
+           CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(p.longest_run, 0) AS BIGINT) AS longest_run
+    FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. CUPED-adjusted A/B read-out (exact-integer sufficient statistics)
+# ---------------------------------------------------------------------------
+def ev_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B purchase metric (Deng et
+    al. 2013, the standard experimentation trick): per user, the
+    pre-period covariate x = centi-sum of purchase value before Jan 16
+    and the metric y = centi-sum after; theta = cov(x,y)/var(x) pooled,
+    and the reported treatment effect is the theta-adjusted mean
+    difference. Arms split by md5(user_id) % 2.
+
+    Exactness: values are scaled to exact centi-integers FIRST, so
+    every sufficient statistic (n, Σx, Σy, Σxy, Σx²) is an
+    order-independent exact BIGINT (cross-products bounded ~1e13/user,
+    safe to ~1e5 heavy users per arm at 2^63); theta and the adjusted
+    means are then the SAME double expressions over those exact ints in
+    both engines. Scale shape: one groupBy(user_id), one tiny rollup —
+    the CUPED math never sees row-level data."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).selectExpr(
+        "user_id",
+        "CAST(ts AS TIMESTAMP) AS tts",
+        "CAST(floor(value * 100 + 0.5D) AS BIGINT) AS v",
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.expr(
+                "CASE WHEN tts < TIMESTAMP '2024-01-16 00:00:00'"
+                " THEN v ELSE 0 END")).alias("x"),
+            F.sum(F.expr(
+                "CASE WHEN tts >= TIMESTAMP '2024-01-16 00:00:00'"
+                " THEN v ELSE 0 END")).alias("y"),
+        )
+        .selectExpr(
+            "CASE WHEN CAST(conv(substring(md5(CAST(user_id AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm",
+            "x", "y",
+        )
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("CASE WHEN arm = 'A' THEN 1 ELSE 0 END")).alias("na"),
+        F.sum(F.expr("CASE WHEN arm = 'A' THEN x ELSE 0 END")).alias("sxa"),
+        F.sum(F.expr("CASE WHEN arm = 'A' THEN y ELSE 0 END")).alias("sya"),
+        F.sum(F.expr("CASE WHEN arm = 'B' THEN 1 ELSE 0 END")).alias("nb"),
+        F.sum(F.expr("CASE WHEN arm = 'B' THEN x ELSE 0 END")).alias("sxb"),
+        F.sum(F.expr("CASE WHEN arm = 'B' THEN y ELSE 0 END")).alias("syb"),
+    )
+    # identical double-expression order on both sides (all inputs exact)
+    return stats.selectExpr(
+        "na AS n_a",
+        "nb AS n_b",
+        "round(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na, 4)"
+        " AS diff_raw_centi",
+        "round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / n) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+        " * CAST(sx AS DOUBLE) / n), 6) AS theta6",
+        "round((CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na)"
+        " - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / n) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+        " * CAST(sx AS DOUBLE) / n))"
+        " * (CAST(sxb AS DOUBLE) / nb - CAST(sxa AS DOUBLE) / na), 4)"
+        " AS diff_cuped_centi",
+    )
+
+
+QUERIES["ev_ab_cuped"] = ev_ab_cuped
+
+ORACLES["ev_ab_cuped"] = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS tts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN tts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN v ELSE 0 END) AS x,
+               sum(CASE WHEN tts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN v ELSE 0 END) AS y
+        FROM e GROUP BY user_id
+    ),
+    armed AS (
+        SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                    1, 8) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+        FROM per_user
+    ),
+    stats AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT)
+                   AS sxa,
+               CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT)
+                   AS sya,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+               CAST(sum(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS BIGINT)
+                   AS sxb,
+               CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT)
+                   AS syb
+        FROM armed
+    )
+    SELECT na AS n_a,
+           nb AS n_b,
+           round(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na, 4)
+               AS diff_raw_centi,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE) / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / n), 6) AS theta6,
+           round((CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na)
+                 - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / n)
+                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE) / n))
+                 * (CAST(sxb AS DOUBLE) / nb - CAST(sxa AS DOUBLE) / na), 4)
+               AS diff_cuped_centi
+    FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. degree distribution of the near-dup graph
+# ---------------------------------------------------------------------------
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the undirected near-dup graph (same edge set
+    as graph_pagerank / connected components): how many docs have k
+    near-duplicates. The shape-of-the-graph sanity check run before any
+    iterative graph job — a heavy right tail means a boilerplate hub
+    that will dominate label propagation. Linear: degree = one
+    groupBy(node) over the symmetrized edges, histogram = one tiny
+    groupBy(degree); the expensive shingle pipeline is computed once."""
+    from kuibadb_spark.operators.graph import _edges
+
+    edges = _edges(spark, sf_dir)
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+QUERIES["graph_degree_distribution"] = graph_degree_distribution
+
+from kuibadb_spark.operators.dedup import (  # noqa: E402
+    _DUP_CORPUS_DUCK as _C3_CORPUS,
+    _SHINGLES_DUCK as _C3_SHINGLES,
+)
+
+ORACLES["graph_degree_distribution"] = f"""
+    WITH {_C3_CORPUS},
+    {_C3_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT src, dst FROM inter
+        JOIN sizes sa ON sa.doc_id = src
+        JOIN sizes sb ON sb.doc_id = dst
+        WHERE i / (sa.sz + sb.sz - i) >= 0.6
+    ),
+    sym AS (
+        SELECT src FROM edges UNION ALL SELECT dst FROM edges
+    ),
+    deg AS (
+        SELECT src, count(*) AS degree FROM sym GROUP BY src
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg
+    GROUP BY degree
+    ORDER BY degree
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. Benford first-digit profile
+# ---------------------------------------------------------------------------
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs the
+    Benford expectation — the classic fabricated-data / ingest-anomaly
+    smell test a profiler runs on monetary columns. Digit extraction is
+    pure integer/string arithmetic on exact cents (no log, no float
+    path): first char of the BIGINT's decimal rendering, which neither
+    engine sci-notates. The Benford ppm column is a shared literal
+    table (the nine constants sum to exactly 1,000,000). One scan, one
+    9-bucket aggregate — free at any scale."""
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT) AS cents"
+    ).filter(F.col("cents") > 0)
+    digits = o.selectExpr(
+        "CAST(substring(CAST(cents AS STRING), 1, 1) AS INT) AS digit"
+    )
+    benford = (
+        "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939"
+        " WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947"
+        " WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END"
+    )
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = counted.agg(F.sum("n_orders").alias("total"))
+    return (
+        counted.crossJoin(total)
+        .selectExpr(
+            "digit", "n_orders",
+            "(1000000 * n_orders) div total AS obs_ppm",
+            f"{benford} AS benford_ppm",
+            f"abs((1000000 * n_orders) div total - {benford}) AS abs_dev_ppm",
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["profile_benford_digits"] = profile_benford_digits
+
+ORACLES["profile_benford_digits"] = """
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM cents WHERE cents > 0
+    ),
+    counted AS (
+        SELECT digit, count(*) AS n_orders FROM digits GROUP BY digit
+    ),
+    total AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM counted)
+    SELECT digit, n_orders,
+           CAST((1000000 * n_orders) // total AS BIGINT) AS obs_ppm,
+           CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                      WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                      WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                      WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                      ELSE 45757 END AS benford_ppm,
+           CAST(abs((1000000 * n_orders) // total
+               - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                            WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                            WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                            WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                            ELSE 45757 END) AS BIGINT) AS abs_dev_ppm
+    FROM counted CROSS JOIN total
+    ORDER BY digit
+"""
