@@ -717,9 +717,18 @@ def profile_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     position arithmetic is integer (pos = (n-1)*25, lo = pos div 100,
     frac in {0,.25,.5,.75}), the two contributing ranks get exact dyadic
     coefficients, and every derived bound (1.5*IQR fences) stays an
-    exact dyadic double — bit-identical cross-engine. One exchange: the
-    rank window, the fence windows, and the final rollup all ride the
-    same hash(l_returnflag) partitioning."""
+    exact dyadic double — bit-identical cross-engine.
+
+    Scale shape — HISTOGRAM selection, not row ranking: the first cut
+    of this query ranked every raw row inside a partition-by-flag
+    window, which at 3 flags means 3 tasks sorting everything (×100
+    measured ×30). This form aggregates to a (flag, value) histogram
+    first — a normal wide-parallel shuffle with map-side combine — and
+    runs the rank selection over the DISTINCT-VALUE rows only
+    (cumulative count brackets [cum_lo, cum_hi] locate the two
+    contributing ranks), so the low-cardinality window sees the
+    compressed domain, not the data. Outlier counting is a second pass
+    over the same histogram against broadcast fences."""
     from pyspark.sql import Window as W
 
     li = load(spark, sf_dir, "lineitem").selectExpr(
@@ -729,40 +738,45 @@ def profile_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB (DESIGN.md #23a)
         "CAST(floor(l_extendedprice * 100 + 0.5D) AS BIGINT) AS cents",
     )
+    hist = li.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
     wp = W.partitionBy("flag")
-    ranked = (
-        li.withColumn("rn", F.row_number().over(wp.orderBy("cents")))
-        .withColumn("n", F.count(F.lit(1)).over(wp))
+    cum = (
+        hist.withColumn("cum_hi", F.sum("cnt").over(wp.orderBy("cents")))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(wp))
         .withColumn("lo25", F.expr("((n - 1) * 25) div 100"))
         .withColumn("f25", F.expr("((n - 1) * 25) % 100 / 100.0D"))
         .withColumn("lo75", F.expr("((n - 1) * 75) div 100"))
         .withColumn("f75", F.expr("((n - 1) * 75) % 100 / 100.0D"))
     )
-    q = ranked.withColumn(
-        "q1",
-        F.expr("""sum(CASE WHEN rn = lo25 + 1 THEN cents * (1.0D - f25)
-                           WHEN rn = lo25 + 2 THEN cents * f25
-                           ELSE 0.0D END) OVER (PARTITION BY flag)"""),
-    ).withColumn(
-        "q3",
-        F.expr("""sum(CASE WHEN rn = lo75 + 1 THEN cents * (1.0D - f75)
-                           WHEN rn = lo75 + 2 THEN cents * f75
-                           ELSE 0.0D END) OVER (PARTITION BY flag)"""),
+    # both contributing ranks of a quartile may land in the SAME
+    # histogram row — add the two CASE terms per row before summing
+    stats = cum.groupBy("flag").agg(
+        F.max("n").alias("n_rows"),
+        F.sum(F.expr(
+            """CASE WHEN lo25 + 1 > cum_lo AND lo25 + 1 <= cum_hi
+                    THEN cents * (1.0D - f25) ELSE 0.0D END
+             + CASE WHEN lo25 + 2 > cum_lo AND lo25 + 2 <= cum_hi
+                    THEN cents * f25 ELSE 0.0D END""")).alias("q1_cents"),
+        F.sum(F.expr(
+            """CASE WHEN lo75 + 1 > cum_lo AND lo75 + 1 <= cum_hi
+                    THEN cents * (1.0D - f75) ELSE 0.0D END
+             + CASE WHEN lo75 + 2 > cum_lo AND lo75 + 2 <= cum_hi
+                    THEN cents * f75 ELSE 0.0D END""")).alias("q3_cents"),
     )
     return (
-        q.groupBy("flag")
+        hist.join(F.broadcast(stats), "flag")
+        .groupBy("flag")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("q1").alias("q1_cents"),
-            F.min("q3").alias("q3_cents"),
-            F.sum(
-                F.expr("CASE WHEN cents < q1 - 1.5D * (q3 - q1)"
-                       " THEN 1 ELSE 0 END")
-            ).alias("n_low_outliers"),
-            F.sum(
-                F.expr("CASE WHEN cents > q3 + 1.5D * (q3 - q1)"
-                       " THEN 1 ELSE 0 END")
-            ).alias("n_high_outliers"),
+            F.max("n_rows").alias("n_rows"),
+            F.min("q1_cents").alias("q1_cents"),
+            F.min("q3_cents").alias("q3_cents"),
+            F.sum(F.expr(
+                "CASE WHEN cents < q1_cents - 1.5D * (q3_cents - q1_cents)"
+                " THEN cnt ELSE 0 END")).alias("n_low_outliers"),
+            F.sum(F.expr(
+                "CASE WHEN cents > q3_cents + 1.5D * (q3_cents - q1_cents)"
+                " THEN cnt ELSE 0 END")).alias("n_high_outliers"),
         )
         .orderBy("flag")
     )
