@@ -951,8 +951,11 @@ def mm_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").selectExpr(
         "doc_id",
-        "transform(sequence(1, length(text)),"
-        " i -> ascii(substring(text, i, 1))) AS s",
+        # split('') + ascii is O(len) per doc; the sequence+substring
+        # spelling used elsewhere is O(len^2) (substring(text,i,1) walks
+        # to i) — measured x100: 175 s -> the linear form (same values,
+        # verified incl. multi-byte chars)
+        "transform(split(text, ''), c -> ascii(c)) AS s",
     )
     frames = d.selectExpr(
         "doc_id",
@@ -1311,4 +1314,188 @@ ORACLES["profile_benford_digits"] = """
                             ELSE 45757 END) AS BIGINT) AS abs_dev_ppm
     FROM counted CROSS JOIN total
     ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. dyadic-weight EWMA over a bounded event frame
+# ---------------------------------------------------------------------------
+_EW_DEPTH = 20  # frame length; weights 2^-(0..19)
+
+
+def ts_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted purchase value (halving weights,
+    last 20 purchases) reported at each user's latest event — the
+    decayed-engagement score feature stores serve. Weights are the
+    DYADIC series 2^-k, so the weighted sum over milli-scaled integers
+    is exact at EVERY accumulation order (scaled by 2^19 it is a plain
+    BIGINT); the normalized score divides two exact integers. A bounded
+    ROWS frame needs pair-dependent weights, which no windowed sum can
+    see — 20 explicit lag() terms over ONE user exchange express it
+    with zero joins (the ev_attribution_time_decay discipline).
+
+    Scale: one shuffle (user_id), 20 lags on one sort, tiny final
+    filter; depth is a constant, not a data term."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "CAST(floor(value * 1000 + 0.5D) AS BIGINT) AS v",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    lag_terms = " + ".join(
+        f"coalesce(lag_v{k}, 0L) * shiftleft(CAST(1 AS BIGINT), {19 - k})"
+        for k in range(_EW_DEPTH)
+    )
+    wsum_terms = " + ".join(
+        f"CASE WHEN lag_v{k} IS NOT NULL THEN"
+        f" shiftleft(CAST(1 AS BIGINT), {19 - k}) ELSE 0 END"
+        for k in range(_EW_DEPTH)
+    )
+    df = e
+    for k in range(_EW_DEPTH):
+        df = df.withColumn(f"lag_v{k}", F.lag("v", k).over(w))
+    latest = (
+        df.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("us").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return latest.selectExpr(
+        "user_id",
+        f"{lag_terms} AS ewma_scaled",
+        f"{wsum_terms} AS wsum_scaled",
+        f"(1000 * ({lag_terms})) div ({wsum_terms}) AS ewma_micro",
+    ).orderBy("user_id")
+
+
+QUERIES["ts_ewma_decay"] = ts_ewma_decay
+
+_EW_LAGS_DUCK = ",\n               ".join(
+    f"lag(v, {k}) OVER w AS lag_v{k}" for k in range(_EW_DEPTH)
+)
+_EW_SUM_DUCK = " + ".join(
+    f"coalesce(lag_v{k}, 0) * (CAST(1 AS BIGINT) << {19 - k})"
+    for k in range(_EW_DEPTH)
+)
+_EW_W_DUCK = " + ".join(
+    f"CASE WHEN lag_v{k} IS NOT NULL THEN (CAST(1 AS BIGINT) << {19 - k})"
+    f" ELSE 0 END" for k in range(_EW_DEPTH)
+)
+
+ORACLES["ts_ewma_decay"] = f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    lagged AS (
+        SELECT user_id, us, event_id,
+               {_EW_LAGS_DUCK}
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY us DESC, event_id DESC) AS rk
+        FROM lagged
+    )
+    SELECT user_id,
+           CAST({_EW_SUM_DUCK} AS BIGINT) AS ewma_scaled,
+           CAST({_EW_W_DUCK} AS BIGINT) AS wsum_scaled,
+           CAST((1000 * ({_EW_SUM_DUCK})) // ({_EW_W_DUCK}) AS BIGINT)
+               AS ewma_micro
+    FROM latest WHERE rk = 1
+    ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. run-length compression stats of event-type sequences
+# ---------------------------------------------------------------------------
+def ev_type_rle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length structure of each user's event-type stream — how
+    compressible behavior is (many long runs = bot-like repetition, the
+    session-replay storage estimate AND an abuse signal). Change points
+    come from one lag() on the user sort; run lengths from the
+    change-point cumsum; per user: events, runs, longest run, and the
+    RLE ratio in ppm. Two windows and two aggregates, all on the same
+    user_id exchange."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        ).otherwise(0),
+    ).withColumn("run_id", F.sum("chg").over(w))
+    per_run = marked.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        per_run.groupBy("user_id")
+        .agg(
+            F.sum("run_len").alias("n_events"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("longest_run"),
+        )
+        .selectExpr(
+            "user_id", "n_events", "n_runs", "longest_run",
+            "(1000000 * n_runs) div n_events AS rle_ppm",
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["ev_type_rle_stats"] = ev_type_rle_stats
+
+ORACLES["ev_type_rle_stats"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR event_type <> lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    runs AS (
+        SELECT user_id,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked
+    ),
+    per_run AS (
+        SELECT user_id, run_id, count(*) AS run_len
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS n_events,
+           count(*) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST((1000000 * count(*)) // sum(run_len) AS BIGINT) AS rle_ppm
+    FROM per_run
+    GROUP BY user_id
+    ORDER BY user_id
 """
