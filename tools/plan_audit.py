@@ -16,7 +16,9 @@ CONSTANT regardless of corpus size):
   totals), q11 (total value), q22 (avg balance), temperature_mixture
   (1-row weight total), ivf_pq_hybrid (8-row coarse-cell seed
   broadcast), lsh_eval + ann_recall
-  (1-row metric crosses), gap_fill (per-series bounds), pagerank
+  (1-row metric crosses), gap_fill (per-series bounds),
+  agg_hll_set_ops (1-row exact stats × 1-row sketch estimates),
+  profile_benford_digits (9-digit histogram × 1-row total), pagerank
   (n_nodes), kmeans (K centroids), ivf/knn/mips/rrf/topk (≤10-row query
   vector broadcast with an inequality condition — the brute-force or
   probe side of an ANN evaluation at fixed query-set size)
@@ -40,6 +42,8 @@ from kuibadb_spark import registry  # noqa: E402
 from kuibadb_spark.session import get_spark  # noqa: E402
 
 BNLJ_OK = {
+    "agg_hll_set_ops",
+    "profile_benford_digits",
     "dedup_lsh_eval",
     "graph_pagerank",
     "join_cross_grid",
