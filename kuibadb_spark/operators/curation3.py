@@ -1499,3 +1499,266 @@ ORACLES["ev_type_rle_stats"] = """
     GROUP BY user_id
     ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# 16. sliding-window HLL: trailing-24h distinct users per hour
+# ---------------------------------------------------------------------------
+def agg_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour distinct-user estimate at every hour — the
+    sketch property agg_hll_set_ops shows across GROUPS, exercised
+    across TIME: hourly HLL registers merge into any trailing window by
+    register-wise max (a RANGE frame over the hour value), so the
+    dashboard never rescans raw events. Exact trailing distinct rides
+    along via the bounded ×24 (user, hour) expansion (the ev_dau_wau_mau
+    idiom) as ground truth.
+
+    The register grid is DENSIFIED (hours × 64 buckets) before the
+    frame so a bucket inactive in hour h still carries its trailing max
+    into h's estimate; grid size is hours × 64 — a metadata-scale frame
+    at any corpus size (a year is 560k rows). All register arithmetic
+    is the exact-integer HLL of agg_hll_handrolled."""
+    e = load(spark, sf_dir, "events").selectExpr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 AS hour",
+        "user_id",
+    )
+    regs = (
+        e.selectExpr(
+            "hour",
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) AS h",
+        )
+        .selectExpr("hour", "h % 64 AS bucket", "h div 64 AS rest")
+        .groupBy("hour", "bucket")
+        .agg(F.expr(
+            "max(least(bit_count((rest & -rest) - 1) + 1, 55))").alias("m"))
+    )
+    bounds = e.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.selectExpr(
+        "explode(sequence(h0, h1)) AS hour"
+    ).selectExpr(
+        "hour", "explode(sequence(0, 63)) AS bucket"
+    )
+    from pyspark.sql import Window as W
+
+    dense = grid.join(regs, ["hour", "bucket"], "left")
+    w24 = (
+        W.partitionBy("bucket").orderBy("hour").rangeBetween(-23, 0)
+    )
+    est = (
+        dense.withColumn("m24", F.max("m").over(w24))
+        .groupBy("hour")
+        .agg(
+            F.expr("sum(CASE WHEN m24 IS NULL THEN"
+                   " shiftleft(CAST(1 AS BIGINT), 55)"
+                   " ELSE shiftleft(CAST(1 AS BIGINT), 55 - m24) END)"
+                   ).alias("hll_sum_scaled"),
+        )
+        .selectExpr(
+            "hour",
+            "round(0.709D * 4096 * pow(2.0D, 55) / hll_sum_scaled, 4)"
+            " AS hll_24h",
+        )
+    )
+    exact = (
+        e.distinct()
+        .selectExpr("user_id", "explode(sequence(hour, hour + 23)) AS ehour")
+        .distinct()
+        .groupBy(F.col("ehour").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_exact_24h"))
+    )
+    return (
+        est.join(exact, "hour", "inner")
+        .join(bounds.selectExpr("h1"), F.col("hour") <= F.col("h1"))
+        .select("hour", "n_exact_24h", "hll_24h")
+        .orderBy("hour")
+    )
+
+
+QUERIES["agg_hll_sliding_distinct"] = agg_hll_sliding_distinct
+
+ORACLES["agg_hll_sliding_distinct"] = """
+    WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+               user_id
+        FROM events
+    ),
+    regs AS (
+        SELECT hour,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 64 AS bucket,
+               max(least(bit_count(
+                   ((CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) // 64)
+                    & -(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) // 64)) - 1) + 1, 55)) AS m
+        FROM e GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+    hours AS (
+        SELECT unnest(generate_series(h0, h1)) AS hour FROM bounds
+    ),
+    grid AS (
+        SELECT h.hour, b.bucket
+        FROM hours h, (SELECT unnest(generate_series(0, 63)) AS bucket) b
+    ),
+    dense AS (
+        SELECT g.hour, g.bucket, r.m
+        FROM grid g LEFT JOIN regs r
+          ON g.hour = r.hour AND g.bucket = r.bucket
+    ),
+    rolled AS (
+        SELECT hour, bucket,
+               max(m) OVER (PARTITION BY bucket ORDER BY hour
+                            RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS m24
+        FROM dense
+    ),
+    est AS (
+        SELECT hour,
+               round(CAST(0.709 AS DOUBLE) * 4096 * pow(2.0, 55)
+                     / CAST(sum(CASE WHEN m24 IS NULL
+                                     THEN (CAST(1 AS BIGINT) << 55)
+                                     ELSE (CAST(1 AS BIGINT) << (55 - m24))
+                                END) AS BIGINT), 4) AS hll_24h
+        FROM rolled GROUP BY hour
+    ),
+    expanded AS (
+        SELECT DISTINCT user_id, hour + x.i AS ehour
+        FROM (SELECT DISTINCT user_id, hour FROM e) u,
+             (SELECT unnest(generate_series(0, 23)) AS i) x
+    ),
+    exact AS (
+        SELECT ehour AS hour, count(*) AS n_exact_24h
+        FROM expanded GROUP BY ehour
+    )
+    SELECT s.hour, x.n_exact_24h, s.hll_24h
+    FROM est s
+    JOIN exact x ON s.hour = x.hour
+    JOIN bounds b ON s.hour <= b.h1
+    ORDER BY s.hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. funnel time-to-convert quartiles (histogram selection, minute grain)
+# ---------------------------------------------------------------------------
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long signup → first purchase takes: type-7 quartiles of the
+    conversion delay at minute grain, plus the exact integer mean — the
+    funnel-latency read-out next to ev_funnel_signup_purchase's rates.
+
+    Uses the histogram rank-selection shape proven in
+    profile_outlier_iqr: delays quantize to whole minutes (bounded
+    domain ≈ timeline span), the cumulative-count brackets locate the
+    quartile ranks over DISTINCT minute values, so no window ever sorts
+    per-user rows — the single-group cumsum runs over at most
+    span-in-minutes rows at ANY user count."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).selectExpr(
+        "user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias(
+            "s_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "p_us"),
+    )
+    delays = firsts.filter(
+        F.col("s_us").isNotNull() & (F.col("p_us") > F.col("s_us"))
+    ).selectExpr("(p_us - s_us) div 60000000 AS mins")
+    hist = delays.groupBy("mins").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy("mins")
+    cum = (
+        hist.withColumn("cum_hi", F.sum("cnt").over(w))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(
+            W.partitionBy(F.lit(1))))
+        .withColumn("lo25", F.expr("((n - 1) * 25) div 100"))
+        .withColumn("f25", F.expr("((n - 1) * 25) % 100 / 100.0D"))
+        .withColumn("lo50", F.expr("((n - 1) * 50) div 100"))
+        .withColumn("f50", F.expr("((n - 1) * 50) % 100 / 100.0D"))
+        .withColumn("lo75", F.expr("((n - 1) * 75) div 100"))
+        .withColumn("f75", F.expr("((n - 1) * 75) % 100 / 100.0D"))
+    )
+    return cum.agg(
+        F.max("n").alias("n_converted"),
+        F.sum(F.expr(
+            """CASE WHEN lo25 + 1 > cum_lo AND lo25 + 1 <= cum_hi
+                    THEN mins * (1.0D - f25) ELSE 0.0D END
+             + CASE WHEN lo25 + 2 > cum_lo AND lo25 + 2 <= cum_hi
+                    THEN mins * f25 ELSE 0.0D END""")).alias("q1_min"),
+        F.sum(F.expr(
+            """CASE WHEN lo50 + 1 > cum_lo AND lo50 + 1 <= cum_hi
+                    THEN mins * (1.0D - f50) ELSE 0.0D END
+             + CASE WHEN lo50 + 2 > cum_lo AND lo50 + 2 <= cum_hi
+                    THEN mins * f50 ELSE 0.0D END""")).alias("median_min"),
+        F.sum(F.expr(
+            """CASE WHEN lo75 + 1 > cum_lo AND lo75 + 1 <= cum_hi
+                    THEN mins * (1.0D - f75) ELSE 0.0D END
+             + CASE WHEN lo75 + 2 > cum_lo AND lo75 + 2 <= cum_hi
+                    THEN mins * f75 ELSE 0.0D END""")).alias("q3_min"),
+        F.expr("sum(mins * cnt)").alias("sum_min"),
+    ).selectExpr(
+        "n_converted", "q1_min", "median_min", "q3_min",
+        "(1000 * sum_min) div n_converted AS mean_milli_min",
+    )
+
+
+QUERIES["ev_time_to_convert"] = ev_time_to_convert
+
+ORACLES["ev_time_to_convert"] = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN us END) AS s_us,
+               min(CASE WHEN event_type = 'purchase' THEN us END) AS p_us
+        FROM e GROUP BY user_id
+    ),
+    delays AS (
+        SELECT (p_us - s_us) // 60000000 AS mins
+        FROM firsts WHERE s_us IS NOT NULL AND p_us > s_us
+    ),
+    hist AS (SELECT mins, count(*) AS cnt FROM delays GROUP BY mins),
+    cum AS (
+        SELECT mins, cnt,
+               sum(cnt) OVER (ORDER BY mins
+                              ROWS UNBOUNDED PRECEDING) AS cum_hi,
+               sum(cnt) OVER (ORDER BY mins
+                              ROWS UNBOUNDED PRECEDING) - cnt AS cum_lo,
+               sum(cnt) OVER () AS n
+        FROM hist
+    ),
+    pos AS (
+        SELECT *,
+               ((n - 1) * 25) // 100 AS lo25, ((n - 1) * 25) % 100 / 100.0 AS f25,
+               ((n - 1) * 50) // 100 AS lo50, ((n - 1) * 50) % 100 / 100.0 AS f50,
+               ((n - 1) * 75) // 100 AS lo75, ((n - 1) * 75) % 100 / 100.0 AS f75
+        FROM cum
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           sum(CASE WHEN lo25 + 1 > cum_lo AND lo25 + 1 <= cum_hi
+                    THEN mins * (1.0 - f25) ELSE 0.0 END
+             + CASE WHEN lo25 + 2 > cum_lo AND lo25 + 2 <= cum_hi
+                    THEN mins * f25 ELSE 0.0 END) AS q1_min,
+           sum(CASE WHEN lo50 + 1 > cum_lo AND lo50 + 1 <= cum_hi
+                    THEN mins * (1.0 - f50) ELSE 0.0 END
+             + CASE WHEN lo50 + 2 > cum_lo AND lo50 + 2 <= cum_hi
+                    THEN mins * f50 ELSE 0.0 END) AS median_min,
+           sum(CASE WHEN lo75 + 1 > cum_lo AND lo75 + 1 <= cum_hi
+                    THEN mins * (1.0 - f75) ELSE 0.0 END
+             + CASE WHEN lo75 + 2 > cum_lo AND lo75 + 2 <= cum_hi
+                    THEN mins * f75 ELSE 0.0 END) AS q3_min,
+           CAST((1000 * sum(mins * cnt)) // max(n) AS BIGINT)
+               AS mean_milli_min
+    FROM pos
+"""
