@@ -77,6 +77,8 @@ HEADLINE = [
     "agg_approx_sketches",      # HLL/CMS error-bound reshape (first grade)
     "pipeline_attrition_funnel",  # multi-stage pipeline family
     "text_decontaminate",       # eval-set n-gram decontamination
+    "sim_semdedup_clusters",    # round-4 SemDeDup (cogroup blocked-matmul)
+    "text_substring_dedup",     # round-4 exact-substring dedup (linear)
     # (rec_price_streaks deliberately NOT benched: it is the declared
     # sequential-recurrence surface — ~7.5 s at sf0.1 BY DESIGN, see its
     # docstring — and the recursive family regression guard is

@@ -1762,3 +1762,242 @@ ORACLES["ev_time_to_convert"] = """
                AS mean_milli_min
     FROM pos
 """
+
+
+# ---------------------------------------------------------------------------
+# 18. cohort LTV triangle (cumulative revenue by signup cohort x age)
+# ---------------------------------------------------------------------------
+def ev_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LTV triangle: users cohorted by signup week, purchase
+    revenue accumulated by weeks-since-signup — finance's retention
+    read-out (each cohort row is a revenue curve; flattening curves =
+    decaying cohorts). Revenue is exact centi-integers; the cumulative
+    pass is a window over the (cohort, age) GRID (weeks × weeks — a
+    metadata-scale frame at any user count), partitioned by cohort
+    week. Two shuffles: user join, grid aggregate."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "CAST(floor(value * 100 + 0.5D) AS BIGINT) AS cents",
+    )
+    signups = e.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("us").alias("s_us")).selectExpr(
+        "user_id", "s_us div 604800000000 AS cohort_wk", "s_us"
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("us") >= F.col("s_us"))
+        .selectExpr(
+            "cohort_wk",
+            "(us - s_us) div 604800000000 AS age_wk",
+            "cents",
+        )
+        .groupBy("cohort_wk", "age_wk")
+        .agg(F.sum("cents").alias("wk_cents"))
+    )
+    cohort_sizes = signups.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = W.partitionBy("cohort_wk").orderBy("age_wk")
+    return (
+        rev.withColumn("cum_cents", F.sum("wk_cents").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+        .join(cohort_sizes, "cohort_wk")
+        .selectExpr(
+            "cohort_wk", "age_wk", "n_users", "wk_cents", "cum_cents",
+            "cum_cents div n_users AS ltv_cents_per_user",
+        )
+        .orderBy("cohort_wk", "age_wk")
+    )
+
+
+QUERIES["ev_cohort_ltv_curve"] = ev_cohort_ltv_curve
+
+ORACLES["ev_cohort_ltv_curve"] = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    signups AS (
+        SELECT user_id, min(us) // 604800000000 AS cohort_wk,
+               min(us) AS s_us
+        FROM e WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    rev AS (
+        SELECT s.cohort_wk, (p.us - s.s_us) // 604800000000 AS age_wk,
+               CAST(sum(p.cents) AS BIGINT) AS wk_cents
+        FROM e p JOIN signups s ON p.user_id = s.user_id
+        WHERE p.event_type = 'purchase' AND p.us >= s.s_us
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_wk, count(*) AS n_users FROM signups GROUP BY cohort_wk
+    ),
+    cum AS (
+        SELECT cohort_wk, age_wk, wk_cents,
+               CAST(sum(wk_cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cents
+        FROM rev
+    )
+    SELECT c.cohort_wk, c.age_wk, z.n_users, c.wk_cents, c.cum_cents,
+           c.cum_cents // z.n_users AS ltv_cents_per_user
+    FROM cum c JOIN sizes z ON c.cohort_wk = z.cohort_wk
+    ORDER BY c.cohort_wk, c.age_wk
+"""
+
+
+# ---------------------------------------------------------------------------
+# 19. MAD-based robust anomaly detection (two-level histogram selection)
+# ---------------------------------------------------------------------------
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counting per event type: median absolute
+    deviation (MAD) instead of ev_anomaly_zscore's mean/stddev — the
+    estimator outliers cannot poison (a z-score inflates its own stddev
+    and hides its tail; the 50% breakdown point of MAD does not).
+    Flag |x - median| > 3 * 1.4826 * MAD (the normal-consistency
+    convention).
+
+    Everything stays INTEGER: values quantize to cents, the median is
+    selected in DOUBLED units (med2 = 2*median is exact for both parity
+    classes of n), deviations dev = |2x - med2| are integers, the MAD
+    selects from the deviation histogram in doubled units again (mad4 =
+    4*MAD), and the flag |x-med| > 3*1.4826*MAD cross-multiplies to the
+    integer inequality 20000*dev > 3*14826*mad4 — no float ever appears. Both medians
+    run the histogram rank-selection shape (distinct-value windows, the
+    profile_outlier_iqr discipline), so nothing sorts raw rows."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).selectExpr(
+        "event_type AS typ",
+        "CAST(floor(value * 100 + 0.5D) AS BIGINT) AS cents",
+    )
+    h1 = e.groupBy("typ", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wt = W.partitionBy("typ")
+
+    def _med2(hist, valcol, out):
+        """2x the type-7 median of `valcol` over a (typ, val, cnt)
+        histogram, as an exact BIGINT column named `out`."""
+        cum = (
+            hist.withColumn("cum_hi", F.sum("cnt").over(
+                wt.orderBy(valcol)))
+            .withColumn("cum_lo", F.col("cum_hi") - F.col("cnt"))
+            .withColumn("n", F.sum("cnt").over(wt))
+            .withColumn("lo", F.expr("((n - 1) * 50) div 100"))
+            .withColumn("odd", F.expr("((n - 1) * 50) % 100"))
+        )
+        return cum.groupBy("typ").agg(
+            F.max("n").alias("n"),
+            F.sum(F.expr(
+                f"""CASE WHEN lo + 1 > cum_lo AND lo + 1 <= cum_hi
+                       THEN {valcol} * (CASE WHEN odd = 0 THEN 2 ELSE 1 END)
+                       ELSE 0 END
+                 + CASE WHEN odd <> 0 AND lo + 2 > cum_lo
+                            AND lo + 2 <= cum_hi
+                       THEN {valcol} ELSE 0 END""")).alias(out),
+        )
+
+    med = _med2(h1, "cents", "med2")
+    h2 = (
+        h1.join(F.broadcast(med.select("typ", "med2")), "typ")
+        .selectExpr("typ", "abs(2 * cents - med2) AS dev", "cnt")
+        .groupBy("typ", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _med2(h2, "dev", "mad4").withColumnRenamed("n", "n_dev")
+    flags = (
+        h2.join(F.broadcast(mad.select("typ", "mad4")), "typ")
+        .groupBy("typ")
+        .agg(F.sum(F.expr(
+            "CASE WHEN 20000 * dev > 3 * 14826 * mad4 THEN cnt"
+            " ELSE 0 END")).alias("n_anomalies"))
+    )
+    return (
+        med.join(mad.select("typ", "mad4"), "typ")
+        .join(flags, "typ")
+        .select("typ", "n", "med2", "mad4", "n_anomalies")
+        .orderBy("typ")
+    )
+
+
+QUERIES["ev_anomaly_mad"] = ev_anomaly_mad
+
+ORACLES["ev_anomaly_mad"] = """
+    WITH e AS (
+        SELECT event_type AS typ,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    h1 AS (SELECT typ, cents, count(*) AS cnt FROM e GROUP BY typ, cents),
+    c1 AS (
+        SELECT typ, cents, cnt,
+               sum(cnt) OVER (PARTITION BY typ ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum_hi,
+               sum(cnt) OVER (PARTITION BY typ ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) - cnt AS cum_lo,
+               sum(cnt) OVER (PARTITION BY typ) AS n
+        FROM h1
+    ),
+    p1 AS (
+        SELECT *, ((n - 1) * 50) // 100 AS lo, ((n - 1) * 50) % 100 AS odd
+        FROM c1
+    ),
+    med AS (
+        SELECT typ, max(n) AS n,
+               CAST(sum(CASE WHEN lo + 1 > cum_lo AND lo + 1 <= cum_hi
+                        THEN cents * (CASE WHEN odd = 0 THEN 2 ELSE 1 END)
+                        ELSE 0 END
+                  + CASE WHEN odd <> 0 AND lo + 2 > cum_lo
+                             AND lo + 2 <= cum_hi
+                        THEN cents ELSE 0 END) AS BIGINT) AS med2
+        FROM p1 GROUP BY typ
+    ),
+    h2 AS (
+        SELECT h.typ, abs(2 * h.cents - m.med2) AS dev,
+               CAST(sum(h.cnt) AS BIGINT) AS cnt
+        FROM h1 h JOIN med m ON h.typ = m.typ
+        GROUP BY 1, 2
+    ),
+    c2 AS (
+        SELECT typ, dev, cnt,
+               sum(cnt) OVER (PARTITION BY typ ORDER BY dev
+                              ROWS UNBOUNDED PRECEDING) AS cum_hi,
+               sum(cnt) OVER (PARTITION BY typ ORDER BY dev
+                              ROWS UNBOUNDED PRECEDING) - cnt AS cum_lo,
+               sum(cnt) OVER (PARTITION BY typ) AS n
+        FROM h2
+    ),
+    p2 AS (
+        SELECT *, ((n - 1) * 50) // 100 AS lo, ((n - 1) * 50) % 100 AS odd
+        FROM c2
+    ),
+    mad AS (
+        SELECT typ,
+               CAST(sum(CASE WHEN lo + 1 > cum_lo AND lo + 1 <= cum_hi
+                        THEN dev * (CASE WHEN odd = 0 THEN 2 ELSE 1 END)
+                        ELSE 0 END
+                  + CASE WHEN odd <> 0 AND lo + 2 > cum_lo
+                             AND lo + 2 <= cum_hi
+                        THEN dev ELSE 0 END) AS BIGINT) AS mad4
+        FROM p2 GROUP BY typ
+    ),
+    flags AS (
+        SELECT h.typ,
+               CAST(sum(CASE WHEN 20000 * h.dev > 3 * 14826 * d.mad4
+                             THEN h.cnt ELSE 0 END) AS BIGINT)
+                   AS n_anomalies
+        FROM h2 h JOIN mad d ON h.typ = d.typ
+        GROUP BY h.typ
+    )
+    SELECT m.typ, CAST(m.n AS BIGINT) AS n, m.med2, d.mad4, f.n_anomalies
+    FROM med m JOIN mad d ON m.typ = d.typ JOIN flags f ON m.typ = f.typ
+    ORDER BY m.typ
+"""
