@@ -2001,3 +2001,181 @@ ORACLES["ev_anomaly_mad"] = """
     FROM med m JOIN mad d ON m.typ = d.typ JOIN flags f ON m.typ = f.typ
     ORDER BY m.typ
 """
+
+
+# ---------------------------------------------------------------------------
+# 20. approximate kNN graph build (the graph-ANN index construction step)
+# ---------------------------------------------------------------------------
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the in-cluster top-3 kNN edge list for EVERY vector — the
+    construction step of graph-based ANN indexes (and of kNN-graph
+    clustering), distinct from sim_knn_classify's few-query probe: here
+    the whole corpus is both query and target. Candidates come from the
+    SemDeDup cluster assignment (sim_semdedup_clusters' exact-integer
+    argmax over the vec_id<8 seeds); each (cluster, slice) cogroup task
+    scores its block with one integer matmul and emits only its local
+    top-3 per query, so the global window ranks ≤ 3·S candidate rows
+    per vector, never the full pair set.
+
+    Cosines divide an exact-integer dot by sqrt of an exact-integer
+    product — the same double expression in both engines; ranking
+    tie-breaks on neighbor id. Output is the integer ppm edge list."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " x -> CAST(floor(x * 1000.0D + 0.5D) AS BIGINT)) AS q",
+    ).withColumn("n", F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+
+    cent = [
+        (int(r["vec_id"]), list(r["q"]), int(r["n"]))
+        for r in e.filter(F.col("vec_id") < _SD_K).collect()
+    ]
+    cent.sort()
+    c_mat = np.array([c[1] for c in cent], dtype=np.int64)
+    c_norm = np.array([c[2] for c in cent], dtype=np.int64)
+    c_ids = np.array([c[0] for c in cent], dtype=np.int64)
+
+    def _assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            D = A @ c_mat.T
+            score = np.sign(D) * (D.astype(np.float64) ** 2) / c_norm
+            j = np.argmax(score, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "q": pdf["q"],
+                 "n": pdf["n"], "cluster_id": c_ids[j]}
+            )
+
+    assigned = e.mapInPandas(
+        _assign,
+        "vec_id bigint, q array<bigint>, n bigint, cluster_id bigint",
+    )
+    S = _SD_SLICES
+    a_side = assigned.withColumn(
+        "sl", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(S)]))
+    )
+    b_side = assigned.withColumn("sl", F.pmod("vec_id", F.lit(S)).cast("bigint"))
+
+    def _topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"cluster_id": pd.Series(dtype="int64"),
+             "src": pd.Series(dtype="int64"),
+             "dst": pd.Series(dtype="int64"),
+             "cos_ppm": pd.Series(dtype="int64")}
+        )
+        if left.empty or right.empty:
+            return empty
+        A = np.vstack(left["q"].to_numpy()).astype(np.int64)
+        B = np.vstack(right["q"].to_numpy()).astype(np.int64)
+        D = (A @ B.T).astype(np.float64)
+        na = left["n"].to_numpy().astype(np.float64)
+        nb = right["n"].to_numpy().astype(np.float64)
+        cos = D / np.sqrt(na[:, None] * nb[None, :])
+        ids_a = left["vec_id"].to_numpy()
+        ids_b = right["vec_id"].to_numpy()
+        # rank in PPM units (the output grain), not raw cos: the global
+        # window merges per-task candidates by (cos_ppm desc, dst asc),
+        # so the local cut must use the identical order or a raw-cos
+        # tie-at-ppm could drop the id the oracle keeps
+        ppm_m = (np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(
+            np.int64
+        )
+        self_mask = ids_a[:, None] == ids_b[None, :]
+        ppm_m[self_mask] = -(2 * 10**6)  # below any real cosine
+        out = []
+        k = min(3, ppm_m.shape[1])
+        for i in range(ppm_m.shape[0]):
+            row = ppm_m[i]
+            order = np.lexsort((ids_b, -row))[:k]
+            for j in order:
+                if row[j] <= -(2 * 10**6):
+                    continue
+                out.append((int(left["cluster_id"].iloc[0]),
+                            int(ids_a[i]), int(ids_b[j]), int(row[j])))
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=["cluster_id", "src", "dst",
+                                          "cos_ppm"])
+
+    cands = (
+        a_side.groupBy("cluster_id", "sl")
+        .cogroup(b_side.groupBy("cluster_id", "sl"))
+        .applyInPandas(
+            _topk,
+            "cluster_id bigint, src bigint, dst bigint, cos_ppm bigint",
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cos_ppm"), F.asc("dst"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("cluster_id", "src", "rank", "dst", "cos_ppm")
+        .orderBy("src", "rank")
+    )
+
+
+QUERIES["sim_knn_graph"] = sim_knn_graph
+
+ORACLES["sim_knn_graph"] = """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    base AS (
+        SELECT vec_id, q,
+               CAST(list_dot_product(q, q) AS BIGINT) AS n
+        FROM q
+    ),
+    cent AS (
+        SELECT vec_id AS c_id, q AS qc, n AS nc FROM base WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT b.vec_id, b.q, b.n, c.c_id,
+               CASE WHEN list_dot_product(b.q, c.qc) >= 0 THEN
+                   CAST(list_dot_product(b.q, c.qc) AS DOUBLE)
+                   * CAST(list_dot_product(b.q, c.qc) AS DOUBLE) / c.nc
+               ELSE
+                   - CAST(list_dot_product(b.q, c.qc) AS DOUBLE)
+                   * CAST(list_dot_product(b.q, c.qc) AS DOUBLE) / c.nc
+               END AS score
+        FROM base b CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, q, n, c_id AS cluster_id
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY score DESC, c_id ASC) AS rk
+              FROM scored)
+        WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT a.cluster_id, a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+               / sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS cos
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT cluster_id, src, dst,
+               CAST(CASE WHEN cos >= 0
+                         THEN floor(cos * 1000000 + 0.5)
+                         ELSE -floor(-cos * 1000000 + 0.5) END AS BIGINT)
+                   AS cos_ppm,
+               row_number() OVER (
+                   PARTITION BY src
+                   ORDER BY CAST(CASE WHEN cos >= 0
+                            THEN floor(cos * 1000000 + 0.5)
+                            ELSE -floor(-cos * 1000000 + 0.5) END AS BIGINT)
+                            DESC, dst ASC) AS rank
+        FROM pairs
+    )
+    SELECT cluster_id, src, rank, dst, cos_ppm
+    FROM ranked WHERE rank <= 3
+    ORDER BY src, rank
+"""
