@@ -2111,7 +2111,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("src").orderBy(F.desc("cos_ppm"), F.asc("dst"))
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        cands.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")  # duck rn = i64
+        )
         .filter(F.col("rank") <= 3)
         .select("cluster_id", "src", "rank", "dst", "cos_ppm")
         .orderBy("src", "rank")
