@@ -2181,3 +2181,250 @@ ORACLES["sim_knn_graph"] = """
     FROM ranked WHERE rank <= 3
     ORDER BY src, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# 21. Kaplan-Meier retention survival curve
+# ---------------------------------------------------------------------------
+def ev_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of SESSION DURATIONS: how long a
+    10-minute-gap session survives before going idle, with sessions
+    still open at the end of the timeline right-censored — the duration
+    analysis a product team reads as "50% of sessions last >= X min".
+    (User-level churn is degenerate in this fixture — nearly every user
+    is active to the last day — so the session is the survival subject.)
+
+    Numerics: S(t) = Π (1 - d_t/n_t) as exp of an ORDERED running sum
+    of ln terms — cumulative windows accumulate in frame order, so both
+    engines add the same doubles in the same sequence; ln/exp are
+    libm-level (scalar.py rule), so the output rounds to 4. The
+    duration-grain table is bounded by the longest session in minutes,
+    so every window here is metadata-scale; the 1-row horizon broadcast
+    is a whitelisted scalar cross (plan_audit)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = 10 * 60 * 1_000_000
+    sess = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > gap),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    horizon = e.agg(F.max("us").alias("max_us"))
+    obs = sess.crossJoin(F.broadcast(horizon)).selectExpr(
+        "(e_us - s_us) div 60000000 AS dur_min",
+        f"CASE WHEN max_us - e_us <= {gap} THEN 1 ELSE 0 END AS censored",
+    )
+    by_dur = obs.groupBy("dur_min").agg(
+        F.sum(F.expr("1 - censored")).alias("deaths"),
+        F.sum("censored").alias("n_censored"),
+    )
+    w_rev = W.orderBy(F.desc("dur_min")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_fwd = W.orderBy("dur_min").rowsBetween(W.unboundedPreceding, 0)
+    curve = (
+        by_dur.withColumn(
+            "n_at_risk", F.sum(F.expr("deaths + n_censored")).over(w_rev)
+        )
+        .filter(F.col("deaths") > 0)
+        .withColumn(
+            "term",
+            F.expr("CASE WHEN deaths < n_at_risk THEN"
+                   " ln(1.0D - CAST(deaths AS DOUBLE) / n_at_risk)"
+                   " ELSE NULL END"),
+        )
+        .withColumn("cum_ln", F.sum("term").over(w_fwd))
+    )
+    return curve.selectExpr(
+        "dur_min",
+        "n_at_risk",
+        "deaths",
+        "CASE WHEN deaths < n_at_risk THEN round(exp(cum_ln), 4)"
+        " ELSE 0.0D END AS survival4",
+    ).orderBy("dur_min")
+
+
+QUERIES["ev_survival_km"] = ev_survival_km
+
+ORACLES["ev_survival_km"] = """
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sids AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    sess AS (
+        SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+        FROM sids GROUP BY user_id, sid
+    ),
+    horizon AS (SELECT max(us) AS max_us FROM e),
+    obs AS (
+        SELECT (e_us - s_us) // 60000000 AS dur_min,
+               CASE WHEN max_us - e_us <= 600000000 THEN 1 ELSE 0 END
+                   AS censored
+        FROM sess CROSS JOIN horizon
+    ),
+    by_dur AS (
+        SELECT dur_min,
+               CAST(sum(1 - censored) AS BIGINT) AS deaths,
+               CAST(sum(censored) AS BIGINT) AS n_censored
+        FROM obs GROUP BY dur_min
+    ),
+    risk AS (
+        SELECT dur_min, deaths,
+               CAST(sum(deaths + n_censored) OVER (
+                   ORDER BY dur_min DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+        FROM by_dur
+    ),
+    curve AS (
+        SELECT dur_min, deaths, n_at_risk,
+               sum(CASE WHEN deaths < n_at_risk THEN
+                       ln(1.0 - CAST(deaths AS DOUBLE) / n_at_risk)
+                   ELSE NULL END) OVER (
+                   ORDER BY dur_min ROWS UNBOUNDED PRECEDING) AS cum_ln
+        FROM risk WHERE deaths > 0
+    )
+    SELECT dur_min, n_at_risk, deaths,
+           CASE WHEN deaths < n_at_risk THEN round(exp(cum_ln), 4)
+                ELSE 0.0 END AS survival4
+    FROM curve
+    ORDER BY dur_min
+"""
+
+
+# ---------------------------------------------------------------------------
+# 22. LSH bucket-size observability (the hot-bucket audit)
+# ---------------------------------------------------------------------------
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational observability for every banded-LSH operator in this
+    repo: per MinHash band, the bucket count, the largest bucket, how
+    many buckets exceed the hot-bucket cap (8), and the candidate-pair
+    bill Σ sz·(sz-1)/2 those buckets would generate — the number an
+    operator reads BEFORE running a dedup pass to know whether a
+    boilerplate hub is about to explode the join. Same signature
+    pipeline as dedup_minhash_lsh (dedup.py:234 — one md5 per shingle,
+    universal-hash family, 4 bands × 3 rows); the stats are one extra
+    tiny aggregate on the band table, all integers."""
+    from kuibadb_spark.operators.dedup import (
+        _BANDS, _K, _P, _dup_corpus,
+    )
+
+    c = _dup_corpus(spark, sf_dir)
+    toks = c.withColumn("w", F.split("text", r"\s+"))
+    sh = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                "CASE WHEN size(w) < 3 THEN array() "
+                "ELSE transform(sequence(1, size(w) - 2), "
+                "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1),"
+                " element_at(w, i+2))) END"
+            )
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    hashed = sh.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+         % _P).alias("ha"),
+        (F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("bigint")
+         % _P).alias("hb"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("ha") + i * F.col("hb")) % _P).alias(f"h{i}")
+            for i in range(_K)
+        ]
+    )
+    band_exprs = ", ".join(
+        f"{j}, concat_ws(':', h{3*j}, h{3*j+1}, h{3*j+2})"
+        for j in range(_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id",
+        f"stack({_BANDS}, {band_exprs}) AS (band_idx, band_hash)",
+    )
+    buckets = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.expr("CASE WHEN sz >= 8 THEN 1 ELSE 0 END")).alias(
+                "n_hot_buckets"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).alias("candidate_pairs"),
+        )
+        .selectExpr("CAST(band_idx AS INT) AS band_idx", "n_buckets",
+                    "max_bucket", "n_hot_buckets", "candidate_pairs")
+        .orderBy("band_idx")
+    )
+
+
+QUERIES["dedup_lsh_bucket_stats"] = dedup_lsh_bucket_stats
+
+from kuibadb_spark.operators.dedup import (  # noqa: E402
+    _BAND_ROWS as _C3_BAND_ROWS,
+    _SHINGLES_DUCK as _C3_SH,
+    _SIG_COLS as _C3_SIG_COLS,
+)
+from kuibadb_spark.operators.dedup import _P as _C3_P  # noqa: E402
+
+ORACLES["dedup_lsh_bucket_stats"] = f"""
+    WITH {_C3_CORPUS},
+    {_C3_SH},
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {_C3_P}
+                   AS ha,
+               CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % {_C3_P}
+                   AS hb
+        FROM shingles
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_C3_SIG_COLS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS ({_C3_BAND_ROWS}),
+    buckets AS (
+        SELECT band_idx, band_hash, count(*) AS sz
+        FROM bands GROUP BY band_idx, band_hash
+    )
+    SELECT CAST(band_idx AS INTEGER) AS band_idx,
+           count(*) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN sz >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot_buckets,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets
+    GROUP BY band_idx
+    ORDER BY band_idx
+"""
