@@ -30,6 +30,7 @@ from kuibadb_spark.operators import (
     curation,
     curation2,
     curation3,
+    curation4,
     dedup,
     events,
     graph,
@@ -81,6 +82,7 @@ _MODULES = [
     # stragglers for the same reason: slots 50-58 must stay exactly
     # those nine after round 4's artifact lands
     curation3,
+    curation4,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
