@@ -1,0 +1,851 @@
+"""Round-4 batch 3: the classic measurement/econometrics layer a
+production analytics engine ships beside the curation pipeline —
+weighted reservoir sampling (Efraimidis-Spirakis A-ES), a
+difference-in-differences estimator, time-series autocorrelation,
+Gini concentration via the block-rank identity, Pareto/ABC revenue
+classification, IDF-weighted Jaccard near-dup similarity, first- and
+last-touch attribution, quantized-OLS price elasticity, and
+sessionized bounce rate.
+
+Registered after curation4 in registry._MODULES so these keys rank
+behind every previously-registered unverified key (the round-3
+discipline: nothing displaces an already-planned grading slot).
+
+Cross-engine determinism rules (DESIGN.md #23-25) used throughout:
+- quantize to integers FIRST (counts, cents, scaled-ln); cross-row
+  sums are then exact in either engine regardless of accumulation
+  order, and the only doubles are final single-expression ratios
+  spelled with the identical operand/op order on both sides;
+- integer ratios become basis points / ppm via multiply-then-divide
+  on positive operands (DuckDB // and Spark div agree there);
+- the only cross-engine hash is md5 (conv(substring(md5..)) on the
+  Spark side ≡ CAST('0x' || substr(md5..) AS BIGINT) in DuckDB);
+- ln/sqrt are libm-level identical given identical double inputs;
+- no ARRAY/MAP/BINARY/STRUCT in any final schema (driver
+  canonicalizer, preflight gate 1b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kuibadb_spark.catalog import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# 1. Weighted reservoir sampling (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+_WRS_K = 20
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006): each doc
+    draws u ~ U(0,1) and gets key = -ln(u)/w; the k smallest keys are
+    the sample, with inclusion probability proportional to weight w
+    (here n_chars — longer docs count more, the byte-weighted sampling
+    a data-mixture pipeline uses). The keys are independent per row, so
+    the top-k is a MERGEABLE per-partition heap — one pass, fixed
+    memory, no global sort: Spark compiles orderBy().limit(k) to
+    TakeOrderedAndProject (per-partition top-k + k-row driver merge).
+
+    Determinism: u is md5-derived ((h+1)/2^32, never 0), key is one
+    ln + two double ops in identical order both engines; ties are
+    impossible (md5-distinct doc hashes) and the order column pins
+    (key, doc_id) anyway."""
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "n_chars",
+        "-ln((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+        " 16, 10) AS BIGINT) + 1) / 4294967296.0D)"
+        " * 1000000.0D / n_chars AS k",
+    )
+    top = d.orderBy("k", "doc_id").limit(_WRS_K)
+    return top.select(
+        F.row_number().over(W.orderBy("k", "doc_id")).alias("rank"),
+        "doc_id",
+        "n_chars",
+        F.round("k", 6).alias("key6"),
+    ).orderBy("rank")
+
+
+QUERIES["sample_weighted_reservoir"] = sample_weighted_reservoir
+
+ORACLES["sample_weighted_reservoir"] = f"""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) + 1) / 4294967296.0)
+                   * 1000000.0 / n_chars AS k
+        FROM documents
+    ),
+    top AS (SELECT * FROM d ORDER BY k, doc_id LIMIT {_WRS_K})
+    SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS INT) AS rank,
+           doc_id, n_chars, round(k, 6) AS key6
+    FROM top
+    ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Difference-in-differences estimator
+# ---------------------------------------------------------------------------
+def ev_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (Card & Krueger's 2×2 design): treated
+    cohort = odd user_id, post period = days 16+ of the observation
+    window (split derived from the data's own min date, not hardcoded).
+    Outcome = purchase events per user-day; the DiD estimate is
+    (T,post − T,pre) − (C,post − C,pre) on cell means — the causal
+    workhorse for product launches where an A/B switch wasn't possible.
+
+    Determinism: every cell is three exact integers (purchases, group
+    users, period days); the four means and the final estimate are
+    double divisions/subtractions in one expression with identical
+    operand order both engines. Scale shape: two broadcast scalars
+    (split date, group sizes) + one groupBy — one pass over events."""
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "CAST(ts AS DATE) AS d",
+        "CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p",
+    )
+    glob = e.agg(F.expr("date_add(min(d), 15)").alias("split"))
+    cells = (
+        e.crossJoin(F.broadcast(glob))
+        .withColumn("post", F.expr("CASE WHEN d >= split THEN 1 ELSE 0 END"))
+        .groupBy("treat", "post")
+        .agg(
+            F.sum("is_p").alias("purchases"),
+            F.countDistinct("d").alias("days"),
+        )
+    )
+    users = e.groupBy("treat").agg(
+        F.countDistinct("user_id").alias("users")
+    )
+    m = cells.join(F.broadcast(users), "treat").selectExpr(
+        "treat", "post", "purchases", "days", "users",
+        "CAST(purchases AS DOUBLE) / (users * days) AS mean_pud",
+    )
+    return m.groupBy().pivot("treat", [0, 1]).agg(
+        F.max(F.when(F.col("post") == 1, F.col("mean_pud"))).alias("mpost"),
+        F.max(F.when(F.col("post") == 0, F.col("mean_pud"))).alias("mpre"),
+    ).selectExpr(
+        "round(`0_mpre`, 6) AS ctrl_pre6",
+        "round(`0_mpost`, 6) AS ctrl_post6",
+        "round(`1_mpre`, 6) AS treat_pre6",
+        "round(`1_mpost`, 6) AS treat_post6",
+        "round((`1_mpost` - `1_mpre`) - (`0_mpost` - `0_mpre`), 6)"
+        " AS did6",
+    )
+
+
+QUERIES["ev_diff_in_diff"] = ev_diff_in_diff
+
+ORACLES["ev_diff_in_diff"] = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events
+    ),
+    g0 AS (SELECT min(d) + 15 AS split FROM e),
+    cells AS (
+        SELECT treat,
+               CASE WHEN d >= split THEN 1 ELSE 0 END AS post,
+               CAST(sum(is_p) AS BIGINT) AS purchases,
+               count(DISTINCT d) AS days
+        FROM e CROSS JOIN g0
+        GROUP BY 1, 2
+    ),
+    users AS (
+        SELECT treat, count(DISTINCT user_id) AS users FROM e GROUP BY 1
+    ),
+    m AS (
+        SELECT cells.treat, post,
+               CAST(purchases AS DOUBLE) / (users * days) AS mean_pud
+        FROM cells JOIN users ON cells.treat = users.treat
+    )
+    SELECT
+        round(max(CASE WHEN treat = 0 AND post = 0 THEN mean_pud END), 6)
+            AS ctrl_pre6,
+        round(max(CASE WHEN treat = 0 AND post = 1 THEN mean_pud END), 6)
+            AS ctrl_post6,
+        round(max(CASE WHEN treat = 1 AND post = 0 THEN mean_pud END), 6)
+            AS treat_pre6,
+        round(max(CASE WHEN treat = 1 AND post = 1 THEN mean_pud END), 6)
+            AS treat_post6,
+        round((max(CASE WHEN treat = 1 AND post = 1 THEN mean_pud END)
+             - max(CASE WHEN treat = 1 AND post = 0 THEN mean_pud END))
+            - (max(CASE WHEN treat = 0 AND post = 1 THEN mean_pud END)
+             - max(CASE WHEN treat = 0 AND post = 0 THEN mean_pud END)), 6)
+            AS did6
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Time-series autocorrelation (ACF at business lags)
+# ---------------------------------------------------------------------------
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1/7/14
+    days — THE seasonality diagnostic (Box-Jenkins identification): a
+    spike at lag 7 says weekly cycle, slow decay says trend. The lag
+    pairing is a calendar equi-join (d = d' + L), not a row-offset
+    lag(), so missing days never misalign the series; Pearson r comes
+    from the six exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) in one
+    group pass — the textbook one-pass shape that needs no second scan
+    once the sums are partial-aggregated map-side.
+
+    Determinism: daily counts are exact ints, every sum is int64 (the
+    series is day-grain — no overflow at any fixture scale), r is one
+    double expression in identical operand order both engines."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    lags = spark.range(1).selectExpr(
+        "explode(array(1, 7, 14)) AS lag"
+    )
+    b = daily.selectExpr("d AS bd", "x AS y")
+    paired = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("bd = date_sub(d, lag)"))
+    )
+    return (
+        paired.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        )
+        .selectExpr(
+            "lag",
+            "n_pairs",
+            "round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))"
+            " * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4) AS r4",
+        )
+        .orderBy("lag")
+    )
+
+
+QUERIES["ts_autocorrelation"] = ts_autocorrelation
+
+ORACLES["ts_autocorrelation"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS x
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest([1, 7, 14]) AS lag),
+    paired AS (
+        SELECT lag, a.x AS x, b.x AS y
+        FROM daily a CROSS JOIN lags
+        JOIN daily b ON b.d = a.d - lag
+    ),
+    sums AS (
+        SELECT lag, count(*) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM paired GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4)
+               AS r4
+    FROM sums
+    ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Gini concentration of event volume (block-rank identity)
+# ---------------------------------------------------------------------------
+def ev_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume, per event type plus
+    'ALL' — the concentration number behind "5% of users generate 80%
+    of load". Uses the rank formula G = (2·Σ i·x_(i) − (n+1)·Σx)/(n·Σx)
+    but computes the rank-sum over VALUE BLOCKS, not rows: users are
+    grouped by their count c (m users per block), and a block's rank
+    contribution has the closed form c·(m·B + m(m+1)/2) where B is the
+    cumulative user count of smaller blocks. The window then runs over
+    DISTINCT COUNT VALUES (bounded, Zipf-small) instead of all users —
+    the same histogram trick that fixed profile_outlier_iqr's ×100
+    cliff; an exact Gini at any user cardinality.
+
+    Determinism: all integers until the final ×10000 basis-point divide
+    (ppm would overflow int64 at the ×100 sweep scale: N·1e6 with
+    D = n·Σx ≈ 1.5e13 crosses 2^63)."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    both = e.unionAll(
+        e.select(F.lit("ALL").alias("event_type"), "user_id")
+    )
+    cnts = both.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    blocks = cnts.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = blocks.withColumn(
+        "b", F.coalesce(F.sum("m").over(w), F.lit(0))
+    ).selectExpr(
+        "event_type",
+        "m",
+        "c * m AS sx_part",
+        "c * (m * b + m * (m + 1) div 2) AS sr_part",
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum("m").alias("n_users"),
+            F.sum("sx_part").alias("total_events"),
+            F.sum("sr_part").alias("ranksum"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_users",
+            "total_events",
+            "(2 * ranksum - (n_users + 1) * total_events) * 10000"
+            " div (n_users * total_events) AS gini_bp",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ev_gini_concentration"] = ev_gini_concentration
+
+ORACLES["ev_gini_concentration"] = """
+    WITH both_t AS (
+        SELECT event_type, user_id FROM events
+        UNION ALL
+        SELECT 'ALL', user_id FROM events
+    ),
+    cnts AS (
+        SELECT event_type, user_id, count(*) AS c
+        FROM both_t GROUP BY 1, 2
+    ),
+    blocks AS (
+        SELECT event_type, c, count(*) AS m FROM cnts GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, m,
+               c * m AS sx_part,
+               c * (m * coalesce(sum(m) OVER (PARTITION BY event_type
+                        ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)
+                    + m * (m + 1) // 2) AS sr_part
+        FROM blocks
+    )
+    SELECT event_type,
+           CAST(sum(m) AS BIGINT) AS n_users,
+           CAST(sum(sx_part) AS BIGINT) AS total_events,
+           CAST((2 * CAST(sum(sr_part) AS BIGINT)
+                 - (CAST(sum(m) AS BIGINT) + 1)
+                   * CAST(sum(sx_part) AS BIGINT)) * 10000
+                // (CAST(sum(m) AS BIGINT)
+                    * CAST(sum(sx_part) AS BIGINT)) AS BIGINT) AS gini_bp
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Pareto / ABC revenue classification
+# ---------------------------------------------------------------------------
+def w_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (the Pareto dashboard): parts
+    ranked by revenue, class A while cumulative share ≤ 80%, B to 95%,
+    C beyond — the standard assortment-rationalization cut. Output is
+    the 3-row class summary.
+
+    Determinism: revenue in exact integer cents; the cumulative window
+    is totally ordered by (rev DESC, partkey); class boundaries are
+    integer cross-multiplications (cum·10 ≤ total·8). Scale shape: the
+    ranking window runs over the PART-level aggregate (one row per
+    part), not lineitem; at extreme part cardinality the same
+    histogram-bracket trick as ev_gini_concentration applies — the
+    fixture's part table is window-sized as-is."""
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "CAST(floor(l_extendedprice * (1.0D - l_discount) * 100.0D + 0.5D)"
+        " AS BIGINT) AS cents",
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("rev"))
+    tot = per_part.agg(F.sum("rev").alias("total"))
+    cum = per_part.withColumn(
+        "cum",
+        F.sum("rev").over(
+            W.orderBy(F.desc("rev"), "l_partkey")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CASE WHEN cum * 10 <= total * 8 THEN 'A'"
+            " WHEN cum * 20 <= total * 19 THEN 'B'"
+            " ELSE 'C' END AS abc_class",
+            "rev",
+            "total",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("class_rev_cents"),
+            F.expr("sum(rev) * 10000 div max(total)").alias("share_bp"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+QUERIES["w_pareto_abc"] = w_pareto_abc
+
+ORACLES["w_pareto_abc"] = """
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                          + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    per_part AS (
+        SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS rev
+        FROM li GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM per_part),
+    cum AS (
+        SELECT rev, total,
+               CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM per_part CROSS JOIN tot
+    )
+    SELECT CASE WHEN cum * 10 <= total * 8 THEN 'A'
+                WHEN cum * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS class_rev_cents,
+           CAST(CAST(sum(rev) AS BIGINT) * 10000 // max(total) AS BIGINT)
+               AS share_bp
+    FROM cum
+    GROUP BY 1
+    ORDER BY abc_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. IDF-weighted Jaccard near-dup similarity
+# ---------------------------------------------------------------------------
+_WJ_TAU_BP = 5000  # weighted-Jaccard ≥ 0.5
+
+
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by IDF-WEIGHTED Jaccard: each shingle carries
+    w = 1e6 div df (rare shingles dominate, boilerplate shingles are
+    nearly free) — the standard upgrade over plain Jaccard when corpora
+    share heavy template text (Broder's shingling + tf-idf weighting as
+    used in SpotSigs, Theobald et al. SIGIR'08). Pairs are generated
+    from the same capped inverted-postings expansion as _pair_stats
+    (dedup.py:150) — never an all-pairs join — with each posting row
+    carrying the doc's total weight so no doc-level join remains in the
+    final plan; the shingle's own weight rides the expansion so the
+    per-pair SUM IS the intersection weight.
+
+    Determinism: weights and totals are exact int64 (df ≥ 1, Σw per doc
+    ≤ 1e6 · shingles/doc); the verdict ratio is one ×10000
+    multiply-then-divide on positive ints."""
+    from kuibadb_spark.operators.dedup import _doc_shingles, _dup_corpus
+
+    sh = (
+        _doc_shingles(_dup_corpus(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.explode_outer("shs").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+    dfw = sh.groupBy("shingle").agg(
+        F.expr("CAST(1000000 div count(1) AS BIGINT)").alias("w")
+    )
+    sw = sh.join(dfw, "shingle")
+    tw = sw.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    postings = (
+        sw.join(tw, "doc_id")
+        .groupBy("shingle")
+        .agg(
+            F.max("w").alias("w"),
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "tw"))
+            ).alias("ds"),
+        )
+        .filter((F.size("ds") > 1) & (F.size("ds") <= 128))
+    )
+    pairs = (
+        postings.select(
+            "w",
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.tw AS tw_a, y.tw AS tw_b))))"
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.doc_a", "p.doc_b", "p.tw_a", "p.tw_b")
+        .agg(F.sum("w").alias("iw"))
+    )
+    return (
+        pairs.selectExpr(
+            "doc_a",
+            "doc_b",
+            "iw",
+            "tw_a + tw_b - iw AS uw",
+            "iw * 10000 div (tw_a + tw_b - iw) AS wj_bp",
+        )
+        .filter(F.col("wj_bp") >= _WJ_TAU_BP)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["dedup_weighted_jaccard"] = dedup_weighted_jaccard
+
+
+def _wj_oracle() -> str:
+    from kuibadb_spark.operators.dedup import (
+        _DUP_CORPUS_DUCK, _SHINGLES_DUCK,
+    )
+
+    return f"""
+    WITH {_DUP_CORPUS_DUCK},
+    {_SHINGLES_DUCK},
+    dfw AS (
+        SELECT shingle, CAST(1000000 // count(*) AS BIGINT) AS w
+        FROM shingles GROUP BY shingle
+    ),
+    sw AS (
+        SELECT s.doc_id, s.shingle, dfw.w
+        FROM shingles s JOIN dfw ON s.shingle = dfw.shingle
+    ),
+    tw AS (
+        SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw FROM sw GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.w) AS BIGINT) AS iw
+        FROM sw a JOIN sw b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, iw,
+           ta.tw + tb.tw - iw AS uw,
+           iw * 10000 // (ta.tw + tb.tw - iw) AS wj_bp
+    FROM pairs
+    JOIN tw ta ON ta.doc_id = doc_a
+    JOIN tw tb ON tb.doc_id = doc_b
+    WHERE iw * 10000 // (ta.tw + tb.tw - iw) >= {_WJ_TAU_BP}
+    ORDER BY doc_a, doc_b
+    """
+
+
+ORACLES["dedup_weighted_jaccard"] = _wj_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 7. First-touch / last-touch attribution
+# ---------------------------------------------------------------------------
+def ev_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch conversion attribution — the two
+    endpoint models bracketing ev_attribution_linear's positional
+    credit: for each user's FIRST purchase, first-touch credits the
+    user's earliest preceding event type, last-touch the latest one
+    strictly before the purchase. The argmin/argmax is made total-order
+    deterministic by packing (μs, event_id, type) into one zero-padded
+    sortable string and taking min()/max() — no arg_min tie ambiguity
+    across engines.
+
+    Scale shape: one groupBy(user) for the conversion instant, one
+    broadcast-free equi-join back, one groupBy(user) for the endpoints,
+    two tiny groupBy(type) counts joined full-outer. All pre-aggregated
+    — nothing wider than the events table flows anywhere."""
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "event_id",
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("conv_us"))
+    )
+    pre = (
+        e.join(conv, "user_id")
+        .filter(
+            (F.col("us") < F.col("conv_us"))
+            & (F.col("event_type") != "purchase")
+        )
+        .selectExpr(
+            "user_id",
+            "concat(lpad(CAST(us AS STRING), 20, '0'),"
+            " lpad(CAST(event_id AS STRING), 12, '0'),"
+            " ':', event_type) AS k",
+        )
+    )
+    ends = pre.groupBy("user_id").agg(
+        F.expr("split_part(min(k), ':', 2)").alias("first_touch"),
+        F.expr("split_part(max(k), ':', 2)").alias("last_touch"),
+    )
+    ft = ends.groupBy(F.col("first_touch").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("first_touch_convs")
+    )
+    lt = ends.groupBy(F.col("last_touch").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("last_touch_convs")
+    )
+    return (
+        ft.join(lt, "event_type", "full_outer")
+        .selectExpr(
+            "event_type",
+            "coalesce(first_touch_convs, 0L) AS first_touch_convs",
+            "coalesce(last_touch_convs, 0L) AS last_touch_convs",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ev_first_last_touch"] = ev_first_last_touch
+
+ORACLES["ev_first_last_touch"] = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        FROM events
+    ),
+    conv AS (
+        SELECT user_id, min(us) AS conv_us
+        FROM e WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pre AS (
+        SELECT e.user_id,
+               lpad(CAST(us AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0')
+               || ':' || event_type AS k
+        FROM e JOIN conv ON e.user_id = conv.user_id
+        WHERE us < conv_us AND event_type <> 'purchase'
+    ),
+    ends AS (
+        SELECT user_id,
+               split_part(min(k), ':', 2) AS first_touch,
+               split_part(max(k), ':', 2) AS last_touch
+        FROM pre GROUP BY 1
+    ),
+    ft AS (
+        SELECT first_touch AS event_type, count(*) AS first_touch_convs
+        FROM ends GROUP BY 1
+    ),
+    lt AS (
+        SELECT last_touch AS event_type, count(*) AS last_touch_convs
+        FROM ends GROUP BY 1
+    )
+    SELECT coalesce(ft.event_type, lt.event_type) AS event_type,
+           coalesce(first_touch_convs, 0) AS first_touch_convs,
+           coalesce(last_touch_convs, 0) AS last_touch_convs
+    FROM ft FULL OUTER JOIN lt ON ft.event_type = lt.event_type
+    ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Price elasticity via quantized OLS
+# ---------------------------------------------------------------------------
+def agg_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity per part brand: OLS slope of ln(qty) on
+    ln(unit price) — the retail econometrics staple (elasticity < -1 =
+    elastic demand). Inputs are QUANTIZED to int64 before summing, so
+    the five OLS sums are exact integers in either engine (a double Σln
+    would be accumulation-order-dependent) — the same trick as
+    ev_bot_detection's scaled-integer variance. Quantization is ln·100
+    with x CENTERED at 7.00 (xi −= 700): centering leaves the slope
+    invariant but shrinks |xi| to ≲460, keeping n·Σxx ≈ 1.2e18 < 2^63
+    even at the ×100 sweep's 2.4M rows/brand — the uncentered ln·1000
+    form crosses 2^63 there and ANSI mode would abort the query.
+
+    Scale shape: one projection + one groupBy(brand) — embarrassingly
+    partial-aggregable."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    q = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    ).selectExpr(
+        "p_brand",
+        "CAST(floor(ln(l_extendedprice / l_quantity) * 100.0D) AS BIGINT)"
+        " - 700 AS xi",
+        "CAST(floor(ln(CAST(l_quantity AS DOUBLE)) * 100.0D)"
+        " AS BIGINT) AS yi",
+    )
+    return (
+        q.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xi").alias("sx"),
+            F.sum("yi").alias("sy"),
+            F.sum(F.expr("xi * yi")).alias("sxy"),
+            F.sum(F.expr("xi * xi")).alias("sxx"),
+        )
+        .selectExpr(
+            "p_brand",
+            "n",
+            "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS elasticity4",
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["agg_ols_elasticity"] = agg_ols_elasticity
+
+ORACLES["agg_ols_elasticity"] = """
+    WITH q AS (
+        SELECT p_brand,
+               CAST(floor(ln(l_extendedprice / l_quantity) * 100.0)
+                    AS BIGINT) - 700 AS xi,
+               CAST(floor(ln(CAST(l_quantity AS DOUBLE)) * 100.0)
+                    AS BIGINT) AS yi
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    sums AS (
+        SELECT p_brand, count(*) AS n,
+               CAST(sum(xi) AS BIGINT) AS sx,
+               CAST(sum(yi) AS BIGINT) AS sy,
+               CAST(sum(xi * yi) AS BIGINT) AS sxy,
+               CAST(sum(xi * xi) AS BIGINT) AS sxx
+        FROM q GROUP BY 1
+    )
+    SELECT p_brand, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS elasticity4
+    FROM sums
+    ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Sessionized bounce rate per day
+# ---------------------------------------------------------------------------
+_BR_GAP_US = 1800 * 1000000  # 30 min session gap
+
+
+def ev_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: sessions (30-min inactivity gap, the
+    ev_session_windows convention) that contain exactly ONE event,
+    bucketed by session start date — the engagement-quality headline
+    every web dashboard leads with.
+
+    Determinism: session boundaries from integer-µs gap comparison with
+    (us, event_id) total order; the rate is a ×10000 basis-point
+    integer divide. Scale shape: one per-user window (lag + running
+    sum) then two groupBys — the standard sessionization pipeline."""
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    sess = (
+        e.withColumn(
+            "is_new",
+            F.expr(
+                f"CASE WHEN us - lag(us) OVER (PARTITION BY user_id"
+                f" ORDER BY us, event_id) > {_BR_GAP_US}"
+                f" OR lag(us) OVER (PARTITION BY user_id"
+                f" ORDER BY us, event_id) IS NULL"
+                f" THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.min("us").alias("start_us"),
+        )
+    )
+    return (
+        sess.selectExpr(
+            "CAST(CAST(timestamp_micros(start_us) AS DATE) AS STRING)"
+            " AS d",
+            "CASE WHEN n_ev = 1 THEN 1 ELSE 0 END AS is_bounce",
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("is_bounce").alias("n_bounces"),
+        )
+        .selectExpr(
+            "d",
+            "n_sessions",
+            "n_bounces",
+            "n_bounces * 10000 div n_sessions AS bounce_bp",
+        )
+        .orderBy("d")
+    )
+
+
+QUERIES["ev_bounce_rate"] = ev_bounce_rate
+
+ORACLES["ev_bounce_rate"] = f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) > {_BR_GAP_US}
+                    OR lag(us) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ),
+    sess0 AS (
+        SELECT user_id, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, sid, count(*) AS n_ev, min(us) AS start_us
+        FROM sess0 GROUP BY 1, 2
+    )
+    SELECT CAST(CAST(make_timestamp(start_us) AS DATE) AS VARCHAR) AS d,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                * 10000 // count(*) AS BIGINT) AS bounce_bp
+    FROM sess
+    GROUP BY 1
+    ORDER BY d
+"""

@@ -31,6 +31,7 @@ from kuibadb_spark.operators import (
     curation2,
     curation3,
     curation4,
+    curation5,
     dedup,
     events,
     graph,
@@ -83,6 +84,7 @@ _MODULES = [
     # those nine after round 4's artifact lands
     curation3,
     curation4,
+    curation5,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
