@@ -830,7 +830,12 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_maybe",
             "n_true_dup",
             "n_false_pos",
-            "n_false_pos * 10000 div (n_b - n_true_dup) AS fp_bp",
+            # NULL when every probe doc is a true duplicate (the ×10
+            # shard-replicated fixture reaches this: identical texts in
+            # every shard make n_true_dup = n_b) — an unguarded divide
+            # is an ANSI ArithmeticException
+            "CASE WHEN n_b > n_true_dup THEN"
+            " n_false_pos * 10000 div (n_b - n_true_dup) END AS fp_bp",
         )
     )
 
@@ -883,8 +888,9 @@ def _bloom_oracle() -> str:
            CAST(sum(maybe) AS BIGINT) AS n_maybe,
            CAST(sum(is_dup) AS BIGINT) AS n_true_dup,
            CAST(sum(maybe * (1 - is_dup)) AS BIGINT) AS n_false_pos,
-           CAST(CAST(sum(maybe * (1 - is_dup)) AS BIGINT) * 10000
-                // (count(*) - CAST(sum(is_dup) AS BIGINT)) AS BIGINT)
+           CAST(CASE WHEN count(*) > CAST(sum(is_dup) AS BIGINT) THEN
+                CAST(sum(maybe * (1 - is_dup)) AS BIGINT) * 10000
+                // (count(*) - CAST(sum(is_dup) AS BIGINT)) END AS BIGINT)
                AS fp_bp
     FROM flags
     """
