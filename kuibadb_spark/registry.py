@@ -32,6 +32,7 @@ from kuibadb_spark.operators import (
     curation3,
     curation4,
     curation5,
+    curation6,
     dedup,
     events,
     graph,
@@ -85,6 +86,10 @@ _MODULES = [
     curation3,
     curation4,
     curation5,
+    # round-4 in-round additions: after curation5 so rounds 4 AND 5's
+    # planned windows (the 100 keys unverified at round-4 start) are
+    # never displaced; these become gradable from round 6
+    curation6,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -66,6 +66,17 @@ BNLJ_OK = {
     "text_tfidf_top_terms",
     "ts_gap_fill_interpolate",
     "ts_gap_fill_locf",
+    # round-3 additions, audited at round-4 start — every build side is
+    # a constant-bounded broadcast:
+    "agg_histogram_quantiles",   # 1-row global stats + 5-row quantile targets
+    "agg_hll_sliding_distinct",  # 1-row global stats cross (curation4:511)
+    "dedup_bloom_prefilter",     # 1-row probe-count cross (curation4:826)
+    "ev_association_rules",      # 1-row basket-count cross (curation4:338)
+    "ev_diff_in_diff",           # 1-row period-split cross (curation5:118)
+    "ev_survival_km",            # 1-row observation-horizon cross (curation3:2226)
+    "ts_autocorrelation",        # fixed lag-list cross, |lags|=7 (curation5:216)
+    "ts_changepoint_cusum",      # 1-row global mean cross (curation3:1276)
+    "w_pareto_abc",              # 1-row revenue-total cross (curation5:400)
 }
 
 
