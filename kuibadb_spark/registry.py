@@ -33,6 +33,7 @@ from kuibadb_spark.operators import (
     curation4,
     curation5,
     curation6,
+    curation7,
     dedup,
     events,
     graph,
@@ -90,6 +91,7 @@ _MODULES = [
     # planned windows (the 100 keys unverified at round-4 start) are
     # never displaced; these become gradable from round 6
     curation6,
+    curation7,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
