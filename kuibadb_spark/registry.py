@@ -34,6 +34,7 @@ from kuibadb_spark.operators import (
     curation5,
     curation6,
     curation7,
+    curation8,
     dedup,
     events,
     graph,
@@ -92,6 +93,7 @@ _MODULES = [
     # never displaced; these become gradable from round 6
     curation6,
     curation7,
+    curation8,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
