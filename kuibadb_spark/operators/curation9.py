@@ -1,0 +1,753 @@
+"""Round-4 batch 4: experiment design + distribution reporting +
+sketch-parameter tuning — A/B power analysis, Lorenz concentration
+deciles, winsorized robust means, rollup share-of-parent OLAP reports,
+RFM segment migration, the MinHash band-parameter sweep, audio gain
+normalization stats, and error-uptime SLA accounting.
+
+Registered after curation8 in registry._MODULES (rounds 4/5 grading
+windows undisturbed; gradable from round 6). Determinism rules are
+curation5-8's.
+"""
+
+from __future__ import annotations
+
+from statistics import NormalDist
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kuibadb_spark.catalog import load
+from kuibadb_spark.operators.dedup import (
+    _DUP_CORPUS_DUCK,
+    _K,
+    _P,
+    _SHINGLES_DUCK,
+    _doc_shingles,
+    _dup_corpus,
+    _pair_stats,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _micro(x: float) -> int:
+    import math
+
+    return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+
+
+# ---------------------------------------------------------------------------
+# 1. A/B power analysis (required sample size)
+# ---------------------------------------------------------------------------
+# z_{alpha/2} for alpha=0.05 and z_{beta} for 80% power, embedded as
+# identical 1e6-integer literals (stdlib NormalDist at import)
+_PA_ZA = _micro(NormalDist().inv_cdf(0.975))
+_PA_ZB = _micro(NormalDist().inv_cdf(0.80))
+_PA_DELTAS_BP = [100, 200, 500]  # absolute lift in basis points
+_PA_THRESH = 250.0
+
+
+def ev_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design power analysis: per event type, the per-arm
+    sample size needed to detect an absolute lift of 1/2/5 percentage
+    points on the observed base rate (value >= 250) at alpha = 0.05,
+    power = 80% — n = (z_a + z_b)^2 * 2p(1-p) / delta^2. The planning
+    table every A/B platform shows before a test launches. Base rates
+    are exact integer counts; each n is one double expression with
+    import-time z literals; the delta fan-out is a row-local explode."""
+    base = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            f"CASE WHEN value >= {_PA_THRESH}D THEN 1 ELSE 0 END AS hit",
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("hit").alias("x"))
+    )
+    zsum = (_PA_ZA + _PA_ZB) / 1e6
+    return (
+        base.selectExpr(
+            "event_type", "n", "x",
+            "x * 1000000 DIV n AS p_hit_ppm",
+            "explode(array({})) AS delta_bp".format(
+                ", ".join(str(d) for d in _PA_DELTAS_BP)),
+        )
+        .selectExpr(
+            "event_type", "p_hit_ppm", "CAST(delta_bp AS INT) AS delta_bp",
+            f"CAST(ceil({zsum!r}D * {zsum!r}D"
+            " * 2.0D * (CAST(x AS DOUBLE) / n)"
+            " * (1.0D - CAST(x AS DOUBLE) / n)"
+            " / ((CAST(delta_bp AS DOUBLE) / 10000.0D)"
+            " * (CAST(delta_bp AS DOUBLE) / 10000.0D))) AS BIGINT)"
+            " AS n_per_arm",
+        )
+        .orderBy("event_type", "delta_bp")
+    )
+
+
+QUERIES["ev_power_analysis"] = ev_power_analysis
+
+ORACLES["ev_power_analysis"] = f"""
+    WITH base AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CASE WHEN value >= {_PA_THRESH} THEN 1 ELSE 0 END) AS x
+        FROM events GROUP BY event_type
+    ),
+    fanned AS (
+        SELECT event_type, n, x,
+               CAST(x * 1000000 // n AS BIGINT) AS p_hit_ppm,
+               unnest([{", ".join(str(d) for d in _PA_DELTAS_BP)}])
+                   AS delta_bp
+        FROM base
+    )
+    SELECT event_type, p_hit_ppm, CAST(delta_bp AS INT) AS delta_bp,
+           CAST(ceil({(_PA_ZA + _PA_ZB) / 1e6!r} * {(_PA_ZA + _PA_ZB) / 1e6!r}
+                * 2.0 * (CAST(x AS DOUBLE) / n)
+                * (1.0 - CAST(x AS DOUBLE) / n)
+                / ((CAST(delta_bp AS DOUBLE) / 10000.0)
+                * (CAST(delta_bp AS DOUBLE) / 10000.0))) AS BIGINT)
+               AS n_per_arm
+    FROM fanned
+    ORDER BY event_type, delta_bp
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Lorenz curve deciles
+# ---------------------------------------------------------------------------
+def ev_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration deciles of per-user event volume — the
+    curve behind ev_gini_concentration's scalar: users sorted by
+    activity ascending, cumulative event share at each user decile.
+    Runs entirely on the activity-value HISTOGRAM (users per count
+    block), so the window scales with distinct activity values, never
+    users; blocks straddling a decile boundary land in the decile of
+    their last user (block granularity, documented)."""
+    act = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    blocks = act.groupBy("n_ev").agg(F.count(F.lit(1)).alias("m"))
+    wcum = W.orderBy("n_ev").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("n_ev").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cums = blocks.select(
+        "n_ev", "m",
+        F.sum("m").over(wcum).alias("cum_users"),
+        F.sum(F.expr("m * n_ev")).over(wcum).alias("cum_events"),
+        F.sum("m").over(wall).alias("tot_users"),
+        F.sum(F.expr("m * n_ev")).over(wall).alias("tot_events"),
+    ).selectExpr(
+        "m", "n_ev", "cum_events", "tot_events",
+        # decile of the block's LAST user, 1-based, capped at 10
+        "least(CAST((cum_users * 10 + tot_users - 1) DIV tot_users"
+        " AS BIGINT), CAST(10 AS BIGINT)) AS decile",
+    )
+    return (
+        cums.groupBy("decile")
+        .agg(
+            F.sum("m").alias("n_users"),
+            F.max(F.expr("cum_events * 1000000 DIV tot_events"))
+            .alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["ev_lorenz_deciles"] = ev_lorenz_deciles
+
+ORACLES["ev_lorenz_deciles"] = """
+    WITH act AS (
+        SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY user_id
+    ),
+    blocks AS (SELECT n_ev, COUNT(*) AS m FROM act GROUP BY n_ev),
+    cums AS (
+        SELECT m, n_ev,
+               SUM(m) OVER w AS cum_users,
+               SUM(m * n_ev) OVER w AS cum_events,
+               SUM(m) OVER () AS tot_users,
+               SUM(m * n_ev) OVER () AS tot_events
+        FROM blocks
+        WINDOW w AS (ORDER BY n_ev
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dec AS (
+        SELECT m, cum_events, tot_events,
+               least(CAST((cum_users * 10 + tot_users - 1) // tot_users
+                     AS BIGINT), CAST(10 AS BIGINT)) AS decile
+        FROM cums
+    )
+    SELECT decile,
+           CAST(SUM(m) AS BIGINT) AS n_users,
+           CAST(MAX(cum_events * 1000000 // tot_events) AS BIGINT)
+               AS cum_share_ppm
+    FROM dec
+    GROUP BY decile
+    ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. winsorized mean
+# ---------------------------------------------------------------------------
+def ts_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%/95% winsorized mean of event value per type — the robust
+    location estimate that clamps (not drops) the tails, standard for
+    spend metrics with whale outliers. Both percentile cut points come
+    from rank selection over the cents-value HISTOGRAM (the
+    profile_outlier_iqr trick: windows over distinct values), and the
+    winsorized sum is then Σ m·clamp(v) over the same blocks — exact
+    integers end to end, one final micro-cents divide."""
+    cents = (
+        load(spark, sf_dir, "events")
+        .selectExpr("event_type",
+                    "CAST(round(value * 100) AS BIGINT) AS v")
+        .groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("m"))
+    )
+    wcum = (
+        W.partitionBy("event_type").orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = (
+        W.partitionBy("event_type").orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    cums = cents.select(
+        "event_type", "v", "m",
+        F.sum("m").over(wcum).alias("cum"),
+        F.sum("m").over(wall).alias("n"),
+    )
+    wpick = W.partitionBy("event_type").orderBy("v")
+    cuts = (
+        cums.selectExpr(
+            "event_type", "v", "n",
+            # first value whose cumulative count reaches ceil(q*n)
+            "CASE WHEN cum >= (n * 5 + 99) DIV 100 THEN 1 ELSE 0 END AS ge5",
+            "CASE WHEN cum >= (n * 95 + 99) DIV 100 THEN 1 ELSE 0 END AS ge95",
+        )
+    )
+    p5 = (
+        cuts.filter("ge5 = 1")
+        .withColumn("rn", F.row_number().over(wpick)).filter("rn = 1")
+        .selectExpr("event_type", "v AS p5")
+    )
+    p95 = (
+        cuts.filter("ge95 = 1")
+        .withColumn("rn", F.row_number().over(wpick)).filter("rn = 1")
+        .selectExpr("event_type", "v AS p95")
+    )
+    return (
+        cents.join(p5, "event_type").join(p95, "event_type")
+        .selectExpr(
+            "event_type", "m",
+            "m * greatest(least(v, p95), p5) AS wsum_part",
+            "p5", "p95",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("m").alias("n"),
+            F.max("p5").alias("p5_cents"),
+            F.max("p95").alias("p95_cents"),
+            F.expr("SUM(wsum_part) * 10000 DIV SUM(m)")
+            .alias("wmean_microcents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ts_winsorized_mean"] = ts_winsorized_mean
+
+ORACLES["ts_winsorized_mean"] = """
+    WITH cents AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+               COUNT(*) AS m
+        FROM events GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
+    ),
+    cums AS (
+        SELECT event_type, v, m,
+               SUM(m) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(m) OVER (PARTITION BY event_type) AS n
+        FROM cents
+    ),
+    p5 AS (
+        SELECT event_type, v AS p5 FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY v) AS rn
+            FROM cums WHERE cum >= (n * 5 + 99) // 100
+        ) WHERE rn = 1
+    ),
+    p95 AS (
+        SELECT event_type, v AS p95 FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY v) AS rn
+            FROM cums WHERE cum >= (n * 95 + 99) // 100
+        ) WHERE rn = 1
+    )
+    SELECT c.event_type,
+           CAST(SUM(c.m) AS BIGINT) AS n,
+           CAST(MAX(p5.p5) AS BIGINT) AS p5_cents,
+           CAST(MAX(p95.p95) AS BIGINT) AS p95_cents,
+           CAST(SUM(c.m * greatest(least(c.v, p95.p95), p5.p5)) * 10000
+                // SUM(c.m) AS BIGINT) AS wmean_microcents
+    FROM cents c
+    JOIN p5 USING (event_type)
+    JOIN p95 USING (event_type)
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. rollup share-of-parent
+# ---------------------------------------------------------------------------
+def agg_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic drill-down report: revenue by region/nation with each
+    row's share OF ITS PARENT level — nations within their region,
+    regions within the grand total — in exact ppm from integer cents.
+    One fact aggregation at nation grain; parent totals are window sums
+    over the (bounded) dimension grain, so no second scan and no
+    self-join. Emits all three ROLLUP levels with a level tag."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.expr("CAST(SUM(round(o_totalprice * 100)) AS BIGINT)")
+             .alias("rev_c"))
+    )
+    wreg = W.partitionBy("r_name").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    base = nat.select(
+        "r_name", "n_name", "rev_c",
+        F.sum("rev_c").over(wreg).alias("reg_c"),
+        F.sum("rev_c").over(wall).alias("tot_c"),
+    )
+    nation_rows = base.selectExpr(
+        "'nation' AS level", "r_name", "n_name", "rev_c",
+        "rev_c * 1000000 DIV reg_c AS share_of_parent_ppm",
+    )
+    region_rows = (
+        base.groupBy("r_name")
+        .agg(F.max("reg_c").alias("rev_c"), F.max("tot_c").alias("tot_c"))
+        .selectExpr(
+            "'region' AS level", "r_name", "CAST(NULL AS STRING) AS n_name",
+            "rev_c", "rev_c * 1000000 DIV tot_c AS share_of_parent_ppm",
+        )
+    )
+    total_row = (
+        base.groupBy()
+        .agg(F.max("tot_c").alias("rev_c"))
+        .selectExpr(
+            "'total' AS level", "CAST(NULL AS STRING) AS r_name",
+            "CAST(NULL AS STRING) AS n_name", "rev_c",
+            "CAST(1000000 AS BIGINT) AS share_of_parent_ppm",
+        )
+    )
+    return (
+        nation_rows.unionAll(region_rows).unionAll(total_row)
+        .orderBy("level", "r_name", "n_name")
+    )
+
+
+QUERIES["agg_rollup_share_of_parent"] = agg_rollup_share_of_parent
+
+ORACLES["agg_rollup_share_of_parent"] = """
+    WITH nat AS (
+        SELECT r.r_name, n.n_name,
+               CAST(SUM(round(o.o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    ),
+    base AS (
+        SELECT r_name, n_name, rev_c,
+               SUM(rev_c) OVER (PARTITION BY r_name) AS reg_c,
+               SUM(rev_c) OVER () AS tot_c
+        FROM nat
+    )
+    SELECT 'nation' AS level, r_name, n_name, rev_c,
+           CAST(rev_c * 1000000 // reg_c AS BIGINT) AS share_of_parent_ppm
+    FROM base
+    UNION ALL
+    SELECT 'region', r_name, CAST(NULL AS VARCHAR),
+           CAST(MAX(reg_c) AS BIGINT),
+           CAST(MAX(reg_c) * 1000000 // MAX(tot_c) AS BIGINT)
+    FROM base GROUP BY r_name
+    UNION ALL
+    SELECT 'total', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(MAX(tot_c) AS BIGINT), CAST(1000000 AS BIGINT)
+    FROM base
+    ORDER BY level, r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. RFM segment migration
+# ---------------------------------------------------------------------------
+def ev_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-migration matrix: users tiered by purchase activity in
+    the first vs second half of the observation month (split at day 15,
+    calendar-derived), cross-tabulated — the retention-marketing table
+    behind 'who moved from high to low'. Tiers come from fixed count
+    bands (1, 2-3, 4+: value-based, not rank-based, so the tier
+    definition is scale-stable); users absent from a half land in tier
+    'none'. One groupBy to per-user-half counts, one pivot-style
+    cross-tab."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "user_id",
+            "CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half",
+        )
+        .groupBy("user_id", "half").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tiered = p.selectExpr(
+        "user_id", "half",
+        "CASE WHEN c >= 4 THEN 'high' WHEN c >= 2 THEN 'mid'"
+        " ELSE 'low' END AS tier",
+    )
+    h1 = tiered.filter("half = 1").selectExpr("user_id", "tier AS tier_h1")
+    h2 = tiered.filter("half = 2").selectExpr("user_id", "tier AS tier_h2")
+    return (
+        h1.join(h2, "user_id", "full")
+        .selectExpr(
+            "COALESCE(tier_h1, 'none') AS tier_h1",
+            "COALESCE(tier_h2, 'none') AS tier_h2",
+        )
+        .groupBy("tier_h1", "tier_h2")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("tier_h1", "tier_h2")
+    )
+
+
+QUERIES["ev_rfm_migration"] = ev_rfm_migration
+
+ORACLES["ev_rfm_migration"] = """
+    WITH p AS (
+        SELECT user_id,
+               CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+               COUNT(*) AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END
+    ),
+    tiered AS (
+        SELECT user_id, half,
+               CASE WHEN c >= 4 THEN 'high' WHEN c >= 2 THEN 'mid'
+                    ELSE 'low' END AS tier
+        FROM p
+    ),
+    h1 AS (SELECT user_id, tier AS tier_h1 FROM tiered WHERE half = 1),
+    h2 AS (SELECT user_id, tier AS tier_h2 FROM tiered WHERE half = 2)
+    SELECT COALESCE(h1.tier_h1, 'none') AS tier_h1,
+           COALESCE(h2.tier_h2, 'none') AS tier_h2,
+           COUNT(*) AS n_users
+    FROM h1 FULL JOIN h2 USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY tier_h1, tier_h2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. MinHash band-parameter sweep
+# ---------------------------------------------------------------------------
+_BAND_CONFIGS = [(4, 3), (6, 2), (3, 4)]  # (bands, rows) over K=12 hashes
+
+
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured: with the SAME 12 minhashes, compare
+    three band layouts — (4 bands × 3 rows), (6×2, recall-leaning),
+    (3×4, precision-leaning) — against exact ground truth (Jaccard >=
+    0.5 from the inverted-postings pair listing). The
+    recall-vs-candidate-cost table that picks production LSH parameters
+    (the tuning sweep dedup_lsh_eval runs for ONE config). Signatures
+    compute once; each config re-stacks the same 12 columns; candidates
+    are band-key equi-joins."""
+    c = _dup_corpus(spark, sf_dir)
+    shs = _doc_shingles(c).persist()
+    hashed = shs.selectExpr(
+        "doc_id", "explode(shs) AS shingle"
+    ).selectExpr(
+        "doc_id",
+        f"CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_P} AS ha",
+        f"CAST(conv(substring(md5(shingle), 9, 8), 16, 10) AS BIGINT)"
+        f" % {_P} AS hb",
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(F.expr(f"(ha + {i} * hb) % {_P}")).alias(f"h{i}")
+          for i in range(_K)]
+    ).persist()
+    truth = (
+        _pair_stats(shs)
+        .filter("inter * 2 >= sz_a + sz_b - inter")  # jaccard >= 0.5
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    parts = []
+    for b, r in _BAND_CONFIGS:
+        band_exprs = ", ".join(
+            f"{j}, concat_ws(':', {', '.join(f'h{r * j + k}' for k in range(r))})"
+            for j in range(b)
+        )
+        bands = sig.selectExpr(
+            "doc_id", f"stack({b}, {band_exprs}) AS (band_idx, band_hash)"
+        )
+        cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        hit = cand.join(truth, ["doc_a", "doc_b"], "semi")
+        parts.append(
+            cand.agg(F.count(F.lit(1)).alias("n_candidates")).selectExpr(
+                f"'{b}x{r}' AS config", "n_candidates"
+            ).crossJoin(
+                hit.agg(F.count(F.lit(1)).alias("n_hit"))
+            ).crossJoin(
+                truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            )
+        )
+    res = parts[0]
+    for pt in parts[1:]:
+        res = res.unionAll(pt)
+    return res.selectExpr(
+        "config", "n_candidates", "n_truth", "n_hit",
+        "n_hit * 1000000 DIV n_truth AS recall_ppm",
+        "n_hit * 1000000 DIV n_candidates AS precision_ppm",
+    ).orderBy("config")
+
+
+QUERIES["dedup_minhash_band_sweep"] = dedup_minhash_band_sweep
+
+
+def _sweep_cfg_duck(b: int, r: int) -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, "
+        + " || ':' || ".join(f"h{r * j + k}" for k in range(r))
+        + " AS band_hash FROM sig"
+        for j in range(b)
+    )
+    return f"""
+        SELECT '{b}x{r}' AS config,
+               (SELECT COUNT(*) FROM (
+                   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM ({band_rows}) a JOIN ({band_rows}) b
+                     ON a.band_idx = b.band_idx
+                    AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id)) AS n_candidates,
+               (SELECT COUNT(*) FROM (
+                   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM ({band_rows}) a JOIN ({band_rows}) b
+                     ON a.band_idx = b.band_idx
+                    AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id) c
+                WHERE EXISTS (SELECT 1 FROM truth t
+                              WHERE t.doc_a = c.doc_a
+                                AND t.doc_b = c.doc_b)) AS n_hit
+    """
+
+
+ORACLES["dedup_minhash_band_sweep"] = f"""
+    WITH {_DUP_CORPUS_DUCK},
+    {_SHINGLES_DUCK},
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {_P} AS ha,
+               CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % {_P} AS hb
+        FROM shingles
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               {", ".join(f"MIN((ha + {i} * hb) % {_P}) AS h{i}"
+                          for i in range(_K))}
+        FROM hashed GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    truth AS MATERIALIZED (
+        SELECT p.doc_a, p.doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE p.inter * 2 >= sa.sz + sb.sz - p.inter
+    ),
+    cfg AS (
+        {" UNION ALL ".join(_sweep_cfg_duck(b, r) for b, r in _BAND_CONFIGS)}
+    )
+    SELECT config,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit * 1000000 // (SELECT COUNT(*) FROM truth) AS BIGINT)
+               AS recall_ppm,
+           CAST(n_hit * 1000000 // n_candidates AS BIGINT) AS precision_ppm
+    FROM cfg
+    ORDER BY config
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. audio gain-normalization stats
+# ---------------------------------------------------------------------------
+_GAIN_TARGET_RMS = 64.0
+
+
+def mm_audio_gain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness-normalization planning stats per audio payload: RMS and
+    peak of the centered samples (byte − 128; decode stubbed as in the
+    other mm_* ops) and the gain, in ppm, that would bring the clip to
+    the target RMS of 64 — the normalize pass every audio pipeline runs
+    before feature extraction. Entirely row-local array math (one
+    aggregate lambda per doc, zero shuffles before the final sort);
+    sums are exact integers, the gain is one sqrt expression."""
+    from kuibadb_spark.operators.multimodal import _payloads
+
+    p = (
+        _payloads(spark, sf_dir)
+        .filter("doc_id < 200")
+        .selectExpr(
+            "doc_id", "fmt",
+            "transform(sequence(1, length(CAST(payload AS STRING))),"
+            " i -> ascii(substring(CAST(payload AS STRING), i, 1)) - 128)"
+            " AS s",
+        )
+        .filter(F.expr("size(s) >= 1"))
+    )
+    return (
+        p.selectExpr(
+            "doc_id", "fmt",
+            "size(s) AS n_samples",
+            "aggregate(s, 0L, (a, x) -> a + CAST(x AS BIGINT)"
+            " * CAST(x AS BIGINT)) AS sumsq",
+            "aggregate(s, 0, (a, x) -> greatest(a, abs(x))) AS peak",
+        )
+        .selectExpr(
+            "doc_id", "fmt", "n_samples", "sumsq", "peak",
+            "CAST(round(sqrt(CAST(sumsq AS DOUBLE) / n_samples) * 100.0D)"
+            " AS BIGINT) AS rms_x100",
+            "CASE WHEN sumsq = 0 THEN NULL ELSE"
+            f" CAST(round({_GAIN_TARGET_RMS!r}D * 1000000.0D"
+            " / sqrt(CAST(sumsq AS DOUBLE) / n_samples)) AS BIGINT)"
+            " END AS gain_ppm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["mm_audio_gain_stats"] = mm_audio_gain_stats
+
+ORACLES["mm_audio_gain_stats"] = f"""
+    WITH payloads AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 3 = 0 THEN 'png'
+                    WHEN doc_id % 3 = 1 THEN 'jpeg'
+                    ELSE 'wav' END AS fmt
+        FROM documents WHERE doc_id < 200
+    ),
+    samples AS (
+        SELECT doc_id, fmt,
+               list_transform(generate_series(1, length(text)),
+                   i -> ord(substr(text, i, 1)) - 128) AS s
+        FROM payloads WHERE length(text) >= 1
+    ),
+    stats AS (
+        SELECT doc_id, fmt,
+               len(s) AS n_samples,
+               CAST(list_sum(list_transform(s,
+                   x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT)
+                   AS sumsq,
+               CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak
+        FROM samples
+    )
+    SELECT doc_id, fmt, CAST(n_samples AS INT) AS n_samples, sumsq, peak,
+           CAST(round(sqrt(CAST(sumsq AS DOUBLE) / n_samples) * 100.0)
+                AS BIGINT) AS rms_x100,
+           CASE WHEN sumsq = 0 THEN NULL ELSE
+           CAST(round({_GAIN_TARGET_RMS!r} * 1000000.0
+                / sqrt(CAST(sumsq AS DOUBLE) / n_samples)) AS BIGINT)
+           END AS gain_ppm
+    FROM stats
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. uptime / SLA accounting
+# ---------------------------------------------------------------------------
+def ev_uptime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily uptime from the event stream: a minute is 'down' if it saw
+    at least one error event; uptime = up-minutes / 1440, with a 99%
+    SLA breach flag per day — the availability report every ops
+    dashboard renders. Down-minutes reduce to one distinct-count per
+    day; everything is calendar integers."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "error")
+        .selectExpr("date_trunc('day', ts) AS d",
+                    "date_trunc('minute', ts) AS minute")
+        .groupBy("d")
+        .agg(F.countDistinct("minute").alias("down_minutes"))
+    )
+    alld = (
+        e.selectExpr("date_trunc('day', ts) AS d").distinct()
+        .join(daily, "d", "left")
+        .selectExpr("d", "COALESCE(down_minutes, 0) AS down_minutes")
+    )
+    return (
+        alld.selectExpr(
+            "d", "down_minutes",
+            "(1440 - down_minutes) * 1000000 DIV 1440 AS uptime_ppm",
+            "CAST(CASE WHEN (1440 - down_minutes) * 100 < 1440 * 99"
+            " THEN 1 ELSE 0 END AS INT) AS sla_breach_99",
+        )
+        .orderBy("d")
+    )
+
+
+QUERIES["ev_uptime_sla"] = ev_uptime_sla
+
+ORACLES["ev_uptime_sla"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               COUNT(DISTINCT date_trunc('minute', ts)) AS down_minutes
+        FROM events WHERE event_type = 'error'
+        GROUP BY date_trunc('day', ts)
+    ),
+    alld AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        FROM events
+    )
+    SELECT a.d,
+           CAST(COALESCE(daily.down_minutes, 0) AS BIGINT) AS down_minutes,
+           CAST((1440 - COALESCE(daily.down_minutes, 0)) * 1000000 // 1440
+                AS BIGINT) AS uptime_ppm,
+           CAST(CASE WHEN (1440 - COALESCE(daily.down_minutes, 0)) * 100
+                < 1440 * 99 THEN 1 ELSE 0 END AS INT) AS sla_breach_99
+    FROM alld a LEFT JOIN daily ON a.d = daily.d
+    ORDER BY a.d
+"""

@@ -35,6 +35,7 @@ from kuibadb_spark.operators import (
     curation6,
     curation7,
     curation8,
+    curation9,
     dedup,
     events,
     graph,
@@ -94,6 +95,7 @@ _MODULES = [
     curation6,
     curation7,
     curation8,
+    curation9,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -80,6 +80,8 @@ BNLJ_OK = {
     # round-4 additions:
     "sim_triplet_mining",        # 20-row anchor broadcast with != condition
                                  # (the sim_topk_bruteforce class)
+    "dedup_minhash_band_sweep",  # 1-row metric crosses per band config
+                                 # (n_candidates x n_hit x n_truth scalars)
 }
 
 
