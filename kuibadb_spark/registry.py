@@ -36,6 +36,7 @@ from kuibadb_spark.operators import (
     curation7,
     curation8,
     curation9,
+    curation10,
     dedup,
     events,
     graph,
@@ -96,6 +97,7 @@ _MODULES = [
     curation7,
     curation8,
     curation9,
+    curation10,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -82,6 +82,9 @@ BNLJ_OK = {
                                  # (the sim_topk_bruteforce class)
     "dedup_minhash_band_sweep",  # 1-row metric crosses per band config
                                  # (n_candidates x n_hit x n_truth scalars)
+    "text_tfidf_cosine_pairs",   # 1-row corpus-count cross for idf
+                                 # (the text_tfidf_top_terms class)
+    "ev_retention_halflife",     # 1-row cohort-size cross for the rates
 }
 
 
