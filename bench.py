@@ -79,6 +79,11 @@ HEADLINE = [
     "text_decontaminate",       # eval-set n-gram decontamination
     "sim_semdedup_clusters",    # round-4 SemDeDup (cogroup blocked-matmul)
     "text_substring_dedup",     # round-4 exact-substring dedup (linear)
+    # round-4 in-round additions: one guard per new family
+    "profile_corr_matrix",      # single-pass exact-moment Pearson matrix
+    "dedup_minhash_band_sweep",  # 3-config LSH S-curve vs exact truth
+    "text_tfidf_cosine_pairs",  # sparse lexical similarity join (df cap)
+    "ev_markov_stationary",     # exact-ppm power iteration
     # (rec_price_streaks deliberately NOT benched: it is the declared
     # sequential-recurrence surface — ~7.5 s at sf0.1 BY DESIGN, see its
     # docstring — and the recursive family regression guard is

@@ -496,6 +496,7 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .persist()
     )
+    truth_marked = truth.withColumn("is_true", F.lit(1))
     parts = []
     for b, r in _BAND_CONFIGS:
         band_exprs = ", ".join(
@@ -519,15 +520,17 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        hit = cand.join(truth, ["doc_a", "doc_b"], "semi")
+        # candidate count and truth-hit count from ONE pass over the
+        # band join (left-join marker), not a second semi-join — halves
+        # the expensive band self-joins per config
         parts.append(
-            cand.agg(F.count(F.lit(1)).alias("n_candidates")).selectExpr(
-                f"'{b}x{r}' AS config", "n_candidates"
-            ).crossJoin(
-                hit.agg(F.count(F.lit(1)).alias("n_hit"))
-            ).crossJoin(
-                truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            cand.join(truth_marked, ["doc_a", "doc_b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_hit"),
             )
+            .selectExpr(f"'{b}x{r}' AS config", "n_candidates", "n_hit")
+            .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
         )
     res = parts[0]
     for pt in parts[1:]:
