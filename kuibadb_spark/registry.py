@@ -37,6 +37,7 @@ from kuibadb_spark.operators import (
     curation8,
     curation9,
     curation10,
+    curation11,
     dedup,
     events,
     graph,
@@ -98,6 +99,7 @@ _MODULES = [
     curation8,
     curation9,
     curation10,
+    curation11,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
