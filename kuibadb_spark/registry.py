@@ -38,6 +38,7 @@ from kuibadb_spark.operators import (
     curation9,
     curation10,
     curation11,
+    curation12,
     dedup,
     events,
     graph,
@@ -100,6 +101,7 @@ _MODULES = [
     curation9,
     curation10,
     curation11,
+    curation12,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
