@@ -541,10 +541,16 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = parts[0]
     for pt in parts[1:]:
         res = res.unionAll(pt)
+    # NULL-guard both ratios: under extreme shard replication the
+    # hot-shingle cap can empty the ground-truth set (every posting
+    # list blows past the cap), and a config can produce zero
+    # candidates — the Bloom-prefilter ×10 finding's class
     return res.selectExpr(
         "config", "n_candidates", "n_truth", "n_hit",
-        "n_hit * 1000000 DIV n_truth AS recall_ppm",
-        "n_hit * 1000000 DIV n_candidates AS precision_ppm",
+        "CASE WHEN n_truth = 0 THEN NULL"
+        " ELSE n_hit * 1000000 DIV n_truth END AS recall_ppm",
+        "CASE WHEN n_candidates = 0 THEN NULL"
+        " ELSE n_hit * 1000000 DIV n_candidates END AS precision_ppm",
     ).orderBy("config")
 
 
@@ -612,9 +618,12 @@ ORACLES["dedup_minhash_band_sweep"] = f"""
            CAST(n_candidates AS BIGINT) AS n_candidates,
            (SELECT COUNT(*) FROM truth) AS n_truth,
            CAST(n_hit AS BIGINT) AS n_hit,
-           CAST(n_hit * 1000000 // (SELECT COUNT(*) FROM truth) AS BIGINT)
-               AS recall_ppm,
-           CAST(n_hit * 1000000 // n_candidates AS BIGINT) AS precision_ppm
+           CAST(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+                ELSE n_hit * 1000000 // (SELECT COUNT(*) FROM truth) END
+                AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN n_candidates = 0 THEN NULL
+                ELSE n_hit * 1000000 // n_candidates END AS BIGINT)
+               AS precision_ppm
     FROM cfg
     ORDER BY config
 """
