@@ -39,6 +39,7 @@ from kuibadb_spark.operators import (
     curation10,
     curation11,
     curation12,
+    curation13,
     dedup,
     events,
     graph,
@@ -102,6 +103,7 @@ _MODULES = [
     curation10,
     curation11,
     curation12,
+    curation13,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
