@@ -40,6 +40,7 @@ from kuibadb_spark.operators import (
     curation11,
     curation12,
     curation13,
+    curation14,
     dedup,
     events,
     graph,
@@ -104,6 +105,7 @@ _MODULES = [
     curation11,
     curation12,
     curation13,
+    curation14,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
