@@ -84,6 +84,16 @@ HEADLINE = [
     "dedup_minhash_band_sweep",  # 3-config LSH S-curve vs exact truth
     "text_tfidf_cosine_pairs",  # sparse lexical similarity join (df cap)
     "ev_markov_stationary",     # exact-ppm power iteration
+    # round 5: representatives of newly-green families — four from the
+    # r5 grading window (the first 50 previously-ungraded keys) plus
+    # two graded green in r4 — guarded the round they go green, the
+    # r3/r4 discipline
+    "graph_kcore",              # iterative k-core peel (localCheckpoint)
+    "ev_survival_km",           # Kaplan-Meier survival curve
+    "agg_kmv_distinct_sketch",  # KMV bottom-k distinct sketch
+    "ts_changepoint_cusum",     # CUSUM changepoint scan
+    "dedup_bbit_minhash",       # b-bit minhash compaction
+    "sim_ann_multiprobe",       # multiprobe LSH ANN
     # (rec_price_streaks deliberately NOT benched: it is the declared
     # sequential-recurrence surface — ~7.5 s at sf0.1 BY DESIGN, see its
     # docstring — and the recursive family regression guard is

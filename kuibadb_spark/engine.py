@@ -549,7 +549,6 @@ class Engine:
         # partial-commit window to N same-filesystem renames that allocate
         # no data blocks. Any failure rolls the whole transaction back and
         # reclaims staged segments for every table not yet renamed.
-        published: list[str] = []
         prepared: list[tuple[str, dict]] = []
         try:
             with mf.multi_commit_lock(dirs.values()):
@@ -559,20 +558,26 @@ class Engine:
                     )))
                 for key, handle in prepared:
                     mf.finish_publish(handle)
-                    published.append(key)
         except Exception:
             # prepare failure (version moved, or I/O writing a temp) →
             # nothing published, discard temps + reclaim everything; a
-            # rename failure mid-phase-2 reclaims only the UNpublished
-            # tables' segments — published manifests already reference
-            # theirs, deleting those would corrupt the table
+            # failure mid-phase-2 reclaims only the UNpublished tables'
+            # segments — published manifests already reference theirs,
+            # deleting those would corrupt the table. Published-ness is
+            # decided by the ON-DISK commit point (publish_landed), not
+            # an in-memory progress list: finish_publish can fail AFTER
+            # its manifest.json rename (in the dir fsync), and that
+            # table is committed even though the loop never finished.
+            landed = {
+                key for key, handle in prepared if mf.publish_landed(handle)
+            }
             for key, handle in prepared:
-                if key not in published:
+                if key not in landed:
                     mf.abort_publish(handle)
             self._discard_segs(
-                {k: v for k, v in dirty.items() if k not in published}
+                {k: v for k, v in dirty.items() if k not in landed}
             )
-            self._unmark_segs({k: dirty[k] for k in published})
+            self._unmark_segs({k: dirty[k] for k in landed})
             raise
         self._unmark_segs(dirty)
 

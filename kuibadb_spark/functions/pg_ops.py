@@ -232,12 +232,25 @@ def translate(sql: str) -> str:
                 else:
                     break
             operand = prev[start:].strip()
+            # `2.5E-7!`: _start_of_primary stops at the exponent's sign,
+            # leaving only the trailing digits as the operand — widen
+            # leftwards over `<mantissa>[eE][+-]` so the whole literal
+            # rebinds (round-5 ADVICE)
+            m_exp = re.search(r"(?:\d+(?:\.\d*)?|\.\d+)[eE][+-]$", prev[:start])
+            if m_exp and re.fullmatch(r"\d+", operand or ""):
+                start = m_exp.start()
+                operand = prev[start:].strip()
             # `5! f` (implicit non-AS alias): an identifier follows, so
             # the generic rule reads prefix NOT — but `!` after a numeric
             # literal cannot be prefix in any SQL reading (`5 !flag` is
             # not a term), so a pure numeric operand forces postfix, as
-            # PG parses it (factorial + alias)
-            numeric_operand = bool(re.fullmatch(r"\d+(?:\.\d+)?", operand or ""))
+            # PG parses it (factorial + alias). The literal pattern
+            # covers every SQL numeric spelling: `5`, `5.`, `.5`,
+            # `5.25`, and exponent forms `1e3` / `2.5E-7` (round-5
+            # ADVICE: `1e3! f` previously fell through to prefix NOT).
+            numeric_operand = bool(re.fullmatch(
+                r"(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?", operand or ""
+            ))
             if (
                 operand
                 and operand.upper() not in _KEYWORDS

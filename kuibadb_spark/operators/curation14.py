@@ -193,8 +193,12 @@ def ts_weekday_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "event_type", "wd_events", "wd_days", "we_events", "we_days",
-            # lift of weekday daily-average over weekend daily-average
-            "CASE WHEN we_events = 0 THEN NULL"
+            # lift of weekday daily-average over weekend daily-average.
+            # Guard BOTH zero factors of the denominator: weekend-only
+            # activity gives wd_days = 0, and Spark's DIV would return
+            # NULL while DuckDB's // raises division-by-zero — the guard
+            # must short-circuit identically in both engines.
+            "CASE WHEN we_events = 0 OR wd_days = 0 THEN NULL"
             " ELSE wd_events * we_days * 1000000 DIV (we_events * wd_days)"
             " END AS weekday_lift_ppm",
         )
@@ -224,6 +228,7 @@ ORACLES["ts_weekday_weekend_lift"] = """
            CAST(SUM(CASE WHEN is_weekend = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS we_days,
            CAST(CASE WHEN SUM(CASE WHEN is_weekend = 1 THEN c ELSE 0 END) = 0
+                     OR SUM(CASE WHEN is_weekend = 0 THEN 1 ELSE 0 END) = 0
                 THEN NULL
                 ELSE SUM(CASE WHEN is_weekend = 0 THEN c ELSE 0 END)
                      * SUM(CASE WHEN is_weekend = 1 THEN 1 ELSE 0 END)

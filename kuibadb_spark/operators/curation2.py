@@ -282,8 +282,14 @@ def mm_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "n_bytes",
-            "explode(transform(sequence(1, n_bytes),"
-            " i -> substring(hx, 2*i - 1, 1))) AS nib",
+            # high nibble = every even-index char of the hex string.
+            # split('') + indexed filter is O(len); the old
+            # sequence+substring(hx, 2i-1, 1) spelling re-walked the hex
+            # string from position 0 for every i — O(len^2) per payload
+            # (the mm_silence_runs lesson, 175 s -> 29.5 s at x100).
+            "explode(filter(transform(split(hx, ''),"
+            " (c, i) -> CASE WHEN i % 2 = 0 THEN c END),"
+            " x -> x IS NOT NULL)) AS nib",
         )
     )
     hist = nibs.groupBy("doc_id", "n_bytes", "nib").agg(

@@ -734,8 +734,14 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kuibadb_spark.operators.dedup import _pair_stats
 
     corpus = _dup_corpus(spark, sf_dir)
-    # persisted: consumed by the pair listing AND the signature path
-    shs = _doc_shingles(corpus).persist()
+    # localCheckpoint, NOT persist: consumed by the pair listing at
+    # build time AND the signature path on every re-execution. A
+    # persist() here is orphaned by any clearCache() between actions —
+    # the plan's InMemoryRelation stays but the cache entry is gone, so
+    # EVERY later run recomputes the shingle build once per consumer
+    # subtree (~13 s/run measured at sf0.1, the DESIGN #30 class);
+    # the eager checkpoint pays the build once and stays immune.
+    shs = _doc_shingles(corpus).localCheckpoint(eager=True)
     pairs = _pair_stats(shs)
     # top-20 via TakeOrderedAndProject + checkpoint (consumed 3x below);
     # the 16x shingle-hash signature explode then runs for ONLY the <=40

@@ -373,10 +373,14 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.selectExpr(
             "doc_id",
             # CHARACTER positions (see mm_scene_cuts): octet_length over a
-            # char-indexed substring fabricates trailing zero samples on
-            # multi-byte docs that the oracle never sees
-            "transform(sequence(1, length(CAST(payload AS STRING))),"
-            " i -> ascii(substring(CAST(payload AS STRING), i, 1))) AS s",
+            # char-indexed extraction fabricates trailing zero samples on
+            # multi-byte docs that the oracle never sees. split('')+ascii
+            # is O(len) per doc; the sequence+substring(s,i,1) spelling is
+            # O(len^2) — substring walks to i every call (measured on the
+            # mm_silence_runs twin: 175 s -> 29.5 s at x100, values
+            # identical incl. multi-byte chars).
+            "transform(split(CAST(payload AS STRING), ''), c -> ascii(c))"
+            " AS s",
         )
         .filter(F.col("doc_id") < 200)
         .selectExpr(
@@ -470,8 +474,14 @@ def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlined, by construction.
     _ahash = (
         "element_at(transform(array("
-        " transform(sequence(1, 256),"
-        "  i -> ascii(substring(CAST(payload AS STRING), i, 1)))"
+        # split('')+ascii over the 256-char prefix is O(window); the old
+        # sequence+substring(s,i,1) walk re-scanned from position 0 per
+        # sample. Docs with >= 256 octets but < 256 CHARS (multi-byte)
+        # yield a shorter array here where the old form padded ascii('')=0
+        # — identical block sums either way (absent ≡ zero under
+        # slice/aggregate), so the hash value is unchanged.
+        " transform(split(substring(CAST(payload AS STRING), 1, 256), ''),"
+        "  c -> ascii(c))"
         "), sarr -> element_at(transform(array("
         " transform(sequence(0, 63),"
         "  k -> aggregate(slice(sarr, k * 4 + 1, 4), 0L, (a, x) -> a + x))"
@@ -595,11 +605,13 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.filter(F.col("doc_id") < 200)
         .selectExpr(
             "doc_id",
-            # CHARACTER positions on both sides: substring indexes chars,
-            # and octet_length > length on multi-byte docs would fabricate
-            # trailing zero samples the oracle never sees
-            "transform(sequence(1, length(CAST(payload AS STRING))),"
-            " i -> ascii(substring(CAST(payload AS STRING), i, 1))) AS s",
+            # CHARACTER positions on both sides (split('') yields chars,
+            # matching the oracle's substr walk); octet-based extraction
+            # on multi-byte docs would fabricate trailing zero samples the
+            # oracle never sees. split('')+ascii is the O(len) form — see
+            # mm_audio_frame_energy for the measured O(len^2) history.
+            "transform(split(CAST(payload AS STRING), ''), c -> ascii(c))"
+            " AS s",
         )
         .repartition(spark.sparkContext.defaultParallelism)
         .filter(F.expr("size(s) >= 64"))

@@ -194,10 +194,18 @@ def prepare_publish(table_dir: str, staged: dict, base_version: int) -> dict:
 
 def finish_publish(handle: dict) -> dict:
     """Phase 2: rename the prepared temp manifests into place + dir
-    fsync. The commit point is the manifest.json rename."""
+    fsync. The commit point is the manifest.json rename, so it MUST be
+    the LAST rename: if the version-copy rename ran after it and failed
+    in between, the caller's rollback handler (abort_publish +
+    segment discard) would delete staged parquet the now-live
+    manifest.json already references — silent corruption of a committed
+    table. Renaming vtmp→vpath first is safe to roll back: a stray
+    manifest.vN.json with no manifest.json pointing at version N is
+    inert (read_manifest_version is only reachable for published
+    versions, and gc/trim reap orphans)."""
     table_dir = handle["table_dir"]
-    os.rename(handle["tmp"], manifest_path(table_dir))
     os.rename(handle["vtmp"], handle["vpath"])
+    os.rename(handle["tmp"], manifest_path(table_dir))
     dfd = os.open(table_dir, os.O_RDONLY)
     try:
         os.fsync(dfd)
@@ -206,9 +214,31 @@ def finish_publish(handle: dict) -> dict:
     return handle["manifest"]
 
 
+def publish_landed(handle: dict) -> bool:
+    """True iff this handle's commit point — the manifest.json rename to
+    the handle's version — has landed on disk. The ground truth for
+    "was this table published?" after a mid-phase-2 failure: an
+    in-memory progress list can't distinguish a failure just BEFORE the
+    rename from one just AFTER it (e.g. in the dir fsync), and the
+    difference decides whether rollback may delete staged segments."""
+    try:
+        live = read_manifest(handle["table_dir"])
+    except Exception:
+        return False  # unreadable/missing manifest.json: pre-commit-point
+    return live.get("version") == handle["manifest"]["version"]
+
+
 def abort_publish(handle: dict) -> None:
-    """Discard a prepared-but-unpublished phase-1 handle."""
-    for k in ("tmp", "vtmp"):
+    """Discard a prepared-but-unpublished phase-1 handle. Safe to call
+    after a mid-phase-2 failure too: if the commit point (the
+    manifest.json rename) already landed this version, the publish is
+    treated as done and NOTHING is removed — rolling back past the
+    commit point would orphan data a live manifest references. Short of
+    the commit point, the temps and any already-renamed version copy
+    (inert without a manifest.json at that version) are reaped."""
+    if publish_landed(handle):
+        return  # commit point passed — this table IS published
+    for k in ("tmp", "vtmp", "vpath"):
         try:
             os.remove(handle[k])
         except OSError:

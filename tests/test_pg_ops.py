@@ -41,6 +41,15 @@ def test_translate_pure():
     # (round-4 ADVICE); a non-numeric operand keeps the prefix-NOT reading
     assert translate("SELECT 5! f") == "SELECT factorial(5) f"
     assert translate("SELECT 2.5! f") == "SELECT factorial(2.5) f"
+    # scientific / leading-dot / trailing-dot spellings are numeric
+    # literals too (round-5 ADVICE: `1e3! f` fell through to prefix NOT)
+    assert translate("SELECT 1e3! f") == "SELECT factorial(1e3) f"
+    assert translate("SELECT .5! f") == "SELECT factorial(.5) f"
+    assert translate("SELECT 5.! f") == "SELECT factorial(5.) f"
+    assert translate("SELECT 2.5E-7! f") == "SELECT factorial(2.5E-7) f"
+    assert translate("SELECT 1E+2! f") == "SELECT factorial(1E+2) f"
+    # an identifier ending in an exponent-like tail is NOT a literal
+    assert translate("SELECT x1e3! f") == "SELECT x1e3! f"
     assert translate("SELECT a! b") == "SELECT a! b"
     assert translate("SELECT a! FROM t") == "SELECT factorial(a) FROM t"
     assert translate("SELECT 5! + 3") == "SELECT factorial(5) + 3"

@@ -782,6 +782,116 @@ def test_multi_table_commit_two_phase_io_failure(engine, spark, monkeypatch):
         assert glob.glob(os.path.join(tdir, "manifest.*.tmp")) == []
 
 
+def test_two_phase_mid_rename_failure_keeps_first_table(
+    engine, spark, monkeypatch
+):
+    """A phase-2 failure BETWEEN tables (second table's finish_publish
+    raises) must leave the first table fully committed — its manifest
+    advanced and every file it references still on disk — while the
+    second table rolls back to its base version with temps, staged
+    segments and markers reclaimed (round-5 ADVICE: the mid-rename path
+    the rollback handler special-cases had no test)."""
+    _mk(engine, "p1")
+    _mk(engine, "p2")
+    real_finish = mf.finish_publish
+    calls = {"n": 0}
+
+    def flaky_finish(handle):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError(5, "Input/output error")
+        return real_finish(handle)
+
+    monkeypatch.setattr(mf, "finish_publish", flaky_finish)
+    engine.begin()
+    engine.insert("p1", spark.createDataFrame([(9, "x")], "a INT, b STRING"))
+    engine.insert("p2", spark.createDataFrame([(9, "y")], "a INT, b STRING"))
+    with pytest.raises(OSError):
+        engine.commit()
+    monkeypatch.undo()
+    # first table: committed, manifest consistent, segments survive
+    d1 = engine._table_dir("p1")
+    m1 = mf.read_manifest(d1)
+    assert m1["version"] == 2
+    for f in m1["files"]:
+        assert os.path.exists(f), f"published file rolled back: {f}"
+    assert engine.table("p1").count() == 3
+    assert glob.glob(os.path.join(d1, "*.staged")) == []
+    # second table: fully rolled back
+    d2 = engine._table_dir("p2")
+    assert mf.read_manifest(d2)["version"] == 1
+    assert engine.table("p2").count() == 2
+    assert glob.glob(os.path.join(d2, "*.staged")) == []
+    assert glob.glob(os.path.join(d2, "manifest.*.tmp")) == []
+    assert not os.path.exists(os.path.join(d2, "manifest.v2.json"))
+
+
+def test_two_phase_commit_point_is_last_rename(engine, spark, monkeypatch):
+    """finish_publish renames the version copy FIRST and manifest.json
+    (the commit point) LAST: a failure between the two renames must roll
+    back cleanly — base version intact, the stray manifest.vN.json
+    reaped, no temps — because nothing visible references the new
+    segments yet (round-5 ADVICE ordering fix)."""
+    _mk(engine, "cp")
+    real_rename = os.rename
+    state = {"failed": False}
+
+    def flaky_rename(src, dst):
+        if os.path.basename(dst) == "manifest.json" and not state["failed"]:
+            state["failed"] = True
+            raise OSError(5, "Input/output error")
+        return real_rename(src, dst)
+
+    engine.begin()
+    engine.insert("cp", spark.createDataFrame([(9, "x")], "a INT, b STRING"))
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(OSError):
+        engine.commit()
+    monkeypatch.undo()
+    tdir = engine._table_dir("cp")
+    assert state["failed"]
+    assert mf.read_manifest(tdir)["version"] == 1
+    assert engine.table("cp").count() == 2
+    # the already-renamed version copy was reaped with the temps
+    assert not os.path.exists(os.path.join(tdir, "manifest.v2.json"))
+    assert glob.glob(os.path.join(tdir, "manifest.*.tmp")) == []
+    assert glob.glob(os.path.join(tdir, "*.staged")) == []
+
+
+def test_two_phase_post_commit_point_failure_is_published(
+    engine, spark, monkeypatch
+):
+    """A failure AFTER the commit point (the table-dir fsync inside
+    finish_publish raises, after manifest.json already landed) must be
+    treated as PUBLISHED: the on-disk commit point — not an in-memory
+    progress list — decides, so rollback never deletes segments a live
+    manifest references (round-5 ADVICE corruption fix)."""
+    import stat as _stat
+
+    _mk(engine, "pp")
+    real_fsync = os.fsync
+
+    def dir_fsync_fails(fd):
+        if _stat.S_ISDIR(os.fstat(fd).st_mode):
+            raise OSError(5, "Input/output error")
+        return real_fsync(fd)
+
+    engine.begin()
+    engine.insert("pp", spark.createDataFrame([(9, "x")], "a INT, b STRING"))
+    monkeypatch.setattr(os, "fsync", dir_fsync_fails)
+    with pytest.raises(OSError):
+        engine.commit()
+    monkeypatch.undo()
+    tdir = engine._table_dir("pp")
+    m = mf.read_manifest(tdir)
+    assert m["version"] == 2  # commit point landed → published
+    for f in m["files"]:
+        assert os.path.exists(f), f"rollback deleted a committed file: {f}"
+    assert engine.table("pp").count() == 3
+    assert os.path.exists(os.path.join(tdir, "manifest.v2.json"))
+    assert glob.glob(os.path.join(tdir, "*.staged")) == []
+
+
 def test_merge_insert_only_counts_duplicate_source_rows(engine):
     """Insert-only MERGE appends EVERY unmatched source row; the
     `inserted` metric must count rows written, not distinct keys
