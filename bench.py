@@ -116,8 +116,21 @@ def main() -> None:
     warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name in names:
+        # Construction is timed separately: queries that checkpoint
+        # intermediates eagerly (iterative peels, shared sketch frames)
+        # do real cluster work HERE, once — folding it into the
+        # steady-state re-run timings would double-count it per rep,
+        # hiding it entirely would under-report the operator. Queries
+        # with lazy construction build in ~0 s and are omitted below.
+        tb = time.perf_counter()
         df = queries[name](spark, sf_dir)
+        build_s = time.perf_counter() - tb
+        # ≥1 s: below that it's first-touch parquet schema listing, not
+        # eager computation (measured 0.3-0.7 s per cold table)
+        if build_s >= 1.0:
+            builds[name] = round(build_s, 3)
         # steady-state: best-of-N with cache cleared between runs — run 1
         # pays codegen JIT; clearCache drops any persist() a query did
         # internally so later runs re-execute the whole plan. N is
@@ -146,6 +159,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # one-time eager-construction cost (checkpointed
+                # intermediates), for the queries where it is non-trivial
+                # — NOT included in `value`, which stays the steady-state
+                # re-execution total comparable across rounds
+                "build": builds,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -892,6 +892,54 @@ def test_two_phase_post_commit_point_failure_is_published(
     assert glob.glob(os.path.join(tdir, "*.staged")) == []
 
 
+@pytest.mark.parametrize("fail_at", list(range(1, 7)))
+def test_two_phase_rename_crash_sweep_every_index(
+    engine, spark, monkeypatch, fail_at
+):
+    """Exhaustive failure injection over phase 2: a 3-table commit
+    performs 6 renames (version copy + manifest.json per table); fail
+    each one in turn and assert the per-table atomicity invariant —
+    every table is EITHER fully at its base version with no strays OR
+    fully at the new version with every referenced file on disk. No
+    failure index may produce a manifest that references deleted
+    segments (the corruption class of the round-5 ADVICE) or leave
+    temps/markers behind."""
+    for t in ("s1", "s2", "s3"):
+        _mk(engine, t)
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == fail_at:
+            raise OSError(5, "Input/output error")
+        return real_rename(src, dst)
+
+    engine.begin()
+    for t in ("s1", "s2", "s3"):
+        engine.insert(
+            t, spark.createDataFrame([(9, t)], "a INT, b STRING")
+        )
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(OSError):
+        engine.commit()
+    monkeypatch.undo()
+    for t in ("s1", "s2", "s3"):
+        tdir = engine._table_dir(t)
+        m = mf.read_manifest(tdir)
+        assert m["version"] in (1, 2)
+        # whichever side of the commit point: every referenced file
+        # exists, reads work, and the row count matches the version
+        for f in m["files"]:
+            assert os.path.exists(f), f"{t}: manifest references {f}"
+        expected = 3 if m["version"] == 2 else 2
+        assert engine.table(t).count() == expected
+        assert glob.glob(os.path.join(tdir, "*.staged")) == []
+        assert glob.glob(os.path.join(tdir, "manifest.*.tmp")) == []
+        if m["version"] == 1:
+            assert not os.path.exists(os.path.join(tdir, "manifest.v2.json"))
+
+
 def test_merge_insert_only_counts_duplicate_source_rows(engine):
     """Insert-only MERGE appends EVERY unmatched source row; the
     `inserted` metric must count rows written, not distinct keys
