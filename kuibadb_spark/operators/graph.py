@@ -94,6 +94,21 @@ def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
 
+    # The converged label table was already materialized by the loop's
+    # convergence counts — checkpoint it so (a) every downstream
+    # consumer (this rollup, cluster verdicts, representatives) starts
+    # from the materialized RDD instead of re-deriving the edge
+    # pipeline + all rounds on re-execution (the DESIGN #30 class: the
+    # persists above are orphaned by any clearCache between actions),
+    # and (b) the loop-pinned frames can be RELEASED — edges/sym/last
+    # stepped previously stayed persisted for the session's lifetime,
+    # an executor-memory leak of one edge table + one label table per
+    # CC invocation.
+    labels = labels.localCheckpoint(eager=True)
+    pinned.unpersist()
+    sym.unpersist()
+    edges.unpersist()
+
     return (
         labels.groupBy("label")
         .agg(
