@@ -1,0 +1,72 @@
+"""Orphaned-persist detector (the DESIGN.md #30/#33 class).
+
+    python tools/cachecheck.py [sf_dir]
+
+A query that `persist()`s an intermediate consumed across separate
+actions is a latent cliff: any `clearCache()` between actions drops the
+cache entry while the plan keeps its InMemoryRelation, so EVERY later
+execution silently recomputes the producer once per consumer subtree —
+dedup_bbit_minhash measured 16 s/run (vs 0.5 s) and
+dedup_connected_components 3.2 s/run (vs 0.2 s) before their round-5
+fixes. The fix is an eager localCheckpoint at build time (re-executions
+start from the materialized RDD, immune to clearCache).
+
+For every bench headliner this tool measures the steady-state run
+BEFORE any clearCache (warm: internal persists live) and AFTER a
+clearCache (cold: persists orphaned), and flags ratios > 2× with both
+times. Run after adding any query that persists internally.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from kuibadb_spark import registry  # noqa: E402
+from kuibadb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import bench
+
+    spark = get_spark("cachecheck")
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    qs = registry.all_queries()
+    names = [n for n in bench.HEADLINE if n in qs]
+    flagged = []
+    print(f"{'query':34s} {'warm':>7} {'cold':>7} {'ratio':>6}")
+    for n in names:
+        df = qs[n](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # materialize
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        warm = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        # two cold runs, best-of: the first may repopulate caches
+        cold = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            cold = min(cold, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        ratio = cold / max(warm, 1e-9)
+        mark = ""
+        # sub-second noise is not a cliff; flag real recompute blowups
+        if ratio > 2.0 and cold - warm > 1.0:
+            flagged.append((n, warm, cold, ratio))
+            mark = "  <-- orphaned persist?"
+        print(f"{n:34s} {warm:7.2f} {cold:7.2f} {ratio:6.1f}{mark}")
+    if flagged:
+        print(f"cachecheck: {len(flagged)} flagged")
+        return 1
+    print(f"cachecheck: {len(names)} headliners clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
