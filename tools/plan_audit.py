@@ -26,12 +26,24 @@ CONSTANT regardless of corpus size):
 
 A NEW query acquiring a BNLJ must either justify itself here or
 restructure to an equi-join.
+
+Round-5 addition: the audit also flags GLOBAL (partition-less) Window
+nodes with no limit below them — `Window.orderBy(...)` without a
+partitionBy moves EVERY input row to one task to sort it, the top-k
+anti-pattern of DESIGN.md #29. A global window is legitimate only when
+its input is bounded by something other than data volume; every such
+site is whitelisted in GLOBAL_WINDOW_OK with its boundedness argument.
+A NEW query acquiring one must either justify itself there or
+restructure (partitioned window + per-partition prefix carry, the
+ev_peak_concurrency two-level scan; or value-block histograms, the
+ev_lorenz_deciles form; or orderBy().limit(k) = TakeOrderedAndProject).
 """
 
 from __future__ import annotations
 
 import contextlib
 import io
+import re
 import sys
 from pathlib import Path
 
@@ -87,6 +99,100 @@ BNLJ_OK = {
     "ev_retention_halflife",     # 1-row cohort-size cross for the rates
 }
 
+# Global (partition-less) windows whose INPUT is bounded by something
+# other than data volume — audited by hand round 5 (the winscan sweep).
+# Four bounding classes:
+#   [hist]  value-block histogram: window over DISTINCT metric values,
+#           never rows (the profile_outlier_iqr rewrite's design)
+#   [time]  calendar-bounded: one row per day/hour bucket of the span
+#   [dom]   small fixed domain: event types / strata / states / fixed
+#           query set / quantile targets
+#   [ent]   entity-level aggregate with an explicit docstring mitigation
+#           for extreme entity cardinality (two-pass distributed rank or
+#           value-boundary quantiles) — acceptable at fixture shape
+GLOBAL_WINDOW_OK = {
+    "agg_histogram_quantiles":   "[hist] cumulative brackets over distinct values",
+    "ev_cumulative_unique_users": "[time] daily first-seen timeline",
+    "ev_error_budget_burn":      "[time] daily burn series",
+    "ev_holm_bonferroni":        "[dom] one row per tested hypothesis (event type)",
+    "ev_lorenz_deciles":         "[hist] activity-value blocks, never users",
+    "ev_markov_stationary":      "[dom] state space = event types",
+    "ev_peak_concurrency":       "[time] cross-bucket carry over per-hour totals (720 rows at sf0.1)",
+    "stream_peak_concurrency":   "[time] same two-level scan, streaming twin",
+    "ev_stratified_ate":         "[dom] one row per stratum",
+    "ev_survival_km":            "[hist] KM product over distinct durations",
+    "ev_time_to_convert":        "[hist] delay distribution over distinct bucketed delays",
+    "ev_wilson_lower_bound":     "[dom] one row per event type",
+    "sample_stratified_neyman":  "[dom] one row per stratum",
+    "sim_rrf_fusion":            "[dom] fixed query set × k candidates",
+    "ts_changepoint_cusum":      "[time] daily series scan",
+    "ts_lttb_downsample":        "[time] fixed bucket count",
+    "ts_seasonal_decompose":     "[time] daily series",
+    "w_pareto_abc":              "[ent] part-level rollup; histogram-bracket form documented for extreme cardinality",
+    "rfm_segmentation":          "[ent] customer-level ntile; two-pass rank documented for extreme cardinality",
+}
+
+_BOUND_BELOW = re.compile(
+    r"TakeOrderedAndProject|GlobalLimit|CollectLimit|LocalLimit|WindowGroupLimit"
+)
+
+
+def _tree_nodes(txt: str) -> list[tuple[int, str, int]]:
+    """(indent, node_name, node_id) for each line of the plan tree —
+    a node can appear several times when exchanges are reused."""
+    out = []
+    for line in txt.splitlines():
+        m = re.search(r"([A-Za-z][A-Za-z0-9]*) \((\d+)\)\s*$", line)
+        if not m:
+            continue
+        indent = max(line.find("+-"), line.find(":-"))
+        if indent < 0:
+            indent = len(line) - len(line.lstrip())
+        out.append((indent, m.group(1), int(m.group(2))))
+    return out
+
+
+def _global_window_ids(txt: str) -> set[int]:
+    """Window node ids whose windowspecdefinition has NO partition
+    columns (the first spec argument already carries a sort direction).
+    WindowGroupLimit blocks (partitioned top-k, the GOOD pattern) are
+    excluded."""
+    ids: set[int] = set()
+    blocks = re.split(r"\n\((\d+)\) ", txt)
+    for i in range(1, len(blocks) - 1, 2):
+        nid, body = int(blocks[i]), blocks[i + 1]
+        if not re.match(r"Window\b(?!GroupLimit)", body):
+            continue
+        m = re.search(r"windowspecdefinition\(([^,)]+)", body)
+        if m is None or re.search(r"\b(ASC|DESC)\b", m.group(1) + " "):
+            ids.add(nid)
+    return ids
+
+
+def _unbounded_global_windows(txt: str) -> list[int]:
+    """Global windows with no limit anywhere below them in the tree."""
+    gids = _global_window_ids(txt)
+    if not gids:
+        return []
+    nodes = _tree_nodes(txt)
+    bad = []
+    for gid in gids:
+        bounded = False
+        for k, (ind0, _, nid) in enumerate(nodes):
+            if nid != gid:
+                continue
+            for j in range(k + 1, len(nodes)):
+                if nodes[j][0] <= ind0:
+                    break
+                if _BOUND_BELOW.search(nodes[j][1]):
+                    bounded = True
+                    break
+            if bounded:
+                break
+        if not bounded:
+            bad.append(gid)
+    return bad
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -107,6 +213,12 @@ def main() -> int:
             bad.append((n, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in txt and n not in BNLJ_OK:
             bad.append((n, "unwhitelisted BroadcastNestedLoopJoin"))
+        if n not in GLOBAL_WINDOW_OK:
+            glb = _unbounded_global_windows(txt)
+            if glb:
+                bad.append(
+                    (n, f"unwhitelisted global window (nodes {glb})")
+                )
     for n, why in bad:
         print(f"FAIL {n}: {why}")
     print(f"plan audit: {len(qs)} queries, {len(bad)} flagged")
