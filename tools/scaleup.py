@@ -54,6 +54,11 @@ REP = [
     "graph_pagerank", "text_unigram_surprisal", "text_dsir_importance",
     "asof_purchase_last_view", "w_ranking_parts", "agg_cube",
     "text_line_dedup", "mm_dedup_binary",
+    # round-5 additions: representatives of families graded green in
+    # rounds 4-5, so the standing ×10 regression re-run guards them too
+    "dedup_connected_components", "mm_ahash_near_dup",
+    "agg_approx_sketches", "sim_semdedup_clusters",
+    "graph_kcore", "ev_survival_km",
 ]
 
 
