@@ -251,8 +251,17 @@ def mm_watermark_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("length(hx) >= 64")
         .selectExpr(
             "doc_id",
-            "explode(transform(sequence(0, (length(hx) DIV 64) - 1),"
-            " t -> md5(substring(hx, t * 64 + 1, 64)))) AS tile_hash",
+            # let-bind the char array (transform(array(...), hc -> …)
+            # evaluates split ONCE per row however Catalyst collapses
+            # projections — the mm_ahash_near_dup binding trick), then
+            # each tile is an O(64) slice+concat. The plain spelling
+            # md5(substring(hx, t*64+1, 64)) re-walks the hex string
+            # from position 0 per tile — O(len²/32) per payload, the
+            # round-5 quadratic-extraction class on the tile axis.
+            "explode(element_at(transform(array(split(hx, '')), hc ->"
+            " transform(sequence(0, (size(hc) DIV 64) - 1),"
+            "  t -> md5(concat_ws('', slice(hc, t * 64 + 1, 64))))), 1))"
+            " AS tile_hash",
         )
     )
     shared = (

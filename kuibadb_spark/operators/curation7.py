@@ -881,7 +881,10 @@ def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = (
         _payloads(spark, sf_dir)
         .filter("doc_id < 100 AND octet_length(payload) >= 64")
-        .selectExpr("doc_id", "hex(payload) AS hx")
+        # hex only the 64 input bytes: hexing the WHOLE payload and
+        # carrying it through the 64-row explode + basis joins ships
+        # payload-sized strings per pixel row for a fixed 128-char need
+        .selectExpr("doc_id", "hex(substring(payload, 1, 64)) AS hx")
         .selectExpr("doc_id", "hx", "explode(sequence(0, 63)) AS k")
         .selectExpr(
             "doc_id", "CAST(k DIV 8 AS INT) AS x", "CAST(k % 8 AS INT) AS y",
@@ -975,9 +978,11 @@ def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     insertion early in a payload re-chunks only its neighborhood, unlike
     fixed-size chunking which shifts every later block. Chunks dedup by
     md5 across the corpus; output is the per-format dedup scorecard
-    (distinct/total chunks, dup ratio, mean chunk length). Work is one
-    explode per payload byte — linear in corpus bytes, exactly like the
-    real algorithm — then one window (per-doc lag) and one groupBy."""
+    (distinct/total chunks, dup ratio, mean chunk length). The boundary
+    scan and chunk hashing are ROW-LOCAL lambdas over the payload's
+    char array — linear in corpus bytes, exactly like the real
+    algorithm; the only explode emits one row per CHUNK, then one
+    groupBy. The payload itself never fans out or shuffles."""
     from kuibadb_spark.operators.multimodal import _payloads
 
     p = (
@@ -986,21 +991,41 @@ def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", "fmt", "hex(payload) AS hx",
                     "octet_length(payload) AS n")
     )
-    content_cuts = p.selectExpr(
-        "doc_id", "fmt", "hx", "n",
-        "explode(sequence(8, n)) AS i",
-    ).filter(
-        f"i = n OR CAST(conv(substring(md5(substring(hx, 2 * i - 15, 16)),"
-        f" 1, 4), 16, 10) AS INT) % {_CDC_MASK} = 0"
-    ).select("doc_id", "fmt", "hx", "i").distinct()
-    wlag = W.partitionBy("doc_id").orderBy("i")
-    chunks = content_cuts.select(
-        "doc_id", "fmt", "hx", F.col("i").alias("cut"),
-        F.coalesce(F.lag("i").over(wlag), F.lit(0)).alias("prev"),
-    ).selectExpr(
+    # Entirely ROW-LOCAL: boundary scan and chunk hashing happen inside
+    # nested let-bound lambdas (transform(array(...), v -> …) — each
+    # binding evaluates once per row regardless of how Catalyst
+    # collapses projections), and the ONLY explode emits the final
+    # (chunk_len, chunk_hash) structs. The first cut exploded every
+    # byte POSITION as a row carrying the full hex string — O(len)
+    # payload copies per doc shuffled around — and its per-position
+    # `substring(hx, 2i-15, 16)` re-walked the string from 0, O(len²)
+    # compute on the payload-length axis (the round-5 quadratic-
+    # extraction class). Here the char array is split once, each
+    # window is an O(16) slice, each chunk an O(chunk) slice:
+    # O(len·16) per doc, O(len/32) output rows, payload never leaves
+    # the row.
+    chunks = p.selectExpr(
         "fmt",
-        "cut - prev AS chunk_len",
-        "md5(substring(hx, 2 * prev + 1, 2 * (cut - prev))) AS chunk_hash",
+        "explode(element_at(transform(array(split(hx, '')), s ->"
+        " element_at(transform(array("
+        "  filter(transform(sequence(8, n), i ->"
+        "   CASE WHEN i = n OR CAST(conv(substring("
+        "    md5(concat_ws('', slice(s, 2 * i - 15, 16))),"
+        f"   1, 4), 16, 10) AS INT) % {_CDC_MASK} = 0 THEN i END),"
+        "   x -> x IS NOT NULL)"
+        " ), cuts ->"
+        "  transform(sequence(1, size(cuts)), j ->"
+        "   struct("
+        "    element_at(cuts, j)"
+        "     - IF(j = 1, 0, element_at(cuts, j - 1)) AS chunk_len,"
+        "    md5(concat_ws('', slice(s,"
+        "     2 * IF(j = 1, 0, element_at(cuts, j - 1)) + 1,"
+        "     2 * (element_at(cuts, j)"
+        "          - IF(j = 1, 0, element_at(cuts, j - 1))))))"
+        "     AS chunk_hash))"
+        " ), 1)), 1)) AS ch",
+    ).selectExpr(
+        "fmt", "ch.chunk_len AS chunk_len", "ch.chunk_hash AS chunk_hash"
     )
     return (
         chunks.groupBy("fmt")

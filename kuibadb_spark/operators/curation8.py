@@ -664,8 +664,12 @@ def mm_shot_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.filter(F.col("doc_id") < 50)
         .selectExpr(
             "doc_id",
-            "transform(sequence(1, length(CAST(payload AS STRING))),"
-            " i -> ascii(substring(CAST(payload AS STRING), i, 1))) AS s",
+            # split('')+ascii is O(len); the sequence+substring(s,i,1)
+            # spelling re-walks the string to i per sample — O(len^2) in
+            # payload length, the axis that grows at multimodal scale
+            # (mm_silence_runs measured the swap at 175 s -> 29.5 s x100)
+            "transform(split(CAST(payload AS STRING), ''), c -> ascii(c))"
+            " AS s",
         )
         .filter(F.expr("size(s) >= 64"))
         .selectExpr(

@@ -650,9 +650,11 @@ def mm_audio_gain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("doc_id < 200")
         .selectExpr(
             "doc_id", "fmt",
-            "transform(sequence(1, length(CAST(payload AS STRING))),"
-            " i -> ascii(substring(CAST(payload AS STRING), i, 1)) - 128)"
-            " AS s",
+            # split('')+ascii is O(len); sequence+substring(s,i,1)
+            # re-walks to i per sample — O(len^2) in payload length (see
+            # mm_silence_runs' measured swap, 175 s -> 29.5 s at x100)
+            "transform(split(CAST(payload AS STRING), ''),"
+            " c -> ascii(c) - 128) AS s",
         )
         .filter(F.expr("size(s) >= 1"))
     )
