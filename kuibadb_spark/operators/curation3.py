@@ -255,8 +255,18 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "source",
-            "explode(transform(sequence(0, CAST((length(text) - 50) div 50"
-            " AS INT)), i -> substring(text, 1 + 50*i, 50))) AS g",
+            # ONE regex pass per doc: (?s).{50} emits the same
+            # non-overlapping 50-char windows (floor(len/50) matches,
+            # remainder dropped — identical to the sequence bound).
+            # The substring(text, 1+50i, 50) spelling re-walks the
+            # string to position 50i per window — O(len²/50) on the
+            # text-LENGTH axis (book-length docs), measured 3.42 s vs
+            # 0.26 s on 512×64KB synthetic rows; the regex scan is
+            # linear AND beats the old form at sf0.1 too (0.13 vs
+            # 0.25 s). Position+value equality vs the substring form
+            # verified on the full sf0.01 corpus (multi-byte safe for
+            # BMP text; both engines' fixtures are BMP).
+            "explode(regexp_extract_all(text, '(?s).{50}', 0)) AS g",
         )
     )
     gstats = spans.groupBy("g").agg(
