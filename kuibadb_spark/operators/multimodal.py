@@ -142,20 +142,40 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split each payload into fixed 32-byte 'frames', keep every 4th —
     the sampling shape of video frame extraction, on opaque bytes."""
     p = _payloads(spark, sf_dir)
-    frames = p.selectExpr(
+    # Row-local extraction over a let-bound char array: the first cut
+    # exploded frame indices CARRYING the whole payload per row
+    # (O(len²/128) fan-out bytes) and then re-walked the string with
+    # substr(s, f*32+1, 32) per frame (O(position) each) — both axes
+    # quadratic in payload LENGTH, the round-5 extraction class. Here
+    # split('') runs once per row, each frame is an O(32) slice, the
+    # stepped sequence(0, N-1, 4) IS the every-4th filter, and the
+    # explode emits only (frame_idx, frame_hash). Frame COUNT stays
+    # ceil(octet_length/32) with CHAR extraction — identical to the old
+    # form (slice past the char end yields the same ''/short tails the
+    # oracle sees).
+    # octet_length > 0: the old sequence(0, -1) emitted NO frames for an
+    # empty payload; the stepped spelling's div-truncation would emit one
+    frames = p.filter(
+        (F.col("doc_id") < 100) & F.expr("octet_length(payload) > 0")
+    ).selectExpr(
         "doc_id",
-        "octet_length(payload) AS n_bytes",
-        "explode(sequence(0, CAST(ceil(octet_length(payload) / 32.0) AS INT) - 1))"
-        " AS frame_idx",
-        "payload",
-    ).filter(F.expr("frame_idx % 4 = 0"))
+        "explode(element_at(transform(array("
+        " split(CAST(payload AS STRING), '')"
+        "), pc -> transform("
+        " sequence(0, (CAST(ceil(octet_length(payload) / 32.0) AS INT) - 1)"
+        "  div 4 * 4, 4),"
+        # CAST: div yields BIGINT, but the old explode(sequence(int))
+        # spelling produced INT frame_idx — keep the audited type
+        " f -> struct(CAST(f AS INT) AS frame_idx,"
+        "  md5(concat_ws('', slice(pc, f * 32 + 1, 32))) AS frame_hash))"
+        "), 1)) AS fr",
+    )
     return (
-        frames.selectExpr(
+        frames.select(
             "doc_id",
-            "frame_idx",
-            "md5(substr(CAST(payload AS STRING), frame_idx * 32 + 1, 32)) AS frame_hash",
+            F.col("fr.frame_idx").alias("frame_idx"),
+            F.col("fr.frame_hash").alias("frame_hash"),
         )
-        .filter(F.col("doc_id") < 100)
         .orderBy("doc_id", "frame_idx")
     )
 
