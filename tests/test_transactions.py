@@ -940,6 +940,61 @@ def test_two_phase_rename_crash_sweep_every_index(
             assert not os.path.exists(os.path.join(tdir, "manifest.v2.json"))
 
 
+def test_opposite_order_multi_table_commits_no_deadlock(engine, spark):
+    """Two committers touching the SAME two tables in OPPOSITE order
+    must never deadlock: multi_commit_lock acquires in sorted-path
+    order regardless of touch order. Each round, both either commit or
+    lose the optimistic version race (SerializationFailure) — and the
+    surviving state is consistent (every manifest-referenced file
+    exists, row counts match the version lineage)."""
+    import threading
+
+    from kuibadb_spark.engine import Engine
+
+    _mk(engine, "da")
+    _mk(engine, "db")
+    errors: list = []
+    results = {"a": 0, "b": 0, "sf": 0}
+
+    def committer(tag, order):
+        eng = Engine(spark, warehouse=engine.warehouse)
+        for k in range(4):
+            eng.begin()
+            try:
+                for t in order:
+                    eng.insert(t, spark.createDataFrame(
+                        [(100 + k, tag)], "a INT, b STRING"))
+                eng.commit()
+                results[tag] += 1
+            except SerializationFailure:
+                results["sf"] += 1
+            except Exception as e:  # pragma: no cover - fail loudly
+                errors.append((tag, e))
+                return
+
+    ta = threading.Thread(
+        target=committer, args=("a", ("da", "db")), daemon=True)
+    tb = threading.Thread(
+        target=committer, args=("b", ("db", "da")), daemon=True)
+    ta.start()
+    tb.start()
+    ta.join(timeout=120)
+    tb.join(timeout=120)
+    assert not ta.is_alive() and not tb.is_alive(), "deadlocked"
+    assert errors == []
+    # every successful commit added one row to EACH table; rollbacks none
+    n_ok = results["a"] + results["b"]
+    assert n_ok >= 1  # the two can't both lose every round
+    for t in ("da", "db"):
+        tdir = engine._table_dir(t)
+        m = mf.read_manifest(tdir)
+        for f in m["files"]:
+            assert os.path.exists(f)
+        assert engine.table(t).count() == 2 + n_ok
+        assert m["version"] == 1 + n_ok
+        assert glob.glob(os.path.join(tdir, "manifest.*.tmp")) == []
+
+
 def test_merge_insert_only_counts_duplicate_source_rows(engine):
     """Insert-only MERGE appends EVERY unmatched source row; the
     `inserted` metric must count rows written, not distinct keys
