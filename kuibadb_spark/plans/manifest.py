@@ -295,17 +295,25 @@ def trim_versions(table_dir: str, keep: int) -> int:
 
 def _persist(table_dir: str, m: dict) -> None:
     # temp file + fsync + rename + dir fsync (reference src/utils.rs:287-301);
-    # unique tmp name: concurrent committers must never share a temp path
-    tmp = manifest_path(table_dir) + f".{uuid.uuid4().hex[:8]}.tmp"
+    # unique tmp name: concurrent committers must never share a temp path.
+    # The time-travel version copy lands BEFORE the manifest.json rename
+    # (same tmp+fsync+rename pattern): the commit point must be the LAST
+    # rename (DESIGN.md #31) — the old order could leave a live version
+    # with a missing or torn manifest.vN.json if interrupted between the
+    # two writes, while a stray manifest.vN.json with no manifest.json at
+    # N is inert.
+    token = uuid.uuid4().hex[:8]
     m["crc32"] = _payload_crc(m)
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
+    vpath = os.path.join(table_dir, f"manifest.v{m['version']}.json")
+    vtmp = vpath + f".{token}.tmp"
+    tmp = manifest_path(table_dir) + f".{token}.tmp"
+    for p in (vtmp, tmp):
+        with open(p, "w") as f:
+            json.dump(m, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+    os.rename(vtmp, vpath)
     os.rename(tmp, manifest_path(table_dir))
-    # retain a per-version copy for time travel (cheap: metadata only)
-    with open(os.path.join(table_dir, f"manifest.v{m['version']}.json"), "w") as f:
-        json.dump(m, f, indent=1)
     dfd = os.open(table_dir, os.O_RDONLY)
     try:
         os.fsync(dfd)
