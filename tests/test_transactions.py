@@ -940,6 +940,44 @@ def test_two_phase_rename_crash_sweep_every_index(
             assert not os.path.exists(os.path.join(tdir, "manifest.v2.json"))
 
 
+def test_autocommit_persist_commit_point_is_last_rename(
+    engine, spark, monkeypatch
+):
+    """_persist (single-table autocommit) mirrors finish_publish's
+    ordering: the time-travel copy lands via fsync'd temp + rename
+    BEFORE the manifest.json rename. A failure between the two must
+    leave the table fully at its base version and readable; the stray
+    version copy is inert and the NEXT successful commit overwrites it
+    with the real version-2 manifest."""
+    _mk(engine, "ap")
+    real_rename = os.rename
+    state = {"failed": False}
+
+    def flaky_rename(src, dst):
+        if os.path.basename(dst) == "manifest.json" and not state["failed"]:
+            state["failed"] = True
+            raise OSError(5, "Input/output error")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(OSError):
+        engine.insert(
+            "ap", spark.createDataFrame([(9, "x")], "a INT, b STRING")
+        )
+    monkeypatch.undo()
+    tdir = engine._table_dir("ap")
+    assert state["failed"]
+    assert mf.read_manifest(tdir)["version"] == 1
+    assert engine.table("ap").count() == 2
+    # recovery: the next commit publishes v2 over any stray copy, and
+    # the time-travel copy matches the live manifest exactly
+    engine.insert("ap", spark.createDataFrame([(7, "y")], "a INT, b STRING"))
+    live = mf.read_manifest(tdir)
+    assert live["version"] == 2
+    assert engine.table("ap").count() == 3
+    assert mf.read_manifest_version(tdir, 2)["files"] == live["files"]
+
+
 def test_opposite_order_multi_table_commits_no_deadlock(engine, spark):
     """Two committers touching the SAME two tables in OPPOSITE order
     must never deadlock: multi_commit_lock acquires in sorted-path
