@@ -1556,6 +1556,23 @@ class Engine:
                 if now - os.path.getmtime(p) >= retention:
                     os.remove(p)
                     removed += 1
+        # FUTURE-version manifest copies (N > the live manifest's
+        # version) are strays from failed commits: the time-travel copy
+        # lands BEFORE the commit-point rename (DESIGN.md #31 ordering),
+        # so an abort mid-phase-2 can leave one behind. Inert (no
+        # manifest.json points at N) and overwritten by the next commit
+        # of version N — but a crashed committer's stray would otherwise
+        # sit forever; reap on the same age rule. Fresh ones may belong
+        # to an IN-FLIGHT phase-2 and are left alone.
+        cur = mf.read_manifest(tdir)["version"]
+        for f in os.listdir(tdir):
+            m_v = re.fullmatch(r"manifest\.v(\d+)\.json", f)
+            if not m_v or int(m_v.group(1)) <= cur:
+                continue
+            p = os.path.join(tdir, f)
+            if now - os.path.getmtime(p) >= retention:
+                os.remove(p)
+                removed += 1
         removed += mf.trim_versions(tdir, keep_versions)
         return removed
 

@@ -978,6 +978,26 @@ def test_autocommit_persist_commit_point_is_last_rename(
     assert mf.read_manifest_version(tdir, 2)["files"] == live["files"]
 
 
+def test_gc_reaps_future_version_manifest_stray(engine):
+    """A crashed committer can leave a fully-renamed manifest.vN.json
+    with N beyond the live version (the copy lands before the commit
+    point). gc reaps it on the staged-retention age rule; fresh ones
+    (possibly an in-flight phase 2) and past/current copies are kept."""
+    _mk(engine, "fv")
+    tdir = engine._table_dir("fv")
+    stray = os.path.join(tdir, "manifest.v9.json")
+    with open(stray, "w") as f:
+        f.write("{}")
+    engine.gc("fv")  # fresh: kept (could be an in-flight commit)
+    assert os.path.exists(stray)
+    engine.gc("fv", staged_retention_s=0)  # aged out: reaped
+    assert not os.path.exists(stray)
+    # the real current + past copies survive (create=v0, insert=v1)
+    assert os.path.exists(os.path.join(tdir, "manifest.v1.json"))
+    assert os.path.exists(os.path.join(tdir, "manifest.v0.json"))
+    assert engine.table("fv").count() == 2
+
+
 def test_opposite_order_multi_table_commits_no_deadlock(engine, spark):
     """Two committers touching the SAME two tables in OPPOSITE order
     must never deadlock: multi_commit_lock acquires in sorted-path
