@@ -550,34 +550,59 @@ class Engine:
         # no data blocks. Any failure rolls the whole transaction back and
         # reclaims staged segments for every table not yet renamed.
         prepared: list[tuple[str, dict]] = []
+        published = False
+        handled = False
         try:
             with mf.multi_commit_lock(dirs.values()):
-                for key, st in dirty.items():
-                    prepared.append((key, mf.prepare_publish(
-                        dirs[key], st["manifest"], st["base_version"]
-                    )))
-                for key, handle in prepared:
-                    mf.finish_publish(handle)
+                try:
+                    for key, st in dirty.items():
+                        prepared.append((key, mf.prepare_publish(
+                            dirs[key], st["manifest"], st["base_version"]
+                        )))
+                    for key, handle in prepared:
+                        mf.finish_publish(handle)
+                    published = True
+                except Exception:
+                    # prepare failure (version moved, or I/O writing a
+                    # temp) → nothing published, discard temps + reclaim
+                    # everything; a failure mid-phase-2 reclaims only the
+                    # UNpublished tables' segments — published manifests
+                    # already reference theirs, deleting those would
+                    # corrupt the table. Published-ness is decided by the
+                    # ON-DISK commit point (publish_landed), not an
+                    # in-memory progress list: finish_publish can fail
+                    # AFTER its manifest.json rename (in the dir fsync),
+                    # and that table is committed even though the loop
+                    # never finished. This handler MUST run while the
+                    # commit locks are still held (round-5 ADVICE): with
+                    # the locks released first, a concurrent committer
+                    # could advance a landed table N → N+1 before
+                    # publish_landed reads it, misclassifying a COMMITTED
+                    # table as unpublished — abort_publish would then
+                    # delete manifest.vN.json and _discard_segs would
+                    # delete segments the live manifest references.
+                    handled = True
+                    landed = {
+                        key for key, handle in prepared
+                        if mf.publish_landed(handle)
+                    }
+                    for key, handle in prepared:
+                        if key not in landed:
+                            mf.abort_publish(handle)
+                    self._discard_segs(
+                        {k: v for k, v in dirty.items() if k not in landed}
+                    )
+                    self._unmark_segs({k: dirty[k] for k in landed})
+                    raise
         except Exception:
-            # prepare failure (version moved, or I/O writing a temp) →
-            # nothing published, discard temps + reclaim everything; a
-            # failure mid-phase-2 reclaims only the UNpublished tables'
-            # segments — published manifests already reference theirs,
-            # deleting those would corrupt the table. Published-ness is
-            # decided by the ON-DISK commit point (publish_landed), not
-            # an in-memory progress list: finish_publish can fail AFTER
-            # its manifest.json rename (in the dir fsync), and that
-            # table is committed even though the loop never finished.
-            landed = {
-                key for key, handle in prepared if mf.publish_landed(handle)
-            }
-            for key, handle in prepared:
-                if key not in landed:
-                    mf.abort_publish(handle)
-            self._discard_segs(
-                {k: v for k, v in dirty.items() if k not in landed}
-            )
-            self._unmark_segs({k: dirty[k] for k in landed})
+            if not handled and not published:
+                # lock ACQUISITION failed (I/O on a .commit.lock):
+                # nothing was prepared or published — plain rollback. A
+                # lock-RELEASE failure after a successful publish takes
+                # the published=True path instead: segments stay (the
+                # live manifests reference them); only their .staged
+                # markers linger for gc to age out.
+                self._discard_segs(dirty)
             raise
         self._unmark_segs(dirty)
 
@@ -1495,10 +1520,34 @@ class Engine:
         would delete them and the owner's later COMMIT would publish a
         manifest pointing at vanished parquet — silent corruption.
         Markers older than the retention window are crashed-transaction
-        leftovers and are reclaimed with their dirs."""
+        leftovers and are reclaimed with their dirs.
+
+        The whole reclaim runs under the table's COMMIT LOCK (round-6
+        ADVICE, widened to the data loop): a committer holds the lock
+        across its entire prepare+rename window, so with gc serialized
+        behind it nothing gc sees can belong to an IN-FLIGHT commit —
+        even `staged_retention_s=0` (an explicit "reclaim every
+        uncommitted leftover NOW") cannot reap the version copy a
+        committer has renamed but not yet pointed manifest.json at, nor
+        the staged parquet a commit microseconds from landing
+        references. The lock does NOT protect an open transaction's
+        staged segments in another session (staging takes no lock);
+        those are exactly what the marker age rule is for, and
+        retention=0 reclaiming them is the documented crash≡rollback
+        semantics."""
         retention = (self.GC_STAGED_RETENTION_S
                      if staged_retention_s is None else staged_retention_s)
         tdir = self._table_dir(name)
+        with mf.commit_lock(tdir):
+            return self._gc_locked(name, tdir, keep_versions, retention)
+
+    def _gc_locked(self, name: str, tdir: str, keep_versions: int,
+                   retention: float) -> int:
+        # `live` is read INSIDE the lock: a commit landing just before
+        # gc acquired it may have published files whose .staged markers
+        # are not yet unmarked (commit drops markers after releasing the
+        # lock) — a pre-lock snapshot would miss those files and reap
+        # committed data under retention=0.
         live = set(mf.read_manifest(tdir)["files"])
         if self._txn is not None and name.lower() in self._txn:
             # files staged by the open transaction are not yet in the
@@ -1549,7 +1598,11 @@ class Engine:
         # crashed committers can strand manifest temp files (written but
         # never renamed — the rename is the commit point, so they are
         # garbage by construction), both manifest.json.*.tmp and the
-        # two-phase prepare's manifest.vN.json.*.tmp; reap on the age rule
+        # two-phase prepare's manifest.vN.json.*.tmp; reap on the age
+        # rule (under the held commit lock, anything seen here is from a
+        # crashed — not in-flight — committer; the age rule remains as
+        # defense in depth for other-process committers that died
+        # holding, and therefore released, their flock)
         for f in os.listdir(tdir):
             if f.endswith(".tmp") and f.startswith("manifest."):
                 p = os.path.join(tdir, f)
@@ -1562,8 +1615,11 @@ class Engine:
         # so an abort mid-phase-2 can leave one behind. Inert (no
         # manifest.json points at N) and overwritten by the next commit
         # of version N — but a crashed committer's stray would otherwise
-        # sit forever; reap on the same age rule. Fresh ones may belong
-        # to an IN-FLIGHT phase-2 and are left alone.
+        # sit forever; reap on the same age rule. Under the held commit
+        # lock no committer can be sitting between its renames, so a
+        # future copy here is never an in-flight phase 2 from THIS
+        # process (round-6 ADVICE: gc(staged_retention_s=0) racing a
+        # concurrent commit must not eat the in-flight version copy).
         cur = mf.read_manifest(tdir)["version"]
         for f in os.listdir(tdir):
             m_v = re.fullmatch(r"manifest\.v(\d+)\.json", f)

@@ -235,8 +235,13 @@ def translate(sql: str) -> str:
             # `2.5E-7!`: _start_of_primary stops at the exponent's sign,
             # leaving only the trailing digits as the operand — widen
             # leftwards over `<mantissa>[eE][+-]` so the whole literal
-            # rebinds (round-5 ADVICE)
-            m_exp = re.search(r"(?:\d+(?:\.\d*)?|\.\d+)[eE][+-]$", prev[:start])
+            # rebinds (round-5 ADVICE). The lookbehind rejects matches
+            # whose "mantissa" is the tail of an identifier (`x2e+7!` is
+            # column x2e plus factorial(7), not a widened literal —
+            # round-6 ADVICE).
+            m_exp = re.search(
+                r"(?<![\w.])(?:\d+(?:\.\d*)?|\.\d+)[eE][+-]$", prev[:start]
+            )
             if m_exp and re.fullmatch(r"\d+", operand or ""):
                 start = m_exp.start()
                 operand = prev[start:].strip()

@@ -225,7 +225,17 @@ def publish_landed(handle: dict) -> bool:
         live = read_manifest(handle["table_dir"])
     except Exception:
         return False  # unreadable/missing manifest.json: pre-commit-point
-    return live.get("version") == handle["manifest"]["version"]
+    # `>=`, not `==`: under the commit locks (the only sanctioned caller
+    # context) they are equivalent — no concurrent committer can advance
+    # the version while the handle's owner holds the lock. But if a
+    # caller ever consults a handle AFTER releasing the locks, a live
+    # version PAST the handle's means some commit of that version landed
+    # (ours, or a concurrent one at the same base): either way,
+    # manifest.v{N}.json and the live file set may belong to committed
+    # state, so the only safe answer is "landed — delete nothing"
+    # (round-5 ADVICE). The cost of a misclassified not-ours commit is a
+    # leaked staged segment that gc ages out, never committed-data loss.
+    return live.get("version", -1) >= handle["manifest"]["version"]
 
 
 def abort_publish(handle: dict) -> None:

@@ -50,6 +50,14 @@ def test_translate_pure():
     assert translate("SELECT 1E+2! f") == "SELECT factorial(1E+2) f"
     # an identifier ending in an exponent-like tail is NOT a literal
     assert translate("SELECT x1e3! f") == "SELECT x1e3! f"
+    # ... including when an operator follows the tail: `x2e+7!` is
+    # column x2e plus factorial(7), NOT a widened literal `x2e+7`
+    # (round-6 ADVICE: the exponent-widening regex lacked a left
+    # boundary and produced `xfactorial(2e+7)`)
+    assert translate("SELECT x2e+7! AS r") == "SELECT x2e+factorial(7) AS r"
+    assert translate("SELECT x.5e+7! AS r") == "SELECT x.5e+factorial(7) AS r"
+    # a real literal right after an operator still widens
+    assert translate("SELECT y+2e+7! AS r") == "SELECT y+factorial(2e+7) AS r"
     assert translate("SELECT a! b") == "SELECT a! b"
     assert translate("SELECT a! FROM t") == "SELECT factorial(a) FROM t"
     assert translate("SELECT 5! + 3") == "SELECT factorial(5) + 3"
