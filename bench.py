@@ -94,6 +94,15 @@ HEADLINE = [
     "ts_changepoint_cusum",     # CUSUM changepoint scan
     "dedup_bbit_minhash",       # b-bit minhash compaction
     "sim_ann_multiprobe",       # multiprobe LSH ANN
+    # round 6: representatives of the r6 grading window (the remaining
+    # curation6-14 families), guarded the round they grade — same
+    # discipline as r3-r5
+    "graph_label_propagation",  # synchronous LPA community detection
+    "mm_phash_dct",             # 8x8 DCT perceptual hash
+    "mm_cdc_chunking",          # content-defined chunking (Rabin
+                                # fingerprint boundary — round-6 swap)
+    "sample_importance_resampling",  # systematic importance resampling
+    "ev_markov_absorption",     # absorbing-chain conversion attribution
     # (rec_price_streaks deliberately NOT benched: it is the declared
     # sequential-recurrence surface — ~7.5 s at sf0.1 BY DESIGN, see its
     # docstring — and the recursive family regression guard is
@@ -164,6 +173,13 @@ def main() -> None:
                 # — NOT included in `value`, which stays the steady-state
                 # re-execution total comparable across rounds
                 "build": builds,
+                # the conservative builds-included total (round-5 judge
+                # ask #5: `value` changed accounting when construction
+                # was itemized in r5 — this keeps cross-round trend
+                # lines honest in one field)
+                "value_with_build": round(
+                    sum(timings.values()) + sum(builds.values()), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -30,8 +30,9 @@ from kuibadb_spark import registry  # noqa: E402
 from kuibadb_spark.session import get_spark  # noqa: E402
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+def main(sf_dir: str | None = None) -> int:
+    if sf_dir is None:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     import bench
 
     spark = get_spark("cachecheck")

@@ -194,8 +194,9 @@ def _unbounded_global_windows(txt: str) -> list[int]:
     return bad
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+def main(sf_dir: str | None = None) -> int:
+    if sf_dir is None:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark()
     qs = registry.all_queries()
     bad = []

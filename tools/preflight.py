@@ -1,16 +1,22 @@
 """One-command pre-commit gate: everything the driver will check, locally.
 
-    python tools/preflight.py [--sf01]
+    python tools/preflight.py [--sf01] [--gates]
 
 Runs, in order, sharing one Spark session:
 1. registry invariants (unique keys, oracles subset, unverified-first order)
 2. full oracle TYPE audit (DuckDB arrow schema vs Spark schema — the
-   typed-hash trap class, tools/type_audit.py)
+   typed-hash trap class, tools/type_audit.py) + the whole-registry
+   physical-plan audit (tools/plan_audit.py: no cartesian product, no
+   unwhitelisted BNLJ, no unbounded global window — always runs, static)
 3. full value parity at sf0.001 (row count + columns + order-insensitive
    multiset + non-empty guard), optionally sf0.01 with --sf01 (the
    driver's actual correctness SF — slower)
 4. driver-contract smoke (entry/queries/oracle_sql importable + shaped)
+5. with --gates: the runtime gates at sf0.1 — cachecheck (orphaned
+   persists over bench headliners) and lengthprobe (payload-length
+   axis, auto-builds /tmp/sflen* fixtures on first run)
 
+The full pre-round command is `python tools/preflight.py --sf01 --gates`.
 Exit 0 iff every gate passes. pytest plan/engine suites are NOT run here
 (run `python -m pytest tests/ -q` for those).
 """
@@ -77,6 +83,15 @@ def main() -> int:
     if audit("/root/testdata/sf0.001") != 0:
         failures += 1
 
+    # 2b. whole-registry physical-plan audit (round-5 judge ask #3):
+    # static — builds every plan without executing, so it always runs.
+    # Fails on any CartesianProduct, unwhitelisted
+    # BroadcastNestedLoopJoin, or unbounded global window.
+    print("[2b] physical-plan audit…")
+    from plan_audit import main as plan_audit_main
+    if plan_audit_main("/root/testdata/sf0.001") != 0:
+        failures += 1
+
     # 3. value parity
     sfs = ["/root/testdata/sf0.001"]
     if "--sf01" in sys.argv:
@@ -125,6 +140,26 @@ def main() -> int:
     assert len(entrymod.oracle_sql()) == len(osql)
     print(f"[4/4] driver contract: entry rows={rows}, "
           f"queries={len(qs)}, oracles={len(osql)}")
+
+    # 5. runtime gates (round-5 judge ask #3): the orphaned-persist
+    # detector over the bench headliners and the payload-length probe,
+    # both at real data scale — minutes, so behind --gates (the full
+    # pre-round command is `python tools/preflight.py --sf01 --gates`).
+    if "--gates" in sys.argv:
+        import os as _os
+
+        from cachecheck import main as cachecheck_main
+        from lengthprobe import build as lp_build
+        from lengthprobe import run as lp_run
+
+        print("[5a] cachecheck (orphaned persists, sf0.1)…")
+        if cachecheck_main("/root/testdata/sf0.1") != 0:
+            failures += 1
+        print("[5b] lengthprobe (payload-length axis)…")
+        if not _os.path.isdir("/tmp/sflen16"):
+            lp_build(spark)
+        if lp_run(spark) != 0:
+            failures += 1
 
     print("PREFLIGHT", "FAILED" if failures else "PASSED")
     return 1 if failures else 0
