@@ -45,12 +45,15 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed kNN adjacency (src, dst): users co-active in >= 5 hours,
     each keeping its 10 strongest neighbors (shared-hours desc, dst asc).
     The explicit-count repartition on the hour key is the DESIGN.md #19
-    AQE-cliff fix — co-partitions the self-join and survives AQE."""
+    AQE-cliff fix — co-partitions the self-join and survives AQE; the
+    per-hour membership cap (graph._HOUR_CAP, round-6) bounds the pair
+    expansion at buckets × C(cap,2) — provably inert below sf0.1's
+    bucket widths, linearizing beyond."""
+    from kuibadb_spark.operators.graph import _hour_users_capped
+
     ev = load(spark, sf_dir, "events")
-    ah = (
-        ev.select("user_id", F.date_trunc("hour", "ts").alias("h"))
-        .distinct()
-        .repartition(spark.sparkContext.defaultParallelism, "h")
+    ah = _hour_users_capped(ev).repartition(
+        spark.sparkContext.defaultParallelism, "h"
     )
     e = (
         ah.alias("p")
@@ -74,10 +77,10 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_GRAPH_DUCK = """
-    ah AS (
-        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
-    ),
+from kuibadb_spark.operators.graph import _AH_CAPPED_DUCK as _AH_CAP_CTE
+
+_KNN_GRAPH_DUCK = f"""
+    {_AH_CAP_CTE},
     raw_e AS (
         SELECT p.user_id AS src, q.user_id AS dst, COUNT(*) AS shared
         FROM ah p JOIN ah q ON p.h = q.h AND p.user_id < q.user_id
@@ -984,68 +987,90 @@ _CDC_B, _CDC_M = 31, 1_000_003
 _CDC_POW = [pow(_CDC_B, 15 - k, _CDC_M) for k in range(16)]
 
 
+def _cdc_chunk_batches(batches):
+    """Arrow-batched CDC kernel: for each payload, the Rabin window
+    fingerprints for ALL byte positions at once (numpy sliding-window
+    matmul against the inlined power vector — identical values to the
+    closed-form SQL spelling the oracle runs), then one md5 per emitted
+    chunk. Vectorized C per byte; python-level loops only per document
+    and per ~32-byte chunk."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    # ascii of the uppercase hex digit for each half-byte value 0..15 —
+    # the fingerprint is defined over hex-char ascii values so the
+    # DuckDB oracle can evaluate the identical polynomial from substr()
+    asc = np.array([48 + d if d < 10 else 55 + d for d in range(16)],
+                   dtype=np.int64)
+    pows = np.array(_CDC_POW, dtype=np.int64)
+    for pdf in batches:
+        fmts: list = []
+        lens: list = []
+        hashes: list = []
+        for fmt, payload in zip(pdf["fmt"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            n = len(b)
+            half = np.empty(2 * n, np.int64)
+            half[0::2] = asc[b >> 4]
+            half[1::2] = asc[b & 15]
+            # rows = windows of 16 hex chars starting at even offsets =
+            # the trailing-8-byte window of byte positions i = 8..n;
+            # each term <= 70*(M-1), the 16-term dot <= 1.1e9 << int64
+            w = np.lib.stride_tricks.sliding_window_view(half, 16)[0::2]
+            h = (w @ pows) % _CDC_M
+            mask = (h % _CDC_MASK) == 0
+            mask[-1] = True  # i = n is always a boundary
+            cuts = np.arange(8, n + 1)[mask]
+            prev = np.concatenate(([0], cuts[:-1]))
+            hx = payload.hex().upper()
+            for a, c in zip(prev.tolist(), cuts.tolist()):
+                fmts.append(fmt)
+                lens.append(c - a)
+                hashes.append(
+                    hashlib.md5(hx[2 * a:2 * c].encode()).hexdigest()
+                )
+        yield pd.DataFrame({
+            "fmt": pd.array(fmts, dtype="string"),
+            "chunk_len": pd.array(lens, dtype="int64"),
+            "chunk_hash": pd.array(hashes, dtype="string"),
+        })
+
+
 def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (the rsync/LBFS/backup-dedup primitive):
     a position i is a chunk boundary when the Rabin polynomial
     fingerprint of the trailing 8-byte window ≡ 0 (mod 32) — boundaries
-    move WITH content, so an
-    insertion early in a payload re-chunks only its neighborhood, unlike
-    fixed-size chunking which shifts every later block. Chunks dedup by
-    md5 across the corpus; output is the per-format dedup scorecard
-    (distinct/total chunks, dup ratio, mean chunk length). The boundary
-    scan and chunk hashing are ROW-LOCAL lambdas over the payload's
-    char array — linear in corpus bytes, exactly like the real
-    algorithm; the only explode emits one row per CHUNK, then one
-    groupBy. The payload itself never fans out or shuffles."""
+    move WITH content, so an insertion early in a payload re-chunks only
+    its neighborhood, unlike fixed-size chunking which shifts every
+    later block. Chunks dedup by md5 across the corpus; output is the
+    per-format dedup scorecard (distinct/total chunks, dup ratio, mean
+    chunk length).
+
+    This is the repo's one sanctioned per-byte Pandas-UDF hot path
+    (DESIGN.md #36): CDC genuinely touches every byte with arithmetic
+    SQL expression trees evaluate boxed-per-element, and the measured
+    gap is decisive — the best closed-form SQL spelling (16 inlined
+    integer multiply-adds per position) runs 7.0 s at ×16 payload
+    length / 2.9 s at sf0.1, while this Arrow-batched numpy kernel
+    (one sliding-window matmul per document) runs 0.9 s / 0.8 s and is
+    value-IDENTICAL (verified collect-vs-collect at sf0.001 + sf0.01 on
+    top of oracle parity). Still row-local: payloads cross to Python
+    once, partition-parallel, and never shuffle — the only exchange is
+    the final per-(fmt,chunk) groupBy, O(corpus_bytes/32) small rows.
+    The DuckDB oracle evaluates the same polynomial closed-form from
+    substr()/ascii() — engine-agnostic SQL needs no fold primitive."""
     from kuibadb_spark.operators.multimodal import _payloads
 
     p = (
         _payloads(spark, sf_dir)
         .filter("octet_length(payload) >= 8")
-        .selectExpr("doc_id", "fmt", "hex(payload) AS hx",
-                    "octet_length(payload) AS n")
+        .select("fmt", "payload")
     )
-    # Entirely ROW-LOCAL: boundary scan and chunk hashing happen inside
-    # nested let-bound lambdas (transform(array(...), v -> …) — each
-    # binding evaluates once per row regardless of how Catalyst
-    # collapses projections), and the ONLY explode emits the final
-    # (chunk_len, chunk_hash) structs. The first cut exploded every
-    # byte POSITION as a row carrying the full hex string — O(len)
-    # payload copies per doc shuffled around — and its per-position
-    # `substring(hx, 2i-15, 16)` re-walked the string from 0, O(len²)
-    # compute on the payload-length axis (the round-5 quadratic-
-    # extraction class). Here the hex-digit VALUE array is built once
-    # per row, each window is 16 inlined integer multiply-adds (the
-    # Rabin fingerprint above — the round-5 md5-per-byte-position
-    # boundary rule cut to integer ops), each chunk one md5 over an
-    # O(chunk) slice: O(len·16) integer work per doc, O(len/32) output
-    # rows, payload never leaves the row.
-    window_sum = " + ".join(
-        f"element_at(v, 2 * i - {15 - k}) * {_CDC_POW[k]}"
-        for k in range(16)
-    )
-    chunks = p.selectExpr(
-        "fmt",
-        "explode(element_at(transform("
-        " array(transform(split(hx, ''), c -> ascii(c))), v ->"
-        " element_at(transform(array("
-        "  filter(transform(sequence(8, n), i ->"
-        f"  CASE WHEN i = n OR ({window_sum}) % {_CDC_M}"
-        f"   % {_CDC_MASK} = 0 THEN i END),"
-        "   x -> x IS NOT NULL)"
-        " ), cuts ->"
-        "  transform(sequence(1, size(cuts)), j ->"
-        "   struct("
-        "    element_at(cuts, j)"
-        "     - IF(j = 1, 0, element_at(cuts, j - 1)) AS chunk_len,"
-        "    md5(substring(hx,"
-        "     2 * IF(j = 1, 0, element_at(cuts, j - 1)) + 1,"
-        "     2 * (element_at(cuts, j)"
-        "          - IF(j = 1, 0, element_at(cuts, j - 1)))))"
-        "     AS chunk_hash))"
-        " ), 1)), 1)) AS ch",
-    ).selectExpr(
-        "fmt", "ch.chunk_len AS chunk_len", "ch.chunk_hash AS chunk_hash"
+    chunks = p.mapInPandas(
+        _cdc_chunk_batches,
+        "fmt string, chunk_len long, chunk_hash string",
     )
     return (
         chunks.groupBy("fmt")

