@@ -1532,9 +1532,11 @@ class Engine:
         the staged parquet a commit microseconds from landing
         references. The lock does NOT protect an open transaction's
         staged segments in another session (staging takes no lock);
-        those are exactly what the marker age rule is for, and
-        retention=0 reclaiming them is the documented crash≡rollback
-        semantics."""
+        those are what the marker age rule is for. If retention=0
+        reclaims a LIVE transaction's staging, that transaction's later
+        COMMIT must lose loudly, not publish a manifest pointing at
+        vanished parquet — manifest._verify_files_exist enforces that
+        under the commit lock (StagedFileVanished → full rollback)."""
         retention = (self.GC_STAGED_RETENTION_S
                      if staged_retention_s is None else staged_retention_s)
         tdir = self._table_dir(name)

@@ -43,6 +43,14 @@ class SerializationFailure(KbError):
     sqlstate = "40001"
 
 
+class StagedFileVanished(KbError):
+    # a file the commit is about to reference no longer exists on disk
+    # (e.g. an aggressive gc(staged_retention_s=0) in another session
+    # reaped the open transaction's staged segment): fail the COMMIT
+    # loudly — publishing would be silent corruption
+    sqlstate = "58030"  # io_error
+
+
 class SqlSyntaxError(KbError):
     # e.g. a COPY statement whose option tail the grammar doesn't accept —
     # raised eagerly with the offending token instead of letting the text

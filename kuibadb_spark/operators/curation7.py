@@ -42,39 +42,13 @@ ORACLES: dict = {}
 # shared: kNN-sparsified hour-co-activity graph (graph.py:497 shape)
 # ---------------------------------------------------------------------------
 def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed kNN adjacency (src, dst): users co-active in >= 5 hours,
-    each keeping its 10 strongest neighbors (shared-hours desc, dst asc).
-    The explicit-count repartition on the hour key is the DESIGN.md #19
-    AQE-cliff fix — co-partitions the self-join and survives AQE; the
-    per-hour membership cap (graph._HOUR_CAP, round-6) bounds the pair
-    expansion at buckets × C(cap,2) — provably inert below sf0.1's
-    bucket widths, linearizing beyond."""
-    from kuibadb_spark.operators.graph import _hour_users_capped
+    """Directed kNN adjacency (src, dst) — delegates to the single
+    shared builder (graph._coactivity_knn: hour-capped co-activity,
+    shared >= 5, top-10 neighbors per node; round-6 review dedup of the
+    formerly copy-pasted pipeline)."""
+    from kuibadb_spark.operators.graph import _coactivity_knn
 
-    ev = load(spark, sf_dir, "events")
-    ah = _hour_users_capped(ev).repartition(
-        spark.sparkContext.defaultParallelism, "h"
-    )
-    e = (
-        ah.alias("p")
-        .join(ah.alias("q"), "h")
-        .filter(F.col("p.user_id") < F.col("q.user_id"))
-        .groupBy(
-            F.col("p.user_id").alias("src"), F.col("q.user_id").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 5)
-    )
-    sym_full = e.selectExpr("src", "dst", "shared").unionAll(
-        e.selectExpr("dst AS src", "src AS dst", "shared")
-    )
-    w_knn = W.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
-    return (
-        sym_full.withColumn("rn", F.row_number().over(w_knn))
-        .filter(F.col("rn") <= 10)
-        .select("src", "dst")
-        .repartition("src")
-    )
+    return _coactivity_knn(spark, sf_dir)
 
 
 from kuibadb_spark.operators.graph import _AH_CAPPED_DUCK as _AH_CAP_CTE
@@ -976,9 +950,13 @@ _CDC_MASK = 32  # expected chunk length ~32 bytes
 # window: h(i) = (Σ_k v[2i-15+k] · B^(15-k)) mod M, boundary when
 # h % 32 = 0. Closed form with the B-powers PRE-REDUCED mod M and
 # inlined as constants, so both engines evaluate 16 integer
-# multiply-adds per position — no md5, no bignum: each term ≤ 15·(M-1)
-# ≈ 1.5e7 and the 16-term sum ≤ 2.4e8, far inside int64 in Spark AND
-# DuckDB (whose int64 overflow throws rather than wraps). Round-5 judge
+# multiply-adds per position — no md5, no bignum. Values are the ASCII
+# codes of hex chars (48..70), so each term ≤ 70·(M-1) ≈ 7.0e7 and the
+# 16-term sum ≤ 1.12e9 — far inside int64 (Spark) and, with the
+# oracle's explicit per-term CAST AS BIGINT, inside DuckDB's checked
+# arithmetic too (DuckDB ascii() is INT32, whose 2.1e9 ceiling would
+# leave only ~1.9× headroom and throw on overflow if M ever grew —
+# round-6 review finding). Round-5 judge
 # ask #4: the previous boundary rule ran a full md5 digest per byte
 # position — linear but constant-heavy (the worst lengthprobe entry);
 # this cuts the per-byte work to integer ops while keeping md5 where it
@@ -1094,7 +1072,8 @@ QUERIES["mm_cdc_chunking"] = mm_cdc_chunking
 # read via strpos over the uppercase hex alphabet (both engines' hex()
 # emit uppercase; DuckDB has no conv())
 _CDC_ORACLE_SUM = " + ".join(
-    f"ascii(substr(hx, 2 * i - {15 - k}, 1)) * {_CDC_POW[k]}"
+    f"CAST(ascii(substr(hx, 2 * i - {15 - k}, 1)) AS BIGINT)"
+    f" * {_CDC_POW[k]}"
     for k in range(16)
 )
 

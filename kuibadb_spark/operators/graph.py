@@ -192,10 +192,21 @@ _HOUR_CAP = 256
 
 
 def _hour_users_capped(ev: DataFrame) -> DataFrame:
-    """Distinct (user_id, hour) with the per-hour membership cap."""
-    ah = ev.select(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).distinct()
+    """Distinct (user_id, hour) with the per-hour membership cap.
+
+    The explicit-count hash repartition on h sits BELOW the cap window:
+    the window needs hashpartitioning(h) anyway, so this single
+    REPARTITION_BY_NUM exchange (exempt from AQE compressed-bytes
+    coalescing — the round-3 ×10 fix, DESIGN.md #19) serves the window
+    AND the downstream hour self-join. Placed above the window instead,
+    Spark elides it as redundant with the window's own coalescABLE
+    ENSURE_REQUIREMENTS exchange, silently re-opening the narrow-stage
+    cliff (caught by test_link_prediction_edge_join_stage_width)."""
+    ah = (
+        ev.select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .repartition(ev.sparkSession.sparkContext.defaultParallelism, "h")
+    )
     w_cap = W.partitionBy("h").orderBy(
         F.md5(F.col("user_id").cast("string")), F.col("user_id")
     )
@@ -203,6 +214,49 @@ def _hour_users_capped(ev: DataFrame) -> DataFrame:
         ah.withColumn("cap_rn", F.row_number().over(w_cap))
         .filter(F.col("cap_rn") <= _HOUR_CAP)
         .drop("cap_rn")
+    )
+
+
+def _coactivity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared kNN-sparsified co-activity adjacency (src, dst):
+    users co-active in ≥ 5 of the same hours, each keeping its 10
+    strongest neighbors (shared-hours desc, dst asc), symmetrized, and
+    left partitioned on src for downstream joins. ONE definition for
+    every consumer (graph_link_prediction here; label propagation /
+    BFS reach / Adamic-Adar via curation7._knn_graph) so cap or
+    threshold changes cannot drift between copies (round-6 review
+    finding) — any change here must update the matching oracle CTEs
+    (_AH_CAPPED_DUCK consumers) in lockstep.
+
+    Per-hour membership is capped at _HOUR_CAP (bounds the pair
+    expansion at buckets × C(cap,2) — see _HOUR_CAP). The explicit-
+    count hash repartition on the join key is the round-3 ×10 finding
+    (DESIGN.md #19): the distinct's (user, hour) output is a few MB
+    compressed, so AQE coalesced the exchange feeding the hour
+    self-join to ~1 partition and the pair expansion ran nearly
+    single-task (225 s at ×10); an explicit count survives AQE and
+    co-partitions both sides (225 s → 21 s)."""
+    ev = load(spark, sf_dir, "events")
+    ah = _hour_users_capped(ev)  # explicit-count h-exchange built in
+    e = (
+        ah.alias("p")
+        .join(ah.alias("q"), "h")
+        .filter(F.col("p.user_id") < F.col("q.user_id"))
+        .groupBy(
+            F.col("p.user_id").alias("src"), F.col("q.user_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 5)
+    )
+    sym_full = e.selectExpr("src", "dst", "shared").unionAll(
+        e.selectExpr("dst AS src", "src AS dst", "shared")
+    )
+    w_knn = W.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
+    return (
+        sym_full.withColumn("rn", F.row_number().over(w_knn))
+        .filter(F.col("rn") <= 10)
+        .select("src", "dst")
+        .repartition("src")
     )
 
 
@@ -579,41 +633,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap bucket width; the top-K window rides the same src exchange the
     two-hop join needs. Degree-bounded two-hop = the plan survives any
     density."""
-    ev = load(spark, sf_dir, "events")
-    ah = (
-        # per-hour membership capped at _HOUR_CAP (round-6): bounds the
-        # pair expansion at buckets × C(cap,2) — see _HOUR_CAP
-        _hour_users_capped(ev)
-        # ×10 stress finding (round 3, DESIGN.md #19): the distinct's
-        # (user, hour) output is a few MB compressed, so AQE coalesced
-        # the exchange feeding the hour self-join to ~1 partition — and
-        # the per-hour pair expansion (638M candidate pairs at ×10) ran
-        # nearly single-task: 225 s. An explicit-count hash repartition
-        # on the JOIN key both survives AQE (explicit counts are never
-        # coalesced) and co-partitions the self-join's two sides, so no
-        # further exchange is inserted. 225 s → 21 s (ratio ×50 → ×4.7).
-        .repartition(spark.sparkContext.defaultParallelism, "h")
-    )
-    e = (
-        ah.alias("p")
-        .join(ah.alias("q"), "h")
-        .filter(F.col("p.user_id") < F.col("q.user_id"))
-        .groupBy(
-            F.col("p.user_id").alias("src"), F.col("q.user_id").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 5)
-    )
-    sym_full = e.selectExpr("src", "dst", "shared").unionAll(
-        e.selectExpr("dst AS src", "src AS dst", "shared")
-    )
-    w_knn = W.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
-    sym = (
-        sym_full.withColumn("rn", F.row_number().over(w_knn))
-        .filter(F.col("rn") <= 10)
-        .select("src", "dst")
-        .repartition("src")
-    )
+    sym = _coactivity_knn(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # two-hop: (a via n to b), canonical a < b
     hops = (

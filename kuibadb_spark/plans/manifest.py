@@ -24,7 +24,26 @@ import uuid
 import zlib
 from contextlib import ExitStack, contextmanager
 
-from kuibadb_spark.errors import SerializationFailure
+from kuibadb_spark.errors import SerializationFailure, StagedFileVanished
+
+
+def _verify_files_exist(files, table_dir: str) -> None:
+    """Commit-side existence check (round-6 review finding): a manifest
+    must never be published referencing a file that is no longer on
+    disk. The one interleaving the commit locks cannot cover is an
+    OPEN transaction's staged segment (staging holds no lock) reaped by
+    another session's gc(staged_retention_s=0) before this COMMIT runs —
+    without this check, the publish succeeds and the table is silently
+    corrupt; with it, the commit fails loudly and rolls back, which is
+    the correct loser of that race. Runs under the commit lock, after
+    the version check: one stat per referenced file."""
+    for f in files:
+        if not os.path.exists(f):
+            raise StagedFileVanished(
+                f"commit references missing file {f!r} (table {table_dir!r})"
+                " — staged data was reclaimed (aggressive gc?) before"
+                " COMMIT; transaction rolled back"
+            )
 
 MANIFEST = "manifest.json"
 
@@ -124,6 +143,7 @@ def commit_files(table_dir: str, new_files: list[str], base_version: int,
             raise SerializationFailure(
                 f"manifest moved: base v{base_version}, now v{m['version']}"
             )
+        _verify_files_exist(new_files, table_dir)
         m["version"] += 1
         m["files"] = m["files"] + list(new_files)
         m.setdefault("stats_by_file", {}).update(stats or {})
@@ -149,6 +169,7 @@ def replace_files(table_dir: str, new_files: list[str], base_version: int,
             raise SerializationFailure(
                 f"manifest moved: base v{base_version}, now v{m['version']}"
             )
+        _verify_files_exist(new_files, table_dir)
         m["version"] += 1
         m["files"] = list(new_files)
         old_stats = m.get("stats_by_file", {})
@@ -176,6 +197,7 @@ def prepare_publish(table_dir: str, staged: dict, base_version: int) -> dict:
         raise SerializationFailure(
             f"manifest moved: base v{base_version}, now v{disk['version']}"
         )
+    _verify_files_exist(staged.get("files", []), table_dir)
     out = dict(staged)
     out["version"] = base_version + 1
     out["crc32"] = _payload_crc(out)

@@ -12,7 +12,6 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-import pytest
 
 from kuibadb_spark.operators.curation7 import (
     _CDC_M,

@@ -1196,6 +1196,33 @@ def test_gc_blocks_while_committer_between_renames(engine, spark):
     assert engine.table("gci").count() == 3
 
 
+def test_commit_fails_loudly_when_staged_files_reaped(engine, spark):
+    """The one interleave the commit locks cannot cover (round-6 review
+    finding): an OPEN transaction holds no lock while staging, so
+    another session's gc(staged_retention_s=0) may reap its staged
+    segment. The later COMMIT must then fail loudly (StagedFileVanished
+    → rollback) — NOT publish a manifest referencing vanished parquet,
+    which readers would discover as a missing-file error long after the
+    'successful' commit."""
+    from kuibadb_spark.errors import StagedFileVanished
+
+    _mk(engine, "rv")
+    v0 = _version(engine, "rv")
+    engine.begin()
+    engine.insert("rv", spark.createDataFrame([(9, "z")], "a INT, b STRING"))
+    # another session reclaims everything uncommitted NOW
+    other = Engine(spark, warehouse=engine.warehouse)
+    other.gc("rv", staged_retention_s=0)
+    with pytest.raises(StagedFileVanished):
+        engine.commit()
+    # table intact at its pre-transaction version, still fully readable
+    assert _version(engine, "rv") == v0
+    assert engine.table("rv").count() == 2
+    m = mf.read_manifest(engine._table_dir("rv"))
+    for f in m["files"]:
+        assert os.path.exists(f)
+
+
 def test_merge_insert_only_counts_duplicate_source_rows(engine):
     """Insert-only MERGE appends EVERY unmatched source row; the
     `inserted` metric must count rows written, not distinct keys

@@ -51,13 +51,33 @@ PROBES = [
 
 
 def build(spark) -> None:
+    import os
+
     for mult, dst in ((4, "/tmp/sflen4"), (16, "/tmp/sflen16")):
+        try:  # a partial build must not masquerade as complete
+            os.remove(f"{dst}/.complete")
+        except OSError:
+            pass
         for t in TABLES:
             df = load(spark, SRC, t)
             if t == "documents":
                 df = df.withColumn("text", F.expr(f"repeat(text, {mult})"))
             df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        # completeness marker, written LAST: preflight --gates rebuilds
+        # unless this exists, so a crash mid-build (directory present,
+        # tables missing) can't poison every later run (round-6 review)
+        with open(f"{dst}/.complete", "w") as f:
+            f.write(SRC)
         print(dst, "built")
+
+
+def fixtures_complete() -> bool:
+    import os
+
+    return all(
+        os.path.exists(f"{d}/.complete")
+        for d in ("/tmp/sflen4", "/tmp/sflen16")
+    )
 
 
 def run(spark) -> int:

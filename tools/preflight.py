@@ -12,9 +12,10 @@ Runs, in order, sharing one Spark session:
    multiset + non-empty guard), optionally sf0.01 with --sf01 (the
    driver's actual correctness SF — slower)
 4. driver-contract smoke (entry/queries/oracle_sql importable + shaped)
-5. with --gates: the runtime gates at sf0.1 — cachecheck (orphaned
-   persists over bench headliners) and lengthprobe (payload-length
-   axis, auto-builds /tmp/sflen* fixtures on first run)
+5. with --gates: the runtime gates — cachecheck (orphaned persists
+   over bench headliners, at sf0.1) and lengthprobe (payload-length
+   axis over its sf0.01-based ×1/×4/×16 fixtures, auto-built and
+   rebuilt when incomplete)
 
 The full pre-round command is `python tools/preflight.py --sf01 --gates`.
 Exit 0 iff every gate passes. pytest plan/engine suites are NOT run here
@@ -49,7 +50,7 @@ def main() -> int:
     assert set(osql) <= set(qs), "oracles without queries"
     n_unverified = len(keys) - len(verified & set(keys))
     assert not (set(keys[:n_unverified]) & verified), "verified key in window"
-    print(f"[1/4] registry: {len(keys)} queries, {len(osql)} oracles, "
+    print(f"[1/5] registry: {len(keys)} queries, {len(osql)} oracles, "
           f"{n_unverified} not yet driver-verified (ordered first)")
 
     # 1b. no complex output types: the driver's pandas canonicalizer
@@ -79,7 +80,7 @@ def main() -> int:
         print(f"  {len(qs)} schemas scalar-only")
 
     # 2. type audit
-    print("[2/4] type audit (sf0.001)…")
+    print("[2/5] type audit (sf0.001)…")
     if audit("/root/testdata/sf0.001") != 0:
         failures += 1
 
@@ -97,7 +98,7 @@ def main() -> int:
     if "--sf01" in sys.argv:
         sfs.append("/root/testdata/sf0.01")
     for sf in sfs:
-        print(f"[3/4] value parity at {sf}…")
+        print(f"[3/5] value parity at {sf}…")
         bad = []
         for n in sorted(osql):
             rep = compare(spark, n, sf, qs[n], osql[n])
@@ -114,7 +115,7 @@ def main() -> int:
 
     # 3b. the driver's NEXT grading window: first 50 keys must all have
     # oracles and pass at the driver's sf0.01 (cheap: 50 of the 180+)
-    print("[3b/4] driver window (first 50 keys) at sf0.01…")
+    print("[3b/5] driver window (first 50 keys) at sf0.01…")
     window_bad = []
     for n in keys[:50]:
         if n not in osql:
@@ -138,7 +139,7 @@ def main() -> int:
     assert rows > 0, "entry() returned no rows"
     assert len(entrymod.queries()) == len(qs)
     assert len(entrymod.oracle_sql()) == len(osql)
-    print(f"[4/4] driver contract: entry rows={rows}, "
+    print(f"[4/5] driver contract: entry rows={rows}, "
           f"queries={len(qs)}, oracles={len(osql)}")
 
     # 5. runtime gates (round-5 judge ask #3): the orphaned-persist
@@ -146,20 +147,29 @@ def main() -> int:
     # both at real data scale — minutes, so behind --gates (the full
     # pre-round command is `python tools/preflight.py --sf01 --gates`).
     if "--gates" in sys.argv:
-        import os as _os
-
         from cachecheck import main as cachecheck_main
         from lengthprobe import build as lp_build
+        from lengthprobe import fixtures_complete as lp_complete
         from lengthprobe import run as lp_run
 
+        # a gate CRASHING is a gate FAILING — don't let one abort the
+        # others with a bare traceback (round-6 review)
         print("[5a] cachecheck (orphaned persists, sf0.1)…")
-        if cachecheck_main("/root/testdata/sf0.1") != 0:
+        try:
+            if cachecheck_main("/root/testdata/sf0.1") != 0:
+                failures += 1
+        except Exception as e:
             failures += 1
+            print(f"  FAIL cachecheck crashed: {e}")
         print("[5b] lengthprobe (payload-length axis)…")
-        if not _os.path.isdir("/tmp/sflen16"):
-            lp_build(spark)
-        if lp_run(spark) != 0:
+        try:
+            if not lp_complete():  # absent OR partially-built fixtures
+                lp_build(spark)
+            if lp_run(spark) != 0:
+                failures += 1
+        except Exception as e:
             failures += 1
+            print(f"  FAIL lengthprobe crashed: {e}")
 
     print("PREFLIGHT", "FAILED" if failures else "PASSED")
     return 1 if failures else 0
