@@ -992,6 +992,44 @@ def test_gc_after_each_commit_failure_point_keeps_invariant(
             assert os.path.exists(os.path.join(tdir, "manifest.v2.json"))
 
 
+def test_commit_lock_excludes_other_processes(engine):
+    """Cross-PROCESS commit exclusion (round-5 ADVICE noted the crash
+    sweeps are single-process): the in-process half of commit_lock is a
+    threading.Lock, so only flock guarantees anything against another
+    session in a different process. Hold the flock from a real child
+    process and prove this process's commit_lock blocks until the child
+    releases it."""
+    import subprocess
+    import sys
+    import time as _time
+
+    _mk(engine, "xp")
+    tdir = engine._table_dir("xp")
+    child_src = (
+        "import fcntl, os, sys, time\n"
+        "fd = os.open(os.path.join(sys.argv[1], '.commit.lock'),"
+        " os.O_CREAT | os.O_RDWR)\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+        "print('locked', flush=True)\n"
+        "time.sleep(3)\n"
+        "fcntl.flock(fd, fcntl.LOCK_UN)\n"
+    )
+    p = subprocess.Popen(
+        [sys.executable, "-c", child_src, tdir],
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert p.stdout.readline().strip() == "locked"
+        t0 = _time.time()
+        with mf.commit_lock(tdir):
+            waited = _time.time() - t0
+        # generous lower bound: the child holds the flock for 3 s from
+        # its print; any real exclusion waits most of that
+        assert waited >= 1.5, f"commit_lock did not block ({waited:.2f}s)"
+    finally:
+        p.wait(timeout=30)
+
+
 def test_autocommit_persist_commit_point_is_last_rename(
     engine, spark, monkeypatch
 ):
