@@ -748,14 +748,21 @@ class Engine:
         catalog rows + table dir + empty manifest; here: dir + manifest,
         the schema IS the catalog entry)."""
         tdir = self._table_dir(name)
-        if os.path.exists(mf.manifest_path(tdir)):
-            raise DuplicateTable(f"table {name!r} already exists")
-        os.makedirs(tdir, exist_ok=True)
         if isinstance(schema, T.StructType):
             ddl = schema.simpleString()[7:-1]  # struct<a:int,…> → a:int,…
         else:
             ddl = schema
-        mf.init_manifest(tdir, ddl, not_null or [], props)
+        os.makedirs(tdir, exist_ok=True)
+        # existence check + initial manifest write under the commit
+        # lock (round-6 storage review): two concurrent creators could
+        # both pass an unlocked check, and the SLOWER init_manifest
+        # would then reset a table the faster creator already committed
+        # data into back to an empty v0 — silent data orphaning with no
+        # DuplicateTable ever raised.
+        with mf.commit_lock(tdir):
+            if os.path.exists(mf.manifest_path(tdir)):
+                raise DuplicateTable(f"table {name!r} already exists")
+            mf.init_manifest(tdir, ddl, not_null or [], props)
 
     def drop_table(self, name: str) -> None:
         import shutil
@@ -763,7 +770,15 @@ class Engine:
         tdir = self._table_dir(name)
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
-        shutil.rmtree(tdir)
+        # serialize behind in-flight commits (round-6 storage review):
+        # rmtree racing a committer between its fsync'd-temp write and
+        # its renames would fail the commit mid-pair at best. The lock
+        # FILE itself dies with the dir; commit_lock's inode check
+        # handles waiters left holding the unlinked inode.
+        with mf.commit_lock(tdir):
+            if not os.path.exists(mf.manifest_path(tdir)):
+                raise UndefinedTable(f"table {name!r} does not exist")
+            shutil.rmtree(tdir)
 
     def describe(self, name: str) -> list[dict]:
         """DESCRIBE TABLE: ordered attribute list from the manifest (the
@@ -1046,13 +1061,12 @@ class Engine:
         3-valued logic: rows are removed only where the predicate is TRUE;
         FALSE and NULL rows are kept (PG DELETE semantics). Returns the
         deleted row count (`DELETE n`)."""
-        touched, untouched, df = self._touched_files(name, where)
+        touched, untouched, df, m = self._touched_files(name, where)
         if not touched:
             return 0
         from pyspark.sql import functions as F
 
         tdir = self._table_dir(name)
-        m = self._read_m(name)
         deleted = df.filter(F.expr(where)).count()
         kept = df.filter(~F.expr(where).eqNullSafe(F.lit(True)))
         staging = self._stage(tdir)
@@ -1072,13 +1086,12 @@ class Engine:
         touched files only, same shape as delete(). SET expressions are
         SQL strings evaluated per matching row; non-matching rows in a
         touched file are rewritten unchanged. Returns updated row count."""
-        touched, untouched, df = self._touched_files(name, where)
+        touched, untouched, df, m = self._touched_files(name, where)
         if not touched:
             return 0
         from pyspark.sql import functions as F
 
         tdir = self._table_dir(name)
-        m = self._read_m(name)
         schema = _phys_schema(m["schema"])
         bad = set.keys() - {f.name for f in schema.fields}
         if bad:
@@ -1218,12 +1231,20 @@ class Engine:
         """Split the current snapshot's files into (touched, untouched) by
         whether any row matches `where` — ONE distributed job: the scan
         gets the predicate pushed down and the distinct file list shipped
-        back is metadata-sized (file names, not rows)."""
+        back is metadata-sized (file names, not rows).
+
+        Returns the manifest snapshot the split was computed FROM as the
+        fourth element: the caller's COW publish must use THIS snapshot's
+        version as its optimistic base (round-6 storage review) — a
+        second read could see a concurrent commit's newer version, and
+        validating against it would let a file list derived from the OLD
+        snapshot replace the new one, silently dropping the concurrent
+        commit's files."""
         from pyspark.sql import functions as F
 
         m = self._read_m(name)
         if not m["files"]:
-            return [], [], None
+            return [], [], None, m
         schema = _phys_schema(m["schema"])
         full = self.spark.read.schema(schema).parquet(*m["files"])
         hit_uris = {
@@ -1243,7 +1264,7 @@ class Engine:
         df = (
             self.spark.read.schema(schema).parquet(*touched) if touched else None
         )
-        return touched, untouched, df
+        return touched, untouched, df, m
 
     def analyze(self, name: str) -> dict:
         """ANALYZE: collect table statistics (row count, per-column
@@ -1269,18 +1290,23 @@ class Engine:
                 if f"{f.name}__{k}" in row
             }
         tdir = self._table_dir(name)
-        m = mf.read_manifest(tdir)
-        m["props"]["stats"] = stats
-        # backfill zone maps for any file missing them (tables written
-        # before zone maps existed, or by external writers) — footer-only
-        # reads, so ANALYZE stays metadata-priced
-        missing = [f for f in m["files"]
-                   if f not in m.get("stats_by_file", {})]
-        if missing:
-            m.setdefault("stats_by_file", {}).update(
-                zonemap.collect_file_stats(missing)
-            )
-        mf._persist(tdir, m)
+
+        # the write goes through the locked, versioned metadata path
+        # (round-6 storage review): a bare _persist here could clobber a
+        # concurrent commit landing between our read and our rename
+        def _apply(m: dict) -> None:
+            m["props"]["stats"] = stats
+            # backfill zone maps for any file missing them (tables
+            # written before zone maps existed, or by external writers)
+            # — footer-only reads, so ANALYZE stays metadata-priced
+            missing = [f for f in m["files"]
+                       if f not in m.get("stats_by_file", {})]
+            if missing:
+                m.setdefault("stats_by_file", {}).update(
+                    zonemap.collect_file_stats(missing)
+                )
+
+        mf.update_props(tdir, _apply)
         return stats
 
     # -- materialized views ----------------------------------------------------
@@ -1308,12 +1334,10 @@ class Engine:
             if re.search(rf"\b{re.escape(t)}\b", body_sql, re.IGNORECASE)
         }
         result = self.spark.sql(body_sql)
-        self.create_table(name, result.schema)
-        tdir = self._table_dir(name)
-        m = mf.read_manifest(tdir)
-        m["props"]["mv_sql"] = body_sql
-        m["props"]["mv_deps"] = deps
-        mf._persist(tdir, m)
+        # the MV stamps ride create_table's own initial manifest write —
+        # no out-of-band _persist (round-6 storage review)
+        self.create_table(name, result.schema,
+                          props={"mv_sql": body_sql, "mv_deps": deps})
         self.insert(name, result)
 
     def refresh_materialized_view(self, name: str) -> bool:
@@ -1345,11 +1369,12 @@ class Engine:
             if f.endswith(".parquet")
         ]
         m2 = mf.read_manifest(tdir)
+        # mv_deps rides the SAME locked swap as the data (round-6
+        # storage review): a trailing unlocked _persist could clobber a
+        # concurrent commit and rewrite the version copy in place
         mf.replace_files(tdir, new_files, m2["version"],
-                         stats=zonemap.collect_file_stats(new_files))
-        m3 = mf.read_manifest(tdir)
-        m3["props"]["mv_deps"] = current
-        mf._persist(tdir, m3)
+                         stats=zonemap.collect_file_stats(new_files),
+                         props={"mv_deps": current})
         return True
 
     def stream_refresh_materialized_view(self, name: str, checkpoint_dir: str):
@@ -1397,11 +1422,12 @@ class Engine:
             ]
             cur = mf.read_manifest(tdir)
             dep_v = mf.read_manifest(self._table_dir(dep))["version"]
+            # dep stamp in the SAME locked swap as the data (round-6
+            # storage review) — this sink runs every trigger, so an
+            # unlocked trailing _persist here was the widest window
             mf.replace_files(tdir, new_files, cur["version"],
-                             stats=zonemap.collect_file_stats(new_files))
-            cur2 = mf.read_manifest(tdir)
-            cur2["props"]["mv_deps"] = {dep: dep_v}
-            mf._persist(tdir, cur2)
+                             stats=zonemap.collect_file_stats(new_files),
+                             props={"mv_deps": {dep: dep_v}})
 
         return (
             out.writeStream.outputMode("complete")
@@ -1543,6 +1569,24 @@ class Engine:
         with mf.commit_lock(tdir):
             return self._gc_locked(name, tdir, keep_versions, retention)
 
+    @staticmethod
+    def _marker_age(marker: str, now: float) -> float | None:
+        """Age of a .staged marker, or None if it no longer exists.
+        Every read is guarded (round-6 storage review): commit drops
+        markers AFTER releasing the commit lock, so a marker can vanish
+        between any two syscalls here — the old code's
+        getmtime-inside-the-except crashed gc with FileNotFoundError
+        when it lost that race."""
+        try:
+            return now - float(open(marker).read().strip() or 0)
+        except FileNotFoundError:
+            return None
+        except (ValueError, OSError):
+            try:
+                return now - os.path.getmtime(marker)
+            except OSError:
+                return None
+
     def _gc_locked(self, name: str, tdir: str, keep_versions: int,
                    retention: float) -> int:
         # `live` is read INSIDE the lock: a commit landing just before
@@ -1563,13 +1607,20 @@ class Engine:
             if not os.path.isdir(seg_path):
                 continue
             marker = seg_path + ".staged"
-            if os.path.exists(marker):
-                try:
-                    age = now - float(open(marker).read().strip() or 0)
-                except (ValueError, OSError):
-                    age = now - os.path.getmtime(marker)
+            age = self._marker_age(marker, now)
+            if age is not None:
                 if age < retention:
                     continue  # another session's in-flight write
+                if any(os.path.join(seg_path, f) in live
+                       for f in os.listdir(seg_path)):
+                    # the segment is LIVE (this session's open txn, or a
+                    # committed seg whose unmark hasn't landed yet):
+                    # nothing here may be reclaimed, and the marker must
+                    # SURVIVE — removing it (the pre-round-6 behavior)
+                    # stripped the cross-session protection, so a later
+                    # DEFAULT-retention gc in another session would reap
+                    # a minutes-old live transaction's staging
+                    continue
                 os.remove(marker)  # crashed txn: fall through and reclaim
             for f in os.listdir(seg_path):
                 p = os.path.join(seg_path, f)
@@ -1591,12 +1642,12 @@ class Engine:
             if os.path.isdir(seg_path):
                 continue  # live marker, handled with its dir above
             marker = os.path.join(tdir, f)
-            try:
-                age = now - float(open(marker).read().strip() or 0)
-            except (ValueError, OSError):
-                age = now - os.path.getmtime(marker)
-            if age >= retention:
-                os.remove(marker)
+            age = self._marker_age(marker, now)
+            if age is not None and age >= retention:
+                try:
+                    os.remove(marker)
+                except OSError:
+                    pass  # unlinked concurrently (owner's unmark landed)
         # crashed committers can strand manifest temp files (written but
         # never renamed — the rename is the commit point, so they are
         # garbage by construction), both manifest.json.*.tmp and the

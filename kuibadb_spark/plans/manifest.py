@@ -62,14 +62,34 @@ def commit_lock(table_dir: str):
     with _LOCKS_GUARD:
         lock = _LOCKS.setdefault(os.path.abspath(table_dir), threading.Lock())
     with lock:
-        fd = os.open(os.path.join(table_dir, ".commit.lock"),
-                     os.O_CREAT | os.O_RDWR)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
-            yield
-        finally:
-            fcntl.flock(fd, fcntl.LOCK_UN)
-            os.close(fd)
+        path = os.path.join(table_dir, ".commit.lock")
+        while True:
+            fd = os.open(path, os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                # Unlink-safety (round-6 storage review): DROP TABLE
+                # removes the lock FILE, and flock locks an INODE — a
+                # waiter that opened the old inode before the unlink
+                # would otherwise "win" a lock no new opener contends
+                # on (the table may have been re-created with a fresh
+                # lock file), re-admitting two committers to the
+                # critical section. Verify the path still names the
+                # inode we locked; if not, retry on the current file.
+                try:
+                    cur = os.stat(path)
+                except FileNotFoundError:
+                    continue  # unlinked while we waited: reopen
+                st = os.fstat(fd)
+                if (st.st_ino, st.st_dev) != (cur.st_ino, cur.st_dev):
+                    continue  # replaced while we waited: reopen
+                yield
+                return
+            finally:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                except OSError:
+                    pass
+                os.close(fd)
 
 
 @contextmanager
@@ -246,7 +266,16 @@ def publish_landed(handle: dict) -> bool:
     try:
         live = read_manifest(handle["table_dir"])
     except Exception:
-        return False  # unreadable/missing manifest.json: pre-commit-point
+        # UNREADABLE must mean "landed" (round-6 storage review): this
+        # is only consulted for tables that existed when the commit
+        # began, so manifest.json is always present — a read failure
+        # here is a TRANSIENT error (EIO, fd exhaustion), not evidence
+        # of being pre-commit-point. Answering False would let the
+        # rollback handler delete manifest.vN.json and staged segments
+        # that a commit-point rename may ALREADY have made live —
+        # committed-data loss on a hiccup. Answering True at worst
+        # leaks temps and markers for gc to age out.
+        return True
     # `>=`, not `==`: under the commit locks (the only sanctioned caller
     # context) they are equivalent — no concurrent committer can advance
     # the version while the handle's owner holds the lock. But if a
@@ -351,6 +380,25 @@ def _persist(table_dir: str, m: dict) -> None:
         os.fsync(dfd)
     finally:
         os.close(dfd)
+
+
+def update_props(table_dir: str, updater) -> dict:
+    """Locked, VERSIONED metadata-only update: re-read the manifest
+    under the commit lock, apply `updater(m)` (mutate props/stats in
+    place), bump the version, persist. The only sanctioned way to write
+    metadata outside a data commit (round-6 storage review): an
+    out-of-band _persist without the lock or the bump can clobber a
+    concurrent commit's manifest.json with a stale copy — regressing
+    the live version and orphaning committed files — and overwrites its
+    own manifest.vN.json time-travel copy in place. Callers that change
+    metadata WITH a data commit should instead pass props= through
+    commit_files/replace_files (one swap)."""
+    with commit_lock(table_dir):
+        m = read_manifest(table_dir)
+        updater(m)
+        m["version"] += 1
+        _persist(table_dir, m)
+        return m
 
 
 def update_schema(table_dir: str, new_ddl: str, not_null: list[str],

@@ -1313,6 +1313,154 @@ def test_commit_fails_loudly_when_staged_files_reaped(engine, spark):
         assert os.path.exists(f)
 
 
+def test_cow_delete_loses_race_instead_of_dropping_concurrent_commit(
+    engine, spark, monkeypatch
+):
+    """COW delete/update must validate against the SAME snapshot its
+    file split was computed from (round-6 storage review): the old
+    double-read validated against a NEWER version, so a concurrent
+    INSERT landing mid-delete passed the optimistic check and its files
+    were silently dropped from the replacement list. Now the delete
+    LOSES with SerializationFailure and the concurrent row survives."""
+    _mk(engine, "cw")
+    real_stage = Engine._stage
+    hit = {"n": 0}
+
+    def racing_stage(tdir, prefix="seg"):
+        # first staging call of the delete = inside its snapshot window:
+        # land a concurrent autocommit insert from another session
+        if hit["n"] == 0 and tdir.endswith("cw"):
+            hit["n"] = 1
+            other = Engine(spark, warehouse=engine.warehouse)
+            other.insert("cw", spark.createDataFrame(
+                [(77, "concurrent")], "a INT, b STRING"))
+        return real_stage(tdir, prefix)
+
+    monkeypatch.setattr(Engine, "_stage", staticmethod(racing_stage))
+    with pytest.raises(SerializationFailure):
+        engine.delete("cw", "a = 1")
+    monkeypatch.undo()
+    # nothing deleted, concurrent insert intact, manifest consistent
+    assert engine.table("cw").count() == 3
+    assert engine.sql(
+        "SELECT count(*) c FROM cw WHERE b = 'concurrent'"
+    ).collect()[0]["c"] == 1
+    m = mf.read_manifest(engine._table_dir("cw"))
+    for f in m["files"]:
+        assert os.path.exists(f)
+
+
+def test_analyze_does_not_clobber_concurrent_commit(
+    engine, spark, monkeypatch
+):
+    """ANALYZE's stats write goes through the locked, versioned
+    metadata path (round-6 storage review): the old bare _persist could
+    overwrite a concurrent commit's manifest with a stale pre-commit
+    copy (live version REGRESSING, committed files orphaned). A commit
+    landing between stats computation and the write must survive."""
+    _mk(engine, "an")
+    real_update = mf.update_props
+
+    def racing_update(table_dir, updater):
+        other = Engine(spark, warehouse=engine.warehouse)
+        other.insert("an", spark.createDataFrame(
+            [(88, "mid")], "a INT, b STRING"))
+        return real_update(table_dir, updater)
+
+    monkeypatch.setattr(mf, "update_props", racing_update)
+    stats = engine.analyze("an")
+    monkeypatch.undo()
+    assert stats["rows"] == 2  # stats are of the pre-insert snapshot
+    m = mf.read_manifest(engine._table_dir("an"))
+    # insert bumped to 2, analyze to 3 — never a regression
+    assert m["version"] == 3
+    assert m["props"]["stats"]["rows"] == 2
+    assert engine.table("an").count() == 3  # the mid-flight row SURVIVED
+    for f in m["files"]:
+        assert os.path.exists(f)
+
+
+def test_concurrent_create_table_exactly_one_winner(engine, spark):
+    """Two sessions racing CREATE TABLE on the same name: exactly one
+    wins, the loser gets DuplicateTable, and the winner's table (with
+    any data committed immediately after) is never reset to an empty v0
+    by the loser's late init (round-6 storage review)."""
+    import threading
+
+    from kuibadb_spark.errors import DuplicateTable
+
+    results: list = []
+
+    def creator(tag):
+        eng = Engine(spark, warehouse=engine.warehouse)
+        try:
+            eng.create_table("cc", "a INT, b STRING")
+            eng.insert("cc", spark.createDataFrame(
+                [(1, tag)], "a INT, b STRING"))
+            results.append(("created", tag))
+        except DuplicateTable:
+            results.append(("dup", tag))
+
+    ts = [threading.Thread(target=creator, args=(t,), daemon=True)
+          for t in ("x", "y")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert sorted(r[0] for r in results) == ["created", "dup"]
+    # the winner's insert survived — no late v0 reset
+    assert engine.table("cc").count() == 1
+    assert mf.read_manifest(engine._table_dir("cc"))["version"] == 1
+
+
+def test_publish_landed_fails_safe_on_transient_read_error(
+    engine, monkeypatch
+):
+    """A transient manifest read error while deciding published-ness
+    must answer LANDED (delete nothing): the handle's table existed
+    when the commit began, so unreadable is never evidence of
+    pre-commit-point — answering False deleted committed time-travel
+    copies and live segments on an I/O hiccup (round-6 storage
+    review)."""
+    _mk(engine, "tr")
+    tdir = engine._table_dir("tr")
+    staged = dict(mf.read_manifest(tdir))
+    handle = mf.prepare_publish(tdir, staged, base_version=1)
+    mf.finish_publish(handle)  # v2 committed
+
+    def flaky_read(table_dir):
+        raise OSError(5, "Input/output error")
+
+    monkeypatch.setattr(mf, "read_manifest", flaky_read)
+    assert mf.publish_landed(handle) is True
+    mf.abort_publish(handle)  # must be a no-op under the error
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(tdir, "manifest.v2.json"))
+    assert engine.table("tr").count() == 2
+
+
+def test_own_session_aggressive_gc_keeps_open_txn_staging(engine, spark):
+    """gc(staged_retention_s=0) run BY the session holding an open
+    transaction keeps the txn's staged files AND their marker (round-6
+    storage review: the old code kept the files but stripped the
+    marker, so a later default-retention gc in another session would
+    reap a live transaction's staging)."""
+    _mk(engine, "og")
+    engine.begin()
+    engine.insert("og", spark.createDataFrame([(9, "z")], "a INT, b STRING"))
+    tdir = engine._table_dir("og")
+    markers_before = sorted(glob.glob(os.path.join(tdir, "*.staged")))
+    assert markers_before
+    engine.gc("og", staged_retention_s=0)
+    assert sorted(glob.glob(os.path.join(tdir, "*.staged"))) == markers_before
+    # another session at DEFAULT retention must still see the marker
+    other = Engine(spark, warehouse=engine.warehouse)
+    other.gc("og")
+    assert sorted(glob.glob(os.path.join(tdir, "*.staged"))) == markers_before
+    engine.commit()  # and the commit still lands
+    assert engine.table("og").count() == 3
+
+
 def test_merge_insert_only_counts_duplicate_source_rows(engine):
     """Insert-only MERGE appends EVERY unmatched source row; the
     `inserted` metric must count rows written, not distinct keys
