@@ -556,6 +556,22 @@ class Engine:
             with mf.multi_commit_lock(dirs.values()):
                 try:
                     for key, st in dirty.items():
+                        # stg-* → seg-* under the locks, just before the
+                        # swap (round-6 streaming review): committed
+                        # names enter engine.stream()'s glob only now.
+                        # In-place seg-list mutation keeps rollback's
+                        # cleanup paths correct if a rename fails.
+                        renames = self._finalize_seg_dirs(st["segs"])
+                        if renames:
+                            m = st["manifest"]
+                            m["files"] = self._remap_paths(
+                                renames, m["files"])
+                            if m.get("stats_by_file"):
+                                m["stats_by_file"] = {
+                                    self._remap_paths(renames, [k])[0]: v
+                                    for k, v in m["stats_by_file"].items()
+                                }
+                    for key, st in dirty.items():
                         prepared.append((key, mf.prepare_publish(
                             dirs[key], st["manifest"], st["base_version"]
                         )))
@@ -637,7 +653,7 @@ class Engine:
                     pass
 
     @staticmethod
-    def _stage(tdir: str, prefix: str = "seg") -> str:
+    def _stage(tdir: str, prefix: str = "stg") -> str:
         """Allocate a staging segment dir name and drop a `.staged`
         sidecar marker FIRST. The marker makes in-flight segments
         discoverable across sessions: another Engine's gc() must not
@@ -646,11 +662,55 @@ class Engine:
         seconds between an autocommit write and its manifest swap).
         Markers are removed on publish/rollback; a crash leaves one
         behind, and gc treats markers older than its retention window as
-        crashed-transaction leftovers (crash ≡ rollback, eventually)."""
+        crashed-transaction leftovers (crash ≡ rollback, eventually).
+
+        The default prefix is `stg` — OUTSIDE engine.stream()'s `seg-*`
+        source glob (round-6 streaming review): staging under seg-* let
+        a downstream CDC stream list uncommitted parquet into its offset
+        log, emitting phantom rows a rollback then deleted (poisoning
+        the checkpoint with FileNotFound replays) and splitting one
+        in-flight write across micro-batches. _finalize_seg_dirs renames
+        stg-* → seg-* immediately before the manifest swap, shrinking
+        the uncommitted-visibility window from the whole write+commit to
+        the final milliseconds (a crash inside THAT window leaves a
+        marked seg-* dir that gc ages out — same as any crashed txn)."""
         staging = os.path.join(tdir, f"{prefix}-{uuid.uuid4().hex[:12]}")
         with open(staging + ".staged", "w") as f:
             f.write(str(time.time()))
         return staging
+
+    @staticmethod
+    def _finalize_seg_dirs(segs: list[str]) -> list[tuple[str, str]]:
+        """Rename stg-* staging dirs to their committed seg-* names (the
+        namespace engine.stream() sources) immediately before the
+        manifest swap. Mutates `segs` IN PLACE as each rename lands, so
+        if a rename fails mid-list the caller's failure cleanup targets
+        the real on-disk names. Returns the (old, new) renames for path
+        rewriting. Non-stg dirs (compact-*: committed rewrites that must
+        NOT re-stream) pass through untouched."""
+        renames: list[tuple[str, str]] = []
+        for i, s in enumerate(list(segs)):
+            base = os.path.basename(s)
+            if not base.startswith("stg-"):
+                continue
+            final = os.path.join(os.path.dirname(s), "seg-" + base[4:])
+            os.rename(s, final)
+            segs[i] = final
+            try:
+                os.rename(s + ".staged", final + ".staged")
+            except OSError:
+                pass
+            renames.append((s, final))
+        return renames
+
+    @staticmethod
+    def _remap_paths(renames: list[tuple[str, str]], paths):
+        def fix(p):
+            for old, new in renames:
+                if p == old or p.startswith(old + os.sep):
+                    return new + p[len(old):]
+            return p
+        return [fix(p) for p in paths or []]
 
     def _read_m(self, name: str) -> dict:
         """Current manifest as this session sees it: the staged pending
@@ -689,6 +749,18 @@ class Engine:
         staged into the pending manifest inside a transaction."""
         tdir = self._table_dir(name)
         if self._txn is None:
+            # stg-* → seg-* at the last moment before the swap: the
+            # committed names enter engine.stream()'s source glob only
+            # now (round-6 streaming review). In-place list mutation
+            # keeps the failure-cleanup paths correct mid-rename.
+            segs = list(segs or [])
+            renames = self._finalize_seg_dirs(segs)
+            if renames:
+                append = self._remap_paths(renames, append) if append is not None else None
+                replace = self._remap_paths(renames, replace) if replace is not None else None
+                if stats:
+                    stats = {self._remap_paths(renames, [k])[0]: v
+                             for k, v in stats.items()}
             try:
                 if replace is None:
                     # appends are COMMUTATIVE: the files are already
@@ -979,11 +1051,13 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
+        # metadata-only count (parquet row counts) taken BEFORE the
+        # publish renames stg-* → seg-* (round-6 streaming review)
+        n = self.spark.read.parquet(*new_files).count() if new_files else 0
         self._publish(name, m["version"], append=new_files,
                       stats=zonemap.collect_file_stats(new_files),
                       segs=[staging])
-        # metadata-only count over the committed files (parquet row counts)
-        return self.spark.read.parquet(*new_files).count() if new_files else 0
+        return n
 
     def copy_to(
         self,
@@ -1044,10 +1118,12 @@ class Engine:
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         ]
+        # count before publishing — _publish renames stg-* → seg-*
+        n = self.spark.read.parquet(*new_files).count() if new_files else 0
         self._publish(name, m["version"], append=new_files,
                       stats=zonemap.collect_file_stats(new_files),
                       segs=[staging], props_update=props_update)
-        return self.spark.read.parquet(*new_files).count() if new_files else 0
+        return n
 
     def delete(self, name: str, where: str) -> int:
         """DELETE FROM name WHERE … — copy-on-write: only files that
@@ -1371,10 +1447,13 @@ class Engine:
         m2 = mf.read_manifest(tdir)
         # mv_deps rides the SAME locked swap as the data (round-6
         # storage review): a trailing unlocked _persist could clobber a
-        # concurrent commit and rewrite the version copy in place
-        mf.replace_files(tdir, new_files, m2["version"],
-                         stats=zonemap.collect_file_stats(new_files),
-                         props={"mv_deps": current})
+        # concurrent commit and rewrite the version copy in place.
+        # Routed through _publish so the staged dir is finalized into
+        # the stream-visible seg-* namespace and a lost optimistic race
+        # reclaims the staging (round-6 streaming review).
+        self._publish(name, m2["version"], replace=new_files,
+                      stats=zonemap.collect_file_stats(new_files),
+                      segs=[staging], props_update={"mv_deps": current})
         return True
 
     def stream_refresh_materialized_view(self, name: str, checkpoint_dir: str):
@@ -1424,10 +1503,12 @@ class Engine:
             dep_v = mf.read_manifest(self._table_dir(dep))["version"]
             # dep stamp in the SAME locked swap as the data (round-6
             # storage review) — this sink runs every trigger, so an
-            # unlocked trailing _persist here was the widest window
-            mf.replace_files(tdir, new_files, cur["version"],
-                             stats=zonemap.collect_file_stats(new_files),
-                             props={"mv_deps": {dep: dep_v}})
+            # unlocked trailing _persist here was the widest window;
+            # via _publish for seg-* finalization + conflict reclaim
+            self._publish(name, cur["version"], replace=new_files,
+                          stats=zonemap.collect_file_stats(new_files),
+                          segs=[staging],
+                          props_update={"mv_deps": {dep: dep_v}})
 
         return (
             out.writeStream.outputMode("complete")

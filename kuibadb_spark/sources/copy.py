@@ -58,23 +58,65 @@ def parse_typed(
             schema=schema,
             mode="FAILFAST",
         )
-    # text dialect FAST PATH: the same native vectorized reader with
-    # quoting DISABLED enforces the reference's semantics wholesale —
-    # extra AND missing columns raise MALFORMED_CSV_RECORD under
-    # FAILFAST, the NULL marker matches exactly, type junk raises —
-    # at native-reader throughput (end-to-end COPY 152k → 574k rows/s
-    # steady-state at sf0.1, tools/ingest_bench.py — 3.8×; parquet write
-    # + manifest commit now dominate). Callers that want the reference's counted diagnostics
-    # re-run diagnose_bad_lines() on failure (Engine.copy_from does).
-    return spark.read.csv(
+    # text dialect FAST PATH: the native vectorized reader with quoting
+    # DISABLED — extra AND missing columns raise MALFORMED_CSV_RECORD
+    # under FAILFAST, at native-reader throughput (end-to-end COPY
+    # 152k → 574k rows/s steady-state at sf0.1, tools/ingest_bench.py —
+    # 3.8×; parquet write + manifest commit now dominate). Callers that
+    # want the reference's counted diagnostics re-run
+    # diagnose_bad_lines() on failure (Engine.copy_from does).
+    #
+    # Two univocity behaviors deviate from the reference contract and
+    # are corrected here (round-6 review, verified empirically):
+    # 1. An unquoted EMPTY field maps to null BEFORE the nullValue
+    #    comparison — indistinguishable from the NULL marker — so
+    #    'a,,5' silently loaded b=NULL where the reference loads ''
+    #    (only an exact null_marker match is NULL, copy.rs:160-166).
+    #    Fix: read every column as STRING with an impossible nullValue
+    #    sentinel, so the ONLY nulls are univocity's empty-field
+    #    mapping; coalesce them back to '', apply the exact-match NULL
+    #    marker ourselves, then ANSI-cast (junk still raises, and ''
+    #    into a numeric column now raises like the reference's
+    #    typinput instead of silently loading NULL).
+    # 2. The reader SKIPS blank lines, which the reference rejects as
+    #    wrong-column-count rows (for a 1-column table a blank line is
+    #    a legitimate row holding '') — so blank input silently lost
+    #    rows. Fix: one cheap unparsed text pass rejects blank lines
+    #    up front; 1-column tables take a split-based path where the
+    #    blank line IS the row.
+    ncols = len(schema.fields)
+    raw = spark.read.text(path)
+    if ncols == 1:
+        f = schema.fields[0]
+        c = F.when(F.col("value") == null_marker, F.lit(None)).otherwise(
+            F.col("value").cast(f.dataType)
+        )
+        return raw.select(c.alias(f.name))
+    if raw.filter(F.col("value") == "").limit(1).count():
+        raise BadCopyFileFormat(
+            f"blank line in input: expected {ncols} columns"
+        )
+    sentinel = "\x00\x01__kb_never__"
+    all_str = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+    )
+    df = spark.read.csv(
         path,
         sep=delimiter,
-        nullValue=null_marker,
-        schema=schema,
+        nullValue=sentinel,
+        schema=all_str,
         mode="FAILFAST",
         quote="",
-        emptyValue="",
     )
+    cols = []
+    for f in schema.fields:
+        s = F.coalesce(F.col(f.name), F.lit(""))  # empty field, not NULL
+        cols.append(
+            F.when(s == null_marker, F.lit(None))
+            .otherwise(s.cast(f.dataType))
+            .alias(f.name)
+        )
+    return df.select(*cols)
 
 
 def diagnose_bad_lines(

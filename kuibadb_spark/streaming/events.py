@@ -18,6 +18,7 @@ shards across executors; complete-mode memory sinks below are test-only.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pandas as pd
@@ -70,8 +71,20 @@ def _stream_dir(sf_dir: str) -> str:
     d = f"/tmp/kuibadb_stream_{hashlib.md5(src.encode()).hexdigest()[:10]}"
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(src, link)
+    except FileExistsError:
+        # os.path.exists FOLLOWS symlinks, so a DANGLING link (fixture
+        # deleted/regenerated) read as absent while symlink() still
+        # refused — the old check-then-create crashed every later call
+        # with FileExistsError (round-6 review). Retarget only when
+        # dangling; a concurrent creator's valid link is left alone.
+        if not os.path.exists(link):
+            try:
+                os.remove(link)
+            except FileNotFoundError:
+                pass
+            os.symlink(src, link)
     return d
 
 
@@ -123,10 +136,17 @@ def session_values(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
 
 
 def streaming_dedup(events: DataFrame) -> DataFrame:
-    """Exactly-once by event_id within the watermark horizon."""
-    return events.withWatermark("ts", "30 minutes").dropDuplicates(
-        ["event_id", "ts"]
-    )
+    """Exactly-once by event_id within the watermark horizon.
+
+    dropDuplicatesWithinWatermark keys on event_id ALONE (round-6
+    review): the old dropDuplicates(["event_id", "ts"]) needed ts in
+    the key for state eviction, but an at-least-once upstream that
+    re-stamps ts on redelivery then sneaks the duplicate through —
+    the key and the stated contract disagreed. The WithinWatermark
+    variant evicts state on the watermark while deduping on the true
+    identity column."""
+    return events.withWatermark("ts", "30 minutes") \
+        .dropDuplicatesWithinWatermark(["event_id"])
 
 
 def _user_totals_fn(key, pdfs, state: GroupState):
@@ -200,14 +220,29 @@ def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "user_id", "left")
 
 
-def write_foreach_batch(events: DataFrame, out_dir: str) -> None:
+def write_foreach_batch(events: DataFrame, out_dir: str,
+                        checkpoint_dir: str | None = None) -> None:
     """Exactly-once file sink via foreachBatch: each micro-batch is
-    written transactionally keyed by batch id (idempotent on replay)."""
+    written transactionally keyed by batch id (idempotent on replay).
+
+    The batch-id-keyed overwrite is only idempotent when batch ids are
+    STABLE across restarts, which requires a checkpoint (round-6
+    review: without one, a re-run restarts epoch ids at 0 and can pack
+    all data into batch=0 while stale batch=N dirs from the previous
+    run survive — readers see those rows twice). Defaults to a
+    checkpoint INSIDE out_dir so re-runs of the same sink resume
+    instead of restarting."""
 
     def sink(df: DataFrame, epoch_id: int) -> None:
         df.write.mode("overwrite").parquet(f"{out_dir}/batch={epoch_id}")
 
-    q = events.writeStream.foreachBatch(sink).start()
+    q = (
+        events.writeStream
+        .option("checkpointLocation",
+                checkpoint_dir or f"{out_dir}/_checkpoint")
+        .foreachBatch(sink)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:
@@ -232,13 +267,36 @@ def write_stream_to_table(events: DataFrame, engine, name: str,
     letting the finite parquet source drain via processAllAvailable."""
     from kuibadb_spark.plans import manifest as mf
 
+    # The replay guard is keyed by the STREAMING QUERY id (round-6
+    # review), not a single global prop: query ids live in the
+    # checkpoint's metadata file, so they are stable across restarts of
+    # the same checkpoint (replays are skipped) and DIFFERENT for a
+    # fresh checkpoint or a second stream into the same table — whose
+    # batch-0 must NOT be swallowed because some other query once
+    # committed a higher batch id (that failure mode silently dropped
+    # data forever). The trade is explicit and the safe one: a lost
+    # checkpoint re-ingests (duplicates, visible and fixable) instead
+    # of silently losing everything after the old high-water mark.
+    import json as _json
+
+    qid: dict = {}
+
+    def _query_key() -> str:
+        if "v" not in qid:
+            try:
+                with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                    qid["v"] = _json.load(f)["id"]
+            except (OSError, ValueError, KeyError):
+                qid["v"] = "default"
+        return qid["v"]
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         tdir = engine._table_dir(name)
-        last = mf.read_manifest(tdir)["props"].get("stream_last_batch", -1)
+        prop = f"stream_last_batch::{_query_key()}"
+        last = mf.read_manifest(tdir)["props"].get(prop, -1)
         if batch_id <= last:
             return  # replayed batch after restart — already committed
-        engine.insert(name, batch_df,
-                      props_update={"stream_last_batch": batch_id})
+        engine.insert(name, batch_df, props_update={prop: batch_id})
 
     return (
         events.writeStream
@@ -691,7 +749,14 @@ def stream_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.withWatermark("ts", "1 day")
         .withColumn("day", F.date_trunc("DAY", "ts"))
-        .dropDuplicates(["user_id", "day"])
+        # WithinWatermark, not plain dropDuplicates (round-6 review):
+        # Spark only evicts dedup state when the event-time column is
+        # in the subset, and `day` is a derived column carrying no
+        # event-time tag — the plain form held one state entry per
+        # (user, day) FOREVER on a continuous source, contradicting
+        # the bounded-state claim below. WithinWatermark evicts on the
+        # watermark while deduping on the (user_id, day) identity.
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("dau"))
     )

@@ -40,6 +40,56 @@ def test_copy_happy_path(engine, tmp_path):
     assert rows == {(1, 2, "x"), (3, None, "y"), (5, 6, None)}
 
 
+def test_copy_empty_field_is_empty_string_not_null(engine, tmp_path):
+    """Reference contract (copy.rs:160-166): ONLY an exact NULL-marker
+    match is NULL — an empty unquoted field is the empty string. The
+    native reader maps unquoted-empty to null before its nullValue
+    comparison (round-6 review, verified): 'a||x' silently loaded
+    b=NULL and an empty NOT NULL string column raised a spurious
+    violation."""
+    engine.create_table("t", "a STRING, b STRING, c INT")
+    path = _write(tmp_path, "in.txt", ["x||1", r"y|\N|2"])
+    assert engine.copy_from("t", path, delimiter="|") == 2
+    rows = {tuple(r) for r in engine.table("t").collect()}
+    assert rows == {("x", "", 1), ("y", None, 2)}
+
+
+def test_copy_empty_field_into_int_errors(engine, tmp_path):
+    """'' into a numeric column is a typinput conversion error in the
+    reference — not a silent NULL (the pre-round-6 reader behavior)."""
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", ["1|2|x", "3||y"])
+    with pytest.raises(Exception) as ei:
+        engine.copy_from("t", path, delimiter="|")
+    assert "CAST_INVALID_INPUT" in str(ei.value) or isinstance(
+        ei.value, BadCopyFileFormat
+    )
+    assert engine.table("t").count() == 0  # nothing committed
+
+
+def test_copy_blank_line_errors_multicolumn(engine, tmp_path):
+    """A blank line in a multi-column text COPY is a wrong-column-count
+    error (copy.rs:155-172); the native reader silently SKIPPED it —
+    row loss with a successful 'COPY n' (round-6 review, verified)."""
+    engine.create_table("t", SCHEMA)
+    path = _write(tmp_path, "in.txt", ["1|2|x", "", "3|4|y"])
+    with pytest.raises(BadCopyFileFormat):
+        engine.copy_from("t", path, delimiter="|")
+    assert engine.table("t").count() == 0
+
+
+def test_copy_blank_line_is_a_row_for_one_column_table(engine, tmp_path):
+    """For a 1-column table a blank line IS a legitimate row holding
+    the empty string."""
+    engine.create_table("t1", "x STRING")
+    path = _write(tmp_path, "in.txt", ["foo", "", "bar", r"\N"])
+    assert engine.copy_from("t1", path, delimiter="|") == 4
+    vals = sorted(
+        (r["x"] is None, r["x"]) for r in engine.table("t1").collect()
+    )
+    assert [v for _, v in vals] == ["", "bar", "foo", None]
+
+
 def test_copy_custom_null_marker(engine, tmp_path):
     engine.create_table("t", SCHEMA)
     path = _write(tmp_path, "in.txt", ["1|2|NULLMARK", "2|3|actual"])

@@ -246,7 +246,11 @@ def test_stream_into_engine_table(spark, sf_dir, tmp_path):
     assert engine.table("ing").count() == expected
     from kuibadb_spark.plans import manifest as mf
     m = mf.read_manifest(engine._table_dir("ing"))
-    assert m["props"]["stream_last_batch"] >= 0
+    # the replay guard is keyed per streaming-query id (round-6: a
+    # global prop silently swallowed a fresh checkpoint's batches)
+    marks = [v for k, v in m["props"].items()
+             if k.startswith("stream_last_batch::")]
+    assert marks and all(v >= 0 for v in marks)
     v_after_first = m["version"]
 
     # restart with the same checkpoint: nothing new to process, and a
