@@ -610,6 +610,8 @@ class Engine:
                         {k: v for k, v in dirty.items() if k not in landed}
                     )
                     self._unmark_segs({k: dirty[k] for k in landed})
+                    for k in landed:  # committed tables get their links
+                        self._sync_stream_links(dirs[k])
                     raise
         except Exception:
             if not handled and not published:
@@ -622,6 +624,8 @@ class Engine:
                 self._discard_segs(dirty)
             raise
         self._unmark_segs(dirty)
+        for tdir in dirs.values():
+            self._sync_stream_links(tdir)
 
     def rollback(self) -> None:
         if self._txn is None:
@@ -736,6 +740,63 @@ class Engine:
         return renames
 
     @staticmethod
+    def _sync_stream_links(tdir: str) -> None:
+        """Reconcile `tdir/.stream/` — the COMMITTED-segment namespace
+        engine.stream() sources — against the live manifest: one
+        relative symlink per seg-* dir the manifest references. Links
+        are created only AFTER the commit point (callers: commit(),
+        _publish(), gc(), stream()), so a streaming query's file
+        listing can never observe a segment whose commit subsequently
+        fails — this CLOSES the round-6 residual phantom-segment window
+        (an uncommitted seg-* dir visible to a raw seg-* glob for the
+        milliseconds between the stg→seg rename and the manifest swap).
+        A crash between publish and sync leaves a committed seg
+        unlinked; the next sync on the table (any later commit, gc, or
+        stream() call) heals it and the file source picks the files up
+        as a late micro-batch — data delayed, never lost, never
+        phantom. Dangling links (target reaped by gc) are removed so
+        the listing never crashes on a vanished dir; links whose target
+        still exists stay even if no longer in the current manifest
+        (COW leftovers pinned readers may still need). Best-effort by
+        contract: post-commit-point bookkeeping must never turn a
+        durable commit into an apparent failure, and every step
+        tolerates concurrent syncers (unique temp + atomic rename)."""
+        try:
+            m = mf.read_manifest(tdir)
+        except Exception:
+            return  # table vanished / unreadable: nothing to reconcile
+        sdir = os.path.join(tdir, ".stream")
+        try:
+            os.makedirs(sdir, exist_ok=True)
+            have = set(os.listdir(sdir))
+        except OSError:
+            return  # table dropped concurrently
+        want = set()
+        for f in m.get("files", []):
+            top = os.path.relpath(f, tdir).split(os.sep, 1)[0]
+            if top.startswith("seg-"):
+                want.add(top)
+        for name in sorted(want - have):
+            tmp = os.path.join(sdir, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+            try:
+                os.symlink(os.path.join("..", name), tmp)
+                os.rename(tmp, os.path.join(sdir, name))
+            except OSError:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        for name in have:
+            p = os.path.join(sdir, name)
+            # leftover temps from a crashed syncer, and dangling links
+            # (isdir follows the link: False once the target is gone)
+            if name.endswith(".tmp") or not os.path.isdir(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+    @staticmethod
     def _remap_paths(renames: list[tuple[str, str]], paths):
         def fix(p):
             for old, new in renames:
@@ -824,6 +885,7 @@ class Engine:
                 self._discard_segs({"_": {"segs": segs or []}})
                 raise
             self._unmark_segs({"_": {"segs": segs or []}})
+            self._sync_stream_links(tdir)
             return
         st = self._txn[name.lower()]  # _read_m already staged it
         m = st["manifest"]
@@ -1030,16 +1092,24 @@ class Engine:
         Semantics: append-only. Copy-on-write rewrites (DELETE/UPDATE/
         MERGE/compact) write NEW files containing surviving rows — a
         downstream stream would observe those as appends, so run GC-aware
-        streams only on append-only tables (the common ingest case)."""
+        streams only on append-only tables (the common ingest case).
+
+        The source globs `.stream/seg-*` — a link farm of COMMITTED
+        segments maintained by _sync_stream_links strictly after each
+        commit point — not the raw seg-* namespace, so a stream running
+        mid-commit can never list a segment whose commit subsequently
+        fails and rolls its files back (the round-6 residual
+        phantom-segment window, closed in round 7)."""
         tdir = self._table_dir(name)
         if not os.path.exists(mf.manifest_path(tdir)):
             raise UndefinedTable(f"table {name!r} does not exist")
         m = mf.read_manifest(tdir)
         schema = _phys_schema(m["schema"])
+        self._sync_stream_links(tdir)
         return (
             self.spark.readStream.schema(schema)
             .option("pathGlobFilter", "*.parquet")
-            .parquet(os.path.join(tdir, "seg-*"))
+            .parquet(os.path.join(tdir, ".stream", "seg-*"))
         )
 
     # -- ingest ---------------------------------------------------------------
@@ -1716,34 +1786,48 @@ class Engine:
         removed = 0
         now = time.time()
         for seg in os.listdir(tdir):
+            if seg.startswith("."):
+                continue  # .stream link farm (and any hidden bookkeeping)
             seg_path = os.path.join(tdir, seg)
             if not os.path.isdir(seg_path):
                 continue
             marker = seg_path + ".staged"
             age = self._marker_age(marker, now)
-            if age is not None:
-                if age < retention:
-                    continue  # another session's in-flight write
-                if any(os.path.join(seg_path, f) in live
-                       for f in os.listdir(seg_path)):
-                    # the segment is LIVE (this session's open txn, or a
-                    # committed seg whose unmark hasn't landed yet):
-                    # nothing here may be reclaimed, and the marker must
-                    # SURVIVE — removing it (the pre-round-6 behavior)
-                    # stripped the cross-session protection, so a later
-                    # DEFAULT-retention gc in another session would reap
-                    # a minutes-old live transaction's staging
-                    continue
-                os.remove(marker)  # crashed txn: fall through and reclaim
-            for f in os.listdir(seg_path):
-                p = os.path.join(seg_path, f)
-                if p not in live and f.endswith(".parquet"):
-                    os.remove(p)
-                    removed += 1
-            if not any(x.endswith(".parquet") for x in os.listdir(seg_path)):
-                import shutil
+            # Everything below can race a concurrent ROLLBACK: gc holds
+            # the commit lock but _discard_segs runs without it (an
+            # abort takes no lock, like the reference's abort path), so
+            # the seg dir or its marker can vanish between any two
+            # syscalls here (round-6 ADVICE). A vanished path means the
+            # owner reclaimed it — exactly gc's goal — so skip, never
+            # crash.
+            try:
+                if age is not None:
+                    if age < retention:
+                        continue  # another session's in-flight write
+                    if any(os.path.join(seg_path, f) in live
+                           for f in os.listdir(seg_path)):
+                        # the segment is LIVE (this session's open txn,
+                        # or a committed seg whose unmark hasn't landed
+                        # yet): nothing here may be reclaimed, and the
+                        # marker must SURVIVE — removing it (the
+                        # pre-round-6 behavior) stripped the
+                        # cross-session protection, so a later
+                        # DEFAULT-retention gc in another session would
+                        # reap a minutes-old live transaction's staging
+                        continue
+                    os.remove(marker)  # crashed txn: fall through, reclaim
+                for f in os.listdir(seg_path):
+                    p = os.path.join(seg_path, f)
+                    if p not in live and f.endswith(".parquet"):
+                        os.remove(p)
+                        removed += 1
+                if not any(x.endswith(".parquet")
+                           for x in os.listdir(seg_path)):
+                    import shutil
 
-                shutil.rmtree(seg_path)
+                    shutil.rmtree(seg_path)
+            except FileNotFoundError:
+                continue  # reclaimed by its owner's rollback mid-scan
         # a write that failed before creating its staging dir (validation
         # error in copy_from, Spark write crash) leaves a dir-less .staged
         # marker; the per-dir loop above never sees it, so reap orphan
@@ -1796,6 +1880,9 @@ class Engine:
                 os.remove(p)
                 removed += 1
         removed += mf.trim_versions(tdir, keep_versions)
+        # reconcile the stream link farm: drop links left dangling by
+        # the reclaim above, heal any missing link for committed segs
+        self._sync_stream_links(tdir)
         return removed
 
     # -- helpers ---------------------------------------------------------------

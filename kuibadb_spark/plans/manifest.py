@@ -185,7 +185,13 @@ def replace_files(table_dir: str, new_files: list[str], base_version: int,
     its manifest.vN copy."""
     with commit_lock(table_dir):
         m = read_manifest(table_dir)
-        if m["version"] != base_version:
+        if m["version"] != base_version and not _metadata_only_drift(
+            table_dir, base_version, m
+        ):
+            # metadata-only bumps (ANALYZE) don't invalidate a COW
+            # split: it was computed from a snapshot whose FILE LIST the
+            # live manifest still has — proceed on the live version,
+            # which already carries the metadata writer's changes
             raise SerializationFailure(
                 f"manifest moved: base v{base_version}, now v{m['version']}"
             )
@@ -202,6 +208,63 @@ def replace_files(table_dir: str, new_files: list[str], base_version: int,
         return m
 
 
+def _metadata_only_drift(table_dir: str, base_version: int,
+                         disk: dict) -> bool:
+    """True iff every version between `base_version` and the live
+    manifest changed NOTHING but metadata — identical file list, schema,
+    and not_null. Provable from the base's time-travel copy; if that
+    copy was trimmed, answer False (can't prove it → conflict)."""
+    try:
+        base = read_manifest_version(table_dir, base_version)
+    except Exception:
+        return False
+    return (disk["files"] == base["files"]
+            and disk.get("schema") == base.get("schema")
+            and disk.get("not_null") == base.get("not_null"))
+
+
+def _rebase_metadata_only(table_dir: str, staged: dict, base_version: int,
+                          disk: dict) -> dict | None:
+    """ANALYZE (update_props) and other metadata-only writers bump the
+    manifest version without touching the file list; failing every open
+    transaction's COMMIT for that would be a writer-conflict the
+    reference's ANALYZE does not create (round-6 ADVICE). When the
+    drift since the transaction's base is provably metadata-only, the
+    staged manifest is RE-BASED over the live one: the transaction's
+    file changes apply verbatim (they were computed against the same
+    file list the live manifest still has), and its prop/stat DELTAS vs
+    its base replay over the live metadata, so neither writer's changes
+    are lost. Any real data or schema movement still conflicts. Returns
+    the re-based staged dict, or None when rebase is not provably safe."""
+    if not _metadata_only_drift(table_dir, base_version, disk):
+        return None
+    base = read_manifest_version(table_dir, base_version)
+    out = dict(staged)
+    # props: live metadata, plus the transaction's own changes/deletes
+    props = dict(disk.get("props", {}))
+    bp, sp = base.get("props", {}), staged.get("props", {})
+    for k, v in sp.items():
+        if k not in bp or bp[k] != v:
+            props[k] = v
+    for k in bp:
+        if k not in sp:
+            props.pop(k, None)
+    out["props"] = props
+    # zone maps: live backfills (ANALYZE), plus the transaction's own,
+    # restricted to files the re-based manifest still references
+    stats = dict(disk.get("stats_by_file", {}))
+    bs, ss = base.get("stats_by_file", {}), staged.get("stats_by_file", {})
+    for k, v in ss.items():
+        if k not in bs or bs[k] != v:
+            stats[k] = v
+    for k in bs:
+        if k not in ss:
+            stats.pop(k, None)
+    files = set(out.get("files", []))
+    out["stats_by_file"] = {k: v for k, v in stats.items() if k in files}
+    return out
+
+
 def prepare_publish(table_dir: str, staged: dict, base_version: int) -> dict:
     """Phase 1 of a two-phase publish (multi-table COMMIT): validate the
     optimistic version check and write the fully-staged manifest AND its
@@ -214,9 +277,14 @@ def prepare_publish(table_dir: str, staged: dict, base_version: int) -> dict:
     finish_publish / abort_publish."""
     disk = read_manifest(table_dir)
     if disk["version"] != base_version:
-        raise SerializationFailure(
-            f"manifest moved: base v{base_version}, now v{disk['version']}"
-        )
+        rebased = _rebase_metadata_only(table_dir, staged, base_version,
+                                        disk)
+        if rebased is None:
+            raise SerializationFailure(
+                f"manifest moved: base v{base_version}, "
+                f"now v{disk['version']}"
+            )
+        staged, base_version = rebased, disk["version"]
     _verify_files_exist(staged.get("files", []), table_dir)
     out = dict(staged)
     out["version"] = base_version + 1
@@ -392,7 +460,13 @@ def update_props(table_dir: str, updater) -> dict:
     the live version and orphaning committed files — and overwrites its
     own manifest.vN.json time-travel copy in place. Callers that change
     metadata WITH a data commit should instead pass props= through
-    commit_files/replace_files (one swap)."""
+    commit_files/replace_files (one swap).
+
+    The bump does NOT abort concurrent writers (round-6 ADVICE): open
+    transactions re-base over provably metadata-only drift at COMMIT
+    (_rebase_metadata_only), COW replaces tolerate it in their version
+    check, and appends retry — so ANALYZE never creates a writer
+    conflict the reference's ANALYZE wouldn't."""
     with commit_lock(table_dir):
         m = read_manifest(table_dir)
         updater(m)

@@ -87,6 +87,24 @@ def parse_typed(
     ncols = len(schema.fields)
     raw = spark.read.text(path)
     if ncols == 1:
+        # a line CONTAINING the delimiter is a 2+-column row into a
+        # 1-column table — the reference's "extra data after last
+        # expected column" (copy.rs:155-159). The whole-line read
+        # succeeds regardless, so prescan explicitly (same shape as the
+        # blank-line prescan below); the NULL marker itself is exempt
+        # even if it happens to contain the delimiter.
+        if raw.filter(
+            F.col("value").contains(delimiter)
+            & (F.col("value") != null_marker)
+        ).limit(1).count():
+            sample = raw.filter(
+                F.col("value").contains(delimiter)
+                & (F.col("value") != null_marker)
+            ).head()[0]
+            raise BadCopyFileFormat(
+                f"extra data after last expected column (expected 1 "
+                f"column); first offender: {sample!r}"
+            )
         f = schema.fields[0]
         c = F.when(F.col("value") == null_marker, F.lit(None)).otherwise(
             F.col("value").cast(f.dataType)

@@ -79,12 +79,17 @@ def _stream_dir(sf_dir: str) -> str:
         # refused — the old check-then-create crashed every later call
         # with FileExistsError (round-6 review). Retarget only when
         # dangling; a concurrent creator's valid link is left alone.
+        # The repair itself is ATOMIC (round-6 ADVICE): the old
+        # remove→symlink pair had a TOCTOU window where two concurrent
+        # repairers both removed the dangling link and the slower
+        # symlink() raised FileExistsError again — create the new link
+        # at a unique temp name and rename() it over the old one
+        # (rename replaces atomically; either racer's link wins, both
+        # point at src).
         if not os.path.exists(link):
-            try:
-                os.remove(link)
-            except FileNotFoundError:
-                pass
-            os.symlink(src, link)
+            tmp = f"{link}.{uuid.uuid4().hex[:8]}.tmp"
+            os.symlink(src, tmp)
+            os.rename(tmp, link)
     return d
 
 

@@ -90,6 +90,21 @@ def test_copy_blank_line_is_a_row_for_one_column_table(engine, tmp_path):
     assert [v for _, v in vals] == ["", "bar", "foo", None]
 
 
+def test_copy_delimiter_in_line_errors_for_one_column_table(
+    engine, tmp_path
+):
+    """A line CONTAINING the delimiter loaded into a 1-column table is
+    'extra data after last expected column' (copy.rs:155-159) — the
+    round-6 ADVICE found the whole-line fast path loaded 'a|b' verbatim
+    instead of raising."""
+    engine.create_table("t1", "x STRING")
+    path = _write(tmp_path, "in.txt", ["foo", "a|b", "bar"])
+    with pytest.raises(BadCopyFileFormat) as ei:
+        engine.copy_from("t1", path, delimiter="|")
+    assert "extra data" in str(ei.value)
+    assert engine.table("t1").count() == 0  # nothing committed
+
+
 def test_copy_custom_null_marker(engine, tmp_path):
     engine.create_table("t", SCHEMA)
     path = _write(tmp_path, "in.txt", ["1|2|NULLMARK", "2|3|actual"])

@@ -190,6 +190,68 @@ def test_engine_table_as_stream_source(spark, tmp_path):
     }
 
 
+def test_stream_never_lists_segment_of_a_failing_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Round-7 closure of the round-6 residual phantom-segment window:
+    engine.stream() sources the .stream/ link farm (links created only
+    AFTER the commit point), so a stream micro-batching in the window
+    between the stg→seg rename and the manifest swap can NEVER list a
+    segment whose commit then fails and rolls its files back. Here a
+    commit is frozen exactly inside that window (seg-* dir on disk,
+    manifest not yet swapped), the stream drains, and must see only
+    committed rows; the commit then fails, files are reclaimed, and the
+    stream resumes cleanly on the next real commit."""
+    import os as _os
+
+    from kuibadb_spark.engine import Engine
+    from kuibadb_spark.plans import manifest as mf
+    from kuibadb_spark.streaming.events import run_resumable
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.create_table("t", "a INT, b STRING")
+    eng.insert("t", spark.createDataFrame([(1, "committed")], "a INT, b STRING"))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    run_resumable(eng.stream("t"), out, ck)
+    assert spark.read.parquet(out).count() == 1
+
+    # freeze a commit INSIDE the phantom window: finalize has renamed
+    # stg→seg (the dir is on disk under the streamed namespace), but
+    # prepare_publish fails before any manifest moves
+    eng.begin()
+    eng.insert("t", spark.createDataFrame([(2, "phantom")], "a INT, b STRING"))
+    real_prepare = mf.prepare_publish
+
+    def failing_prepare(table_dir, staged, base_version):
+        # the window is OPEN right now: a seg-* dir exists, uncommitted
+        tdir = eng._table_dir("t")
+        on_disk = [d for d in _os.listdir(tdir) if d.startswith("seg-")
+                   and _os.path.isdir(_os.path.join(tdir, d))]
+        committed = {
+            _os.path.relpath(f, tdir).split(_os.sep, 1)[0]
+            for f in mf.read_manifest(tdir)["files"]
+        }
+        assert set(on_disk) - committed, "window not open: no uncommitted seg"
+        # drain the stream mid-window: it must NOT pick anything up
+        run_resumable(eng.stream("t"), out, ck)
+        raise OSError(5, "Input/output error")
+
+    monkeypatch.setattr(mf, "prepare_publish", failing_prepare)
+    with pytest.raises(OSError):
+        eng.commit()
+    monkeypatch.undo()
+    got = spark.read.parquet(out)
+    assert got.count() == 1, "stream listed a never-committed segment"
+    assert {r.b for r in got.collect()} == {"committed"}
+
+    # the stream keeps working across the rollback: next commit arrives
+    eng.insert("t", spark.createDataFrame([(3, "later")], "a INT, b STRING"))
+    run_resumable(eng.stream("t"), out, ck)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r.b for r in got.collect()} == {"committed", "later"}
+
+
 def test_transform_with_state_minmax(spark):
     """Spark 4 transformWithStateInPandas (typed ValueState per key):
     running per-user (count, min, max) must converge to the batch

@@ -1321,6 +1321,104 @@ def test_commit_fails_loudly_when_staged_files_reaped(engine, spark):
         assert os.path.exists(f)
 
 
+def test_gc_survives_concurrent_rollback_reclaiming_segment(
+    engine, spark, monkeypatch
+):
+    """gc holds the commit lock but rollback's _discard_segs does NOT
+    (aborts take no lock), so a staged segment can vanish between gc's
+    marker read and its listdir/remove/rmtree syscalls. gc must SKIP
+    the vanished segment, not crash with FileNotFoundError (round-6
+    ADVICE). Simulated deterministically: the first listdir of the
+    staged seg dir triggers the owner's rollback."""
+    _mk(engine, "gr")
+    engine.begin()
+    engine.insert("gr", spark.createDataFrame([(9, "z")], "a INT, b STRING"))
+    tdir = engine._table_dir("gr")
+    staged = [d for d in os.listdir(tdir)
+              if d.startswith("stg-") and os.path.isdir(os.path.join(tdir, d))]
+    assert staged
+    real_listdir = os.listdir
+    state = {"fired": False}
+
+    def racing_listdir(path="."):
+        if (not state["fired"]
+                and os.path.basename(str(path)) == staged[0]):
+            state["fired"] = True
+            engine.rollback()  # owner reclaims the seg dir + marker NOW
+        return real_listdir(path)
+
+    other = Engine(spark, warehouse=engine.warehouse)
+    monkeypatch.setattr(os, "listdir", racing_listdir)
+    other.gc("gr", staged_retention_s=0)  # must not raise
+    monkeypatch.undo()
+    assert state["fired"]
+    m = mf.read_manifest(tdir)
+    for f in m["files"]:
+        assert os.path.exists(f)
+    assert engine.table("gr").count() == 2
+    assert glob.glob(os.path.join(tdir, "*.staged")) == []
+
+
+def test_analyze_does_not_abort_concurrent_transaction(engine, spark):
+    """A concurrent ANALYZE (metadata-only manifest bump via
+    update_props) must NOT fail an open transaction's COMMIT with
+    SerializationFailure — the reference's ANALYZE creates no writer
+    conflict (round-6 ADVICE). The commit re-bases over the bump and
+    BOTH writers' changes survive: the transaction's rows AND the
+    ANALYZE's stats."""
+    _mk(engine, "an")
+    engine.begin()
+    engine.insert("an", spark.createDataFrame([(9, "z")], "a INT, b STRING"))
+    other = Engine(spark, warehouse=engine.warehouse)
+    other.analyze("an")  # bumps the manifest version, files untouched
+    engine.commit()  # must NOT raise SerializationFailure
+    assert engine.table("an").count() == 3
+    m = mf.read_manifest(engine._table_dir("an"))
+    assert m["props"]["stats"]["rows"] == 2  # ANALYZE's snapshot, kept
+    for f in m["files"]:
+        assert os.path.exists(f)
+
+
+def test_analyze_does_not_abort_concurrent_cow_delete(engine, spark, monkeypatch):
+    """Same guarantee for the COW path: an ANALYZE landing while a
+    DELETE computes its file split must not kill the delete — the split
+    was computed from a file list the live manifest still has. (A
+    concurrent INSERT still conflicts: see
+    test_cow_delete_loses_race_instead_of_dropping_concurrent_commit.)"""
+    _mk(engine, "ad")
+    real_stage = Engine._stage
+    hit = {"n": 0}
+
+    def racing_stage(tdir, prefix="stg"):
+        if hit["n"] == 0 and tdir.endswith("ad"):
+            hit["n"] = 1
+            Engine(spark, warehouse=engine.warehouse).analyze("ad")
+        return real_stage(tdir, prefix)
+
+    monkeypatch.setattr(Engine, "_stage", staticmethod(racing_stage))
+    assert engine.delete("ad", "a = 1") == 1
+    monkeypatch.undo()
+    assert engine.table("ad").count() == 1
+    m = mf.read_manifest(engine._table_dir("ad"))
+    assert "stats" in m["props"]  # ANALYZE's write survived the swap
+    for f in m["files"]:
+        assert os.path.exists(f)
+
+
+def test_data_movement_still_conflicts_after_metadata_rebase(engine, spark):
+    """The rebase is METADATA-ONLY: a concurrent data commit (file list
+    moved) must still fail the open transaction's COMMIT with
+    SerializationFailure — first-committer-wins is unchanged."""
+    _mk(engine, "dm")
+    engine.begin()
+    engine.insert("dm", spark.createDataFrame([(9, "z")], "a INT, b STRING"))
+    other = Engine(spark, warehouse=engine.warehouse)
+    other.insert("dm", spark.createDataFrame([(8, "w")], "a INT, b STRING"))
+    with pytest.raises(SerializationFailure):
+        engine.commit()
+    assert engine.table("dm").count() == 3  # base 2 + winner's 1
+
+
 def test_commit_tolerates_vanished_marker_when_data_survived(engine, spark):
     """The ONE swallowed finalize failure: the .staged marker is gone
     (FileNotFoundError on its rename) but the staged data dir survived.
