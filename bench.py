@@ -112,6 +112,12 @@ HEADLINE = [
     # docstring — and the recursive family regression guard is
     # rec_part_hierarchy_depth, the log-depth shape a BSP engine is
     # actually good at)
+    # round 7: the curation15 additions, guarded the round they land
+    "text_chunk_overlap",       # RAG sliding-window chunking ledger
+    "text_quality_robust_z",    # median/MAD robust outlier audit
+    "text_cross_source_overlap",  # df-capped source contamination matrix
+    "sim_dim_energy_profile",   # matryoshka prefix-energy audit
+    "dedup_tokens_saved",       # exact-dedup token-savings ledger
 ]
 
 

@@ -41,6 +41,7 @@ from kuibadb_spark.operators import (
     curation12,
     curation13,
     curation14,
+    curation15,
     dedup,
     events,
     graph,
@@ -106,6 +107,10 @@ _MODULES = [
     curation12,
     curation13,
     curation14,
+    # round-7 additions rank last: their five unverified keys follow the
+    # seven round-6 stragglers (curation12-14) inside the round-7 window
+    # — the verdict-mandated freeze holds (window head = those seven)
+    curation15,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
