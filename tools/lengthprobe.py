@@ -47,6 +47,10 @@ PROBES = [
     "mm_phash_dct", "mm_ahash_near_dup", "mm_dedup_binary",
     "text_substring_dedup", "text_line_dedup", "text_quality",
     "text_pack_sequences",
+    # round-7 additions whose work scales with text length: chunk
+    # windows and 8-gram shingles both grow linearly with token count
+    "text_chunk_overlap", "text_cross_source_overlap",
+    "text_quality_robust_z", "dedup_tokens_saved",
 ]
 
 

@@ -63,6 +63,12 @@ REP = [
     # window representatives) + the rewritten CDC boundary hash
     "mm_cdc_chunking", "graph_label_propagation", "mm_phash_dct",
     "sample_importance_resampling", "ev_markov_absorption",
+    # round-7 additions (curation15) — sharded docs keep the same 20
+    # sources at 10x docs each, so the contamination matrix's per-
+    # shingle source sets stay bounded while its input rows scale
+    "text_chunk_overlap", "text_quality_robust_z",
+    "text_cross_source_overlap", "sim_dim_energy_profile",
+    "dedup_tokens_saved",
 ]
 
 
