@@ -138,6 +138,11 @@ REP100 = [
     "w_ranking_parts", "agg_cube", "agg_salted_skew",
     "sample_temperature_mixture", "mm_dedup_binary",
     "stream_tumbling_hourly",
+    # round-7 additions: the two curation15 keys with shuffle-heavy
+    # shapes (matrix output stays O(sources²)=20×20 at any scale; the
+    # dedup ledger's hash groups grow to 100 copies per text, still
+    # one partial-aggregated exchange)
+    "text_cross_source_overlap", "dedup_tokens_saved",
 ]
 
 
