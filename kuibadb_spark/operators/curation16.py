@@ -1,0 +1,356 @@
+"""Round-7 batch 2: data-constrained training schedule, shingle-df
+spectrum diagnostics, label-centroid confusion, and arrival-process
+dispersion — four more first-class pipeline ops.
+
+Registered after curation15 in registry._MODULES: these keys join the
+unverified queue BEHIND the seven round-6 stragglers and the five
+curation15 keys, so the round-7 grading window head is untouched.
+
+Determinism rules are the house style: quantize to ppm/milli/micro
+integers BEFORE any cross-row arithmetic (cross-row double sums are
+partial-aggregation-order dependent; integer sums are not), integer
+floor-sqrt with the ±1 correction (curation.py's
+sample_temperature_mixture pattern), and float math only inside
+row-local expressions or on already-exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kuibadb_spark.catalog import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# 1. data-constrained epoch schedule (repeat-budget table)
+# ---------------------------------------------------------------------------
+def sample_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeat schedule for a data-constrained training run: given a
+    token budget of half the corpus, allocate per-source targets by
+    sqrt-temperature weights, convert each target into epochs over the
+    source's available tokens, cap at 4 epochs (the Muennighoff
+    data-constrained-scaling rule of thumb: value decays fast past ~4
+    repeats), and flag sources whose allocation the cap truncates.
+
+    All arithmetic is integer: floor-sqrt weights (±1-corrected),
+    targets in tokens via BIGINT div, epochs in milli-units.
+
+    Scale shape: ONE groupBy(source) over the corpus; everything after
+    operates on the sources-row table with its 1-row totals broadcast
+    (BNLJ whitelisted — build side is literally one row).
+    """
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "source", "size(split(text, ' ')) AS n"
+    )
+    src = d.groupBy("source").agg(F.sum("n").alias("tokens"))
+    return _epoch_schedule(src)
+
+
+def _epoch_schedule(src: DataFrame) -> DataFrame:
+    """Schedule math over a (source, tokens) table — split out so the
+    4-epoch cap (which the near-uniform fixture sources can never
+    trigger: all ~1.5k tokens, so sqrt-weights allocate ~0.5 epochs
+    everywhere) is unit-testable on a skewed synthetic corpus
+    (tests/test_curation16.py)."""
+    w = src.selectExpr(
+        "source",
+        "tokens",
+        "CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS s0",
+    ).selectExpr(
+        "source",
+        "tokens",
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1"
+        " WHEN s0 * s0 > tokens THEN s0 - 1 ELSE s0 END AS weight",
+    )
+    tot = w.agg(
+        F.sum("tokens").alias("corpus_tokens"),
+        F.sum("weight").alias("total_weight"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "tokens",
+            "weight",
+            "(corpus_tokens DIV 2) * weight DIV total_weight AS target_tokens",
+        )
+        .selectExpr(
+            "source",
+            "tokens",
+            "weight",
+            "target_tokens",
+            "least(4000, target_tokens * 1000 DIV tokens) AS epochs_milli",
+            "CAST(target_tokens * 1000 DIV tokens > 4000 AS INT) AS capped",
+        )
+        .selectExpr(
+            "source",
+            "tokens",
+            "weight",
+            "target_tokens",
+            "epochs_milli",
+            "tokens * epochs_milli DIV 1000 AS served_tokens",
+            "capped",
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["sample_epoch_schedule"] = sample_epoch_schedule
+
+ORACLES["sample_epoch_schedule"] = """
+    WITH src AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, tokens,
+               CASE WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1
+                    WHEN s0 * s0 > tokens THEN s0 - 1 ELSE s0 END AS weight
+        FROM (
+            SELECT source, tokens,
+                   CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS s0
+            FROM src
+        )
+    ),
+    alloc AS (
+        SELECT source, tokens, weight,
+               CAST((SUM(tokens) OVER () // 2) * weight
+                    // SUM(weight) OVER () AS BIGINT) AS target_tokens
+        FROM w
+    )
+    SELECT source, tokens, weight, target_tokens,
+           CAST(LEAST(4000, target_tokens * 1000 // tokens) AS BIGINT)
+               AS epochs_milli,
+           CAST(tokens * LEAST(4000, target_tokens * 1000 // tokens) // 1000
+               AS BIGINT) AS served_tokens,
+           CAST(CASE WHEN target_tokens * 1000 // tokens > 4000
+                THEN 1 ELSE 0 END AS INT) AS capped
+    FROM alloc
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. shingle document-frequency spectrum
+# ---------------------------------------------------------------------------
+def dedup_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-frequency spectrum of 8-token shingles, in
+    power-of-two bands — the diagnostic read before choosing any df-cap
+    (text_cross_source_overlap's ≤16, text_tfidf_cosine_pairs' posting
+    cap): how much of the posting mass lives in rare vs ubiquitous
+    shingles decides what a cap discards.
+
+    Scale shape: one explode → groupBy(shingle) with partial
+    count_distinct(doc_id) — the single wide shuffle — then a 6-row
+    band aggregate; the share-of-total window runs over those ≤6 rows
+    (GLOBAL_WINDOW_OK: band-cardinality bounded by the CASE arms).
+    """
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "split(text, ' ') AS w"
+    )
+    df_tab = (
+        d.filter(F.expr("size(w) >= 8"))
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(0, size(w) - 8),"
+            " i -> array_join(slice(w, i + 1, 8), ' '))) AS shingle",
+        )
+        .groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    bands = df_tab.selectExpr(
+        "CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'"
+        " WHEN df <= 4 THEN '3-4' WHEN df <= 8 THEN '5-8'"
+        " WHEN df <= 16 THEN '9-16' ELSE '17+' END AS df_band",
+        "df",
+    ).groupBy("df_band").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("postings"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        bands.withColumn("tot", F.sum("postings").over(wall))
+        .selectExpr(
+            "df_band",
+            "n_shingles",
+            "postings",
+            "postings * 1000000 DIV tot AS postings_share_ppm",
+        )
+        .orderBy("df_band")
+    )
+
+
+QUERIES["dedup_shingle_df_spectrum"] = dedup_shingle_df_spectrum
+
+ORACLES["dedup_shingle_df_spectrum"] = """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i + 1, i + 8), ' ') AS shingle
+        FROM d, unnest(generate_series(0, len(w) - 8)) t(i)
+        WHERE len(w) >= 8
+    ),
+    df_tab AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ),
+    bands AS (
+        SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+                    WHEN df <= 4 THEN '3-4' WHEN df <= 8 THEN '5-8'
+                    WHEN df <= 16 THEN '9-16' ELSE '17+' END AS df_band,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(df) AS BIGINT) AS postings
+        FROM df_tab GROUP BY 1
+    )
+    SELECT df_band, n_shingles, postings,
+           CAST(postings * 1000000 // SUM(postings) OVER () AS BIGINT)
+               AS postings_share_ppm
+    FROM bands
+    ORDER BY df_band
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. label-centroid confusion matrix
+# ---------------------------------------------------------------------------
+def sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids — the confusion-proximity
+    audit behind sim_class_separation: label pairs whose centroids sit
+    near cosine 1 are the ones a classifier (or a semantic-dedup pass
+    keyed on labels) will mix up.
+
+    Elements quantize to micro-units ROW-LOCALLY (round(x·1e6) per
+    dimension) before any cross-row sum, so the per-dimension centroid
+    sums are exact integers regardless of partial-aggregation order;
+    the final cosine is one row-local float expression over exact
+    integer dot/norm products.
+
+    Scale shape: one groupBy((label, dim)) over the posexploded
+    vectors — labels×64 output rows — then metadata-scale pair joins
+    (C(labels,2) × 64). At 100 TB the wide shuffle carries (label,
+    dim, partial-sum) only.
+    """
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "label", "posexplode(embedding) AS (i, x)"
+    ).selectExpr(
+        "label",
+        "i",
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xm",
+    )
+    cd = e.groupBy("label", "i").agg(
+        F.expr("CAST(SUM(xm) DIV COUNT(*) AS BIGINT)").alias("c")
+    )
+    a = cd.toDF("label_a", "i", "ca")
+    b = cd.toDF("label_b", "i", "cb")
+    return (
+        a.join(b, "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.expr("ca * cb")).alias("dot"),
+            F.sum(F.expr("ca * ca")).alias("na"),
+            F.sum(F.expr("cb * cb")).alias("nb"),
+        )
+        .selectExpr(
+            "label_a",
+            "label_b",
+            "CAST(round(1000000 * dot / sqrt(CAST(na AS DOUBLE)"
+            " * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_ppm",
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+QUERIES["sim_centroid_confusion"] = sim_centroid_confusion
+
+ORACLES["sim_centroid_confusion"] = """
+    WITH e AS (
+        SELECT label, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                   AS xm
+        FROM embeddings, unnest(generate_series(1, 64)) t(i)
+    ),
+    cd AS (
+        SELECT label, i, CAST(SUM(xm) // COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY label, i
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(round(1000000 * SUM(a.c * b.c)
+                / sqrt(CAST(SUM(a.c * a.c) AS DOUBLE)
+                       * CAST(SUM(b.c * b.c) AS DOUBLE))) AS BIGINT)
+               AS cos_ppm
+    FROM cd a JOIN cd b ON a.i = b.i AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. arrival-process dispersion (Poisson burstiness check)
+# ---------------------------------------------------------------------------
+def ev_arrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean, Fano factor) of per-minute
+    arrival counts for each event type — the burstiness screen: ≈1e6
+    ppm is Poisson-like traffic, well above means bursty arrivals
+    (retry storms, bots, batch replays) that invalidate rate-based
+    alerting assumptions.
+
+    Computed over non-empty minutes (documented choice: the zero-minute
+    tail would need a calendar expansion; the non-empty form is the
+    standard operational burstiness read and keeps both engines on one
+    exact integer formula): D_ppm = (n·Σc² − S²)·1e6 div (n·S).
+
+    Scale shape: two partial-aggregated groupBys — (type, minute) then
+    (type) — both narrow keys; no windows, no joins.
+    """
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_type", "date_trunc('minute', ts) AS m"
+    )
+    per_min = ev.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_min.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_minutes"),
+            F.sum("c").alias("n_events"),
+            F.sum(F.expr("c * c")).alias("q"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_minutes",
+            "n_events",
+            "(n_minutes * q - n_events * n_events) * 1000000"
+            " DIV (n_minutes * n_events) AS dispersion_ppm",
+            "CAST((n_minutes * q - n_events * n_events) * 1000000"
+            " DIV (n_minutes * n_events) > 1500000 AS INT) AS bursty",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["ev_arrival_dispersion"] = ev_arrival_dispersion
+
+ORACLES["ev_arrival_dispersion"] = """
+    WITH per_min AS (
+        SELECT event_type, date_trunc('minute', ts) AS m, COUNT(*) AS c
+        FROM events GROUP BY event_type, date_trunc('minute', ts)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_minutes,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST((COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000
+                // (COUNT(*) * SUM(c)) AS BIGINT) AS dispersion_ppm,
+           CAST(CASE WHEN (COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000
+                // (COUNT(*) * SUM(c)) > 1500000 THEN 1 ELSE 0 END AS INT)
+               AS bursty
+    FROM per_min
+    GROUP BY event_type
+    ORDER BY event_type
+"""

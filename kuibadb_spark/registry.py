@@ -42,6 +42,7 @@ from kuibadb_spark.operators import (
     curation13,
     curation14,
     curation15,
+    curation16,
     dedup,
     events,
     graph,
@@ -111,6 +112,8 @@ _MODULES = [
     # seven round-6 stragglers (curation12-14) inside the round-7 window
     # — the verdict-mandated freeze holds (window head = those seven)
     curation15,
+    # round-7 batch 2: after curation15 for the same reason
+    curation16,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -97,6 +97,8 @@ BNLJ_OK = {
     "text_tfidf_cosine_pairs",   # 1-row corpus-count cross for idf
                                  # (the text_tfidf_top_terms class)
     "ev_retention_halflife",     # 1-row cohort-size cross for the rates
+    "sample_epoch_schedule",     # 1-row corpus-total/weight-sum cross
+                                 # over the sources-row table
 }
 
 # Global (partition-less) windows whose INPUT is bounded by something
@@ -130,6 +132,7 @@ GLOBAL_WINDOW_OK = {
     "ts_seasonal_decompose":     "[time] daily series",
     "w_pareto_abc":              "[ent] part-level rollup; histogram-bracket form documented for extreme cardinality",
     "rfm_segmentation":          "[ent] customer-level ntile; two-pass rank documented for extreme cardinality",
+    "dedup_shingle_df_spectrum": "[hist] share-of-total over ≤6 df bands",
 }
 
 _BOUND_BELOW = re.compile(
