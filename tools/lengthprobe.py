@@ -51,6 +51,9 @@ PROBES = [
     # windows and 8-gram shingles both grow linearly with token count
     "text_chunk_overlap", "text_cross_source_overlap",
     "text_quality_robust_z", "dedup_tokens_saved",
+    # round-7 batch 2: token counting and shingle df both scale with
+    # document length
+    "sample_epoch_schedule", "dedup_shingle_df_spectrum",
 ]
 
 

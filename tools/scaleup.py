@@ -69,6 +69,9 @@ REP = [
     "text_chunk_overlap", "text_quality_robust_z",
     "text_cross_source_overlap", "sim_dim_energy_profile",
     "dedup_tokens_saved",
+    # round-7 batch 2 (curation16)
+    "sample_epoch_schedule", "dedup_shingle_df_spectrum",
+    "sim_centroid_confusion", "ev_arrival_dispersion",
 ]
 
 
