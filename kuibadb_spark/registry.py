@@ -43,6 +43,7 @@ from kuibadb_spark.operators import (
     curation14,
     curation15,
     curation16,
+    curation17,
     dedup,
     events,
     graph,
@@ -114,6 +115,7 @@ _MODULES = [
     curation15,
     # round-7 batch 2: after curation15 for the same reason
     curation16,
+    curation17,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -99,6 +99,7 @@ BNLJ_OK = {
     "ev_retention_halflife",     # 1-row cohort-size cross for the rates
     "sample_epoch_schedule",     # 1-row corpus-total/weight-sum cross
                                  # over the sources-row table
+    "sample_dedup_aware_mixture",  # same 1-row totals cross
 }
 
 # Global (partition-less) windows whose INPUT is bounded by something
@@ -133,6 +134,8 @@ GLOBAL_WINDOW_OK = {
     "w_pareto_abc":              "[ent] part-level rollup; histogram-bracket form documented for extreme cardinality",
     "rfm_segmentation":          "[ent] customer-level ntile; two-pass rank documented for extreme cardinality",
     "dedup_shingle_df_spectrum": "[hist] share-of-total over ≤6 df bands",
+    "ev_bot_decile_screen":      "[ent] user-level rate/regularity deciles (rfm class)",
+    "text_ngram_coverage_curve": "[hist] rank over the gram-frequency table (vocabulary cardinality)",
 }
 
 _BOUND_BELOW = re.compile(
