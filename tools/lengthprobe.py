@@ -54,6 +54,7 @@ PROBES = [
     # round-7 batch 2: token counting and shingle df both scale with
     # document length
     "sample_epoch_schedule", "dedup_shingle_df_spectrum",
+    "text_ngram_coverage_curve",
 ]
 
 

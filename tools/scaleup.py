@@ -72,6 +72,9 @@ REP = [
     # round-7 batch 2 (curation16)
     "sample_epoch_schedule", "dedup_shingle_df_spectrum",
     "sim_centroid_confusion", "ev_arrival_dispersion",
+    # round-7 batch 3 (curation17)
+    "ev_bot_decile_screen", "text_ngram_coverage_curve",
+    "sample_dedup_aware_mixture",
 ]
 
 
