@@ -118,6 +118,14 @@ HEADLINE = [
     "text_cross_source_overlap",  # df-capped source contamination matrix
     "sim_dim_energy_profile",   # matryoshka prefix-energy audit
     "dedup_tokens_saved",       # exact-dedup token-savings ledger
+    # round 7 batches 2-3 (curation16/17)
+    "sample_epoch_schedule",    # data-constrained repeat schedule
+    "dedup_shingle_df_spectrum",  # df-cap justification spectrum
+    "sim_centroid_confusion",   # label-centroid cosine matrix
+    "ev_arrival_dispersion",    # Poisson burstiness screen
+    "ev_bot_decile_screen",     # decile-based bot screen
+    "text_ngram_coverage_curve",  # tokenizer coverage curve
+    "sample_dedup_aware_mixture",  # dedup-aware mixture shares
 ]
 
 
