@@ -15,6 +15,13 @@ For every bench headliner this tool measures the steady-state run
 BEFORE any clearCache (warm: internal persists live) and AFTER a
 clearCache (cold: persists orphaned), and flags ratios > 2× with both
 times. Run after adding any query that persists internally.
+
+Determinism (round-8 judge ask #1): a single timing sample can blip on
+a busy VM and flake the round-closing gate red. A trip on the fast
+screening pass is therefore only a CANDIDATE; it must be CONFIRMED by
+a median-of-3 re-measurement on both sides (warm and cold) before the
+gate fails. An orphaned persist is a structural recompute (16 s vs
+0.5 s class), not a 2.2× wobble — it survives medians; noise doesn't.
 """
 
 from __future__ import annotations
@@ -28,6 +35,28 @@ sys.path.insert(0, str(ROOT))
 
 from kuibadb_spark import registry  # noqa: E402
 from kuibadb_spark.session import get_spark  # noqa: E402
+
+
+def _median3(run) -> float:
+    return sorted(run() for _ in range(3))[1]
+
+
+def _confirm(df, spark) -> tuple[float, float]:
+    """Median-of-3 warm and median-of-3 cold for one query — the slow,
+    deterministic re-measurement behind a screening-pass trip."""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    df.write.format("noop").mode("overwrite").save()  # re-materialize
+    warm = _median3(one)
+    spark.catalog.clearCache()
+    one()  # first cold run may repopulate caches; measure steady cold
+    cold = _median3(one)
+    spark.catalog.clearCache()
+    return warm, cold
 
 
 def main(sf_dir: str | None = None) -> int:
@@ -57,10 +86,17 @@ def main(sf_dir: str | None = None) -> int:
         spark.catalog.clearCache()
         ratio = cold / max(warm, 1e-9)
         mark = ""
-        # sub-second noise is not a cliff; flag real recompute blowups
+        # sub-second noise is not a cliff; flag real recompute blowups —
+        # and only after a median-of-3 confirmation pass (a one-off cold
+        # blip must not flake the round gate red)
         if ratio > 2.0 and cold - warm > 1.0:
-            flagged.append((n, warm, cold, ratio))
-            mark = "  <-- orphaned persist?"
+            warm, cold = _confirm(df, spark)
+            ratio = cold / max(warm, 1e-9)
+            if ratio > 2.0 and cold - warm > 1.0:
+                flagged.append((n, warm, cold, ratio))
+                mark = "  <-- orphaned persist (median-of-3 confirmed)"
+            else:
+                mark = "  (screening trip; median-of-3 clean)"
         print(f"{n:34s} {warm:7.2f} {cold:7.2f} {ratio:6.1f}{mark}")
     if flagged:
         print(f"cachecheck: {len(flagged)} flagged")
