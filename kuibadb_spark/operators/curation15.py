@@ -323,39 +323,47 @@ def sim_dim_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN index can store 16-dim prefixes at a quarter of the memory.
 
     Per (label, k): vector count and the mean / min / max of the
-    prefix-energy fraction in ppm. Energy sums are left-to-right list
-    folds over the 64-dim vector in double — both engines evaluate the
-    identical IEEE sequence (the dedup_embedding_cosine precedent) —
-    then quantized to ppm integers before any cross-row aggregation.
+    prefix-energy fraction in ppm. Determinism (ADVICE r7): each
+    dimension's square is quantized to MICRO-unit integers row-locally
+    (one double multiply per element — identical IEEE op in both
+    engines, and ≥0 so round-half behavior agrees), and every sum
+    after that point is exact integer arithmetic — no reliance on
+    either engine's list-fold or partial-agg summation ORDER anywhere
+    (the sim_centroid_confusion house style).
 
-    Scale shape: entirely row-local per vector (4 folds over a 64-list,
-    no explode of dimensions into rows), ONE groupBy on (label, k) —
-    4× the input rows via a literal-array explode, nothing else. At
-    100 TB this is a single scan + one narrow shuffle.
+    Scale shape: entirely row-local per vector (integer sums over a
+    64-list, no explode of dimensions into rows), ONE groupBy on
+    (label, k) — 4× the input rows via a literal-array explode,
+    nothing else. At 100 TB this is a single scan + one narrow
+    shuffle. Headroom: micro-unit squares bound e_full by dims·1e6,
+    and energy·1e6 by dims·1e12 ≪ int64.
     """
     e = load(spark, sf_dir, "embeddings").selectExpr(
         "label",
-        "embedding",
-        "aggregate(embedding, CAST(0 AS DOUBLE),"
-        " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS e_full",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sq_micro",
+    ).selectExpr(
+        "label",
+        "sq_micro",
+        "aggregate(sq_micro, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        " AS e_full_micro",
     )
     per_k = e.selectExpr(
         "label",
         "explode(array(4, 8, 16, 32)) AS k",
-        "embedding",
-        "e_full",
+        "sq_micro",
+        "e_full_micro",
     ).selectExpr(
         "label",
         "k",
-        "CAST(round(1000000 * aggregate(slice(embedding, 1, k),"
-        " CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) *"
-        " CAST(x AS DOUBLE)) / e_full) AS BIGINT) AS energy_ppm",
+        "aggregate(slice(sq_micro, 1, k), CAST(0 AS BIGINT),"
+        " (a, x) -> a + x) * 1000000 DIV e_full_micro AS energy_ppm",
     )
     return (
         per_k.groupBy("label", "k")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.expr("CAST(round(avg(energy_ppm)) AS BIGINT)").alias(
+            F.expr("CAST(sum(energy_ppm) DIV count(*) AS BIGINT)").alias(
                 "mean_energy_ppm"
             ),
             F.min("energy_ppm").alias("min_energy_ppm"),
@@ -369,22 +377,26 @@ QUERIES["sim_dim_energy_profile"] = sim_dim_energy_profile
 
 ORACLES["sim_dim_energy_profile"] = """
     WITH e AS (
-        SELECT label, embedding,
-               list_sum(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS e_full
+        SELECT label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        * 1000000) AS BIGINT)) AS sq_micro
         FROM embeddings
+    ),
+    e2 AS (
+        SELECT label, sq_micro,
+               CAST(list_sum(sq_micro) AS BIGINT) AS e_full_micro
+        FROM e
     ),
     per_k AS (
         SELECT label, k,
-               CAST(round(1000000 * list_sum(list_transform(
-                   list_slice(embedding, 1, k),
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / e_full)
-                   AS BIGINT) AS energy_ppm
-        FROM e, unnest([4, 8, 16, 32]) t(k)
+               CAST(CAST(list_sum(list_slice(sq_micro, 1, k)) AS BIGINT)
+                    * 1000000 // e_full_micro AS BIGINT) AS energy_ppm
+        FROM e2, unnest([4, 8, 16, 32]) t(k)
     )
     SELECT label, k,
            COUNT(*) AS n_vecs,
-           CAST(round(avg(energy_ppm)) AS BIGINT) AS mean_energy_ppm,
+           CAST(SUM(energy_ppm) // COUNT(*) AS BIGINT) AS mean_energy_ppm,
            MIN(energy_ppm) AS min_energy_ppm,
            MAX(energy_ppm) AS max_energy_ppm
     FROM per_k
@@ -411,6 +423,14 @@ def dedup_tokens_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same single shuffle dedup_exact pays — then the verdict joins
     back on the hash (reusing the exchange) and ONE narrow
     groupBy(source). No text ever shuffles twice: the hash is the key.
+
+    Mirror-id contract (ADVICE r7): the +1e6 pseudo-id offset follows
+    the dedup.py mirror-corpus precedent and assumes fixture
+    doc_id < 1e6 (driver fixtures top out ~6e4 at sf0.1). If fixtures
+    ever outgrow that, change the offset to a shared high-bit tag
+    across ALL mirror-corpus operators at once (here,
+    sample_dedup_aware_mixture, dedup.py) so keeper attribution stays
+    collision-free everywhere simultaneously.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     corpus = d.select(

@@ -274,7 +274,7 @@ ORACLES["sim_centroid_confusion"] = """
         SELECT label, i,
                CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
                    AS xm
-        FROM embeddings, unnest(generate_series(1, 64)) t(i)
+        FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
     ),
     cd AS (
         SELECT label, i, CAST(SUM(xm) // COUNT(*) AS BIGINT) AS c
@@ -308,6 +308,16 @@ def ev_arrival_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two partial-aggregated groupBys — (type, minute) then
     (type) — both narrow keys; no windows, no joins.
+
+    int64 headroom (ADVICE r7): the numerator (n·Σc² − S²)·1e6 stays in
+    BIGINT while n_minutes·q < 9.2e12 per event TYPE — with minute
+    grain that bounds a type at roughly 3e6 total events per 1e6-minute
+    (2-year) window at uniform traffic, less when bursty (q grows as
+    the square of the per-minute peak). A 100 TB corpus exceeds that
+    per-type budget: shard the screen by day (the operational read
+    anyway) or drop the scale factor to 1e3, both of which keep the
+    formula exact; do NOT lift to DOUBLE (partial-agg order would leak
+    into the verdict bit).
     """
     ev = load(spark, sf_dir, "events").selectExpr(
         "event_type", "date_trunc('minute', ts) AS m"

@@ -35,11 +35,21 @@ def ev_bot_decile_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Scale shape: groupBy(user, minute) then groupBy(user) — two
-    partial-aggregated narrow shuffles; the decile windows run over the
-    USER-level table (entity-cardinality, the rfm_segmentation class —
-    at extreme user counts the two-pass histogram-rank form documented
-    there applies).
+    partial-aggregated narrow shuffles; the deciles use the exact
+    distributed ntile (plans/ranks.py: range-repartition + partitioned
+    row_number + broadcast prefix cross), so no global window sorts the
+    user frame in one task; assignments are bit-identical to window
+    ntile and the oracle is unchanged.
+
+    int64 headroom (ADVICE r7): the dispersion numerator
+    (active_minutes·q − n_events²)·1e6 needs PER-USER
+    active_minutes·Σc² < 9.2e12 — safe while any single user stays
+    under ~3e6 events at minute grain (a 2-year-every-minute bot is
+    ~1e6); a corpus whose top entity exceeds that needs the
+    milli-scaled numerator, not a bigger corpus-wide budget.
     """
+    from kuibadb_spark.plans.ranks import distributed_ntile
+
     ev = load(spark, sf_dir, "events").selectExpr(
         "user_id", "date_trunc('minute', ts) AS m"
     )
@@ -56,11 +66,15 @@ def ev_bot_decile_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(active_minutes * q - n_events * n_events) * 1000000"
         " DIV (active_minutes * n_events) AS dispersion_ppm",
     )
-    wr = W.orderBy(F.desc("rate_milli"), "user_id")
-    wd = W.orderBy("dispersion_ppm", "user_id")
     return (
-        u.withColumn("rate_decile", F.ntile(10).over(wr))
-        .withColumn("regularity_decile", F.ntile(10).over(wd))
+        distributed_ntile(
+            distributed_ntile(
+                u, [F.desc("rate_milli"), F.asc("user_id")], 10,
+                "rate_decile",
+            ),
+            [F.asc("dispersion_ppm"), F.asc("user_id")], 10,
+            "regularity_decile",
+        )
         .selectExpr(
             "user_id",
             "n_events",

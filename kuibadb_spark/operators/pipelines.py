@@ -640,14 +640,13 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     each score in the segment.
 
     Scale shape: one groupBy(custkey) over orders (partial-agg), then
-    three global ntile windows. An unpartitioned window IS a
-    single-task sort — acceptable here because its input is the
-    per-customer frame (entity cardinality, ~1/10th of fact rows at
-    TPC-H shape, a few compact columns), not orders; at a scale where
-    even the entity frame outgrows one task, exact ntile needs the
-    two-pass distributed rank (range-sort + partition-offset prefix)
-    or value-boundary quantile assignment instead."""
-    from pyspark.sql import Window as W
+    three exact distributed ntiles (plans/ranks.py: range-repartition
+    + partitioned row_number + a broadcast prefix cross over the
+    ≤32 per-range counts). No global window anywhere — the old form's
+    three single-task entity-frame sorts (the round-7 [ent] whitelist
+    entry) are retired; bucket assignments are bit-identical to window
+    ntile, so the oracle is unchanged."""
+    from kuibadb_spark.plans.ranks import distributed_ntile
 
     o = load(spark, sf_dir, "orders").selectExpr(
         "o_custkey",
@@ -659,23 +658,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("total_cents"),
     )
-    scored = (
-        per_cust.withColumn(
-            "r",
-            F.ntile(5).over(
-                W.orderBy(F.asc("last_order"), F.asc("o_custkey"))
+    scored = distributed_ntile(
+        distributed_ntile(
+            distributed_ntile(
+                per_cust,
+                [F.asc("last_order"), F.asc("o_custkey")], 5, "r",
             ),
-        )
-        .withColumn(
-            "f",
-            F.ntile(5).over(W.orderBy(F.asc("n_orders"), F.asc("o_custkey"))),
-        )
-        .withColumn(
-            "m",
-            F.ntile(5).over(
-                W.orderBy(F.asc("total_cents"), F.asc("o_custkey"))
-            ),
-        )
+            [F.asc("n_orders"), F.asc("o_custkey")], 5, "f",
+        ),
+        [F.asc("total_cents"), F.asc("o_custkey")], 5, "m",
     )
     return (
         scored.groupBy("r", "f", "m")

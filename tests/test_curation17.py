@@ -19,7 +19,9 @@ def test_no_cartesian(spark, sf_dir, name):
         .toString()
     )
     assert "CartesianProduct" not in plan, name
-    if name != "sample_dedup_aware_mixture":  # whitelisted 1-row totals
+    # whitelisted bounded BNLJs: 1-row totals (mixture), ≤32-row
+    # distributed-ntile prefix cross (bot screen, plans/ranks.py)
+    if name not in ("sample_dedup_aware_mixture", "ev_bot_decile_screen"):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 

@@ -94,6 +94,13 @@ BNLJ_OK = {
                                  # (the sim_topk_bruteforce class)
     "dedup_minhash_band_sweep",  # 1-row metric crosses per band config
                                  # (n_candidates x n_hit x n_truth scalars)
+    # round-8: distributed_ntile prefix cross (plans/ranks.py) — the
+    # build side is the per-range count table, ≤32 rows by construction
+    # (a constant of cluster shape, never of data volume)
+    "rfm_segmentation",
+    "ev_bot_decile_screen",
+    "w_decile_bands_orders",
+    "text_length_decile_bands",
     "text_tfidf_cosine_pairs",   # 1-row corpus-count cross for idf
                                  # (the text_tfidf_top_terms class)
     "ev_retention_halflife",     # 1-row cohort-size cross for the rates
@@ -132,10 +139,12 @@ GLOBAL_WINDOW_OK = {
     "ts_lttb_downsample":        "[time] fixed bucket count",
     "ts_seasonal_decompose":     "[time] daily series",
     "w_pareto_abc":              "[ent] part-level rollup; histogram-bracket form documented for extreme cardinality",
-    "rfm_segmentation":          "[ent] customer-level ntile; two-pass rank documented for extreme cardinality",
     "dedup_shingle_df_spectrum": "[hist] share-of-total over ≤6 df bands",
-    "ev_bot_decile_screen":      "[ent] user-level rate/regularity deciles (rfm class)",
     "text_ngram_coverage_curve": "[hist] rank over the gram-frequency table (vocabulary cardinality)",
+    # round 8 retired the [ent] entries rfm_segmentation and
+    # ev_bot_decile_screen: their ntiles now run through
+    # plans/ranks.py's distributed form (no global window at all;
+    # the bounded prefix cross is whitelisted in BNLJ_OK instead)
 }
 
 _BOUND_BELOW = re.compile(
