@@ -126,6 +126,12 @@ HEADLINE = [
     "ev_bot_decile_screen",     # decile-based bot screen
     "text_ngram_coverage_curve",  # tokenizer coverage curve
     "sample_dedup_aware_mixture",  # dedup-aware mixture shares
+    # round 8: the curation18 additions, guarded the round they land
+    "w_decile_bands_orders",    # fact-scale distributed decile bands
+    "text_length_decile_bands",  # corpus length profile (distributed ntile)
+    "graph_degree_assortativity",  # exact-moment degree Pearson
+    "sample_holdout_contamination",  # train/holdout 5-gram leakage audit
+    "dedup_cluster_size_spectrum",  # exact-dup cluster-size bands
 ]
 
 

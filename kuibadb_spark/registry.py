@@ -44,6 +44,7 @@ from kuibadb_spark.operators import (
     curation15,
     curation16,
     curation17,
+    curation18,
     dedup,
     events,
     graph,
@@ -116,6 +117,9 @@ _MODULES = [
     # round-7 batch 2: after curation15 for the same reason
     curation16,
     curation17,
+    # round-8 additions rank last (freeze discipline): with 316/316
+    # verified these five enter the next window head automatically
+    curation18,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -55,6 +55,10 @@ PROBES = [
     # document length
     "sample_epoch_schedule", "dedup_shingle_df_spectrum",
     "text_ngram_coverage_curve",
+    # round-8: token counting, 5-gram shingling, and full-text hashing
+    # all scale with document length
+    "text_length_decile_bands", "sample_holdout_contamination",
+    "dedup_cluster_size_spectrum",
 ]
 
 

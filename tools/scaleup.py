@@ -75,6 +75,10 @@ REP = [
     # round-7 batch 3 (curation17)
     "ev_bot_decile_screen", "text_ngram_coverage_curve",
     "sample_dedup_aware_mixture",
+    # round-8 additions (curation18)
+    "w_decile_bands_orders", "text_length_decile_bands",
+    "graph_degree_assortativity", "sample_holdout_contamination",
+    "dedup_cluster_size_spectrum",
 ]
 
 

@@ -1,0 +1,163 @@
+"""Standing sf1-class bench over the FULL headliner set (round-8 judge
+ask #2): anchor the 2× perf gate at ~10× the driver's bench scale.
+
+    python tools/sf1bench.py [--rebuild]
+
+The bench has historically only run at sf0.1 (~600 k lineitem rows).
+This tool times every bench.py HEADLINE query against the ×10
+key-offset shard fixture (/tmp/sfbig, built by tools/scaleup.py —
+~6 M lineitem rows, TPC-H sf1-class) with the same measurement
+discipline as bench.py (adaptive best-of-N steady-state, one-time
+eager-build cost split out) and writes BENCH_SF1_DETAIL.json, a
+per-round artifact committed next to BENCH_DETAIL.json.
+
+Drift rule (recorded in the artifact, checked here):
+- aggregate: steady-state total at sf1-class is expected at ≈×6.6 of
+  the sf0.1 total (the standing REP ×10 aggregate from SCALING.md —
+  sub-linear because fixed per-stage costs amortize); the alarm band
+  is aggregate ratio > ×10 (super-linear at 10× data = a scale bug,
+  not drift).
+- per-query: any query ≥1 s at sf0.1 whose sf1/sf0.1 ratio exceeds
+  ×15 is listed in `movers` and must have a documented quadratic-
+  OUTPUT explanation (the ev_concurrent_sessions class) or a fix.
+
+Reads BENCH_DETAIL.json for the sf0.1 side (run `python bench.py`
+first in the same round so both sides share an environment epoch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from kuibadb_spark import registry  # noqa: E402
+from kuibadb_spark.session import get_spark  # noqa: E402
+
+SFBIG = "/tmp/sfbig"
+AGG_EXPECT = 6.6     # standing REP ×10 aggregate (SCALING.md)
+AGG_ALARM = 10.0     # super-linear at 10× data = scale bug
+QUERY_ALARM = 15.0   # per-query alarm for ≥1 s queries
+
+
+def main() -> int:
+    import bench
+    from scaleup import build
+
+    spark = get_spark("kuibadb-sf1bench")
+    if "--rebuild" in sys.argv or not os.path.exists(
+        f"{SFBIG}/lineitem.parquet"
+    ):
+        print("building ×10 fixture at /tmp/sfbig…", flush=True)
+        build(spark)
+    spark.read.parquet(f"{SFBIG}/region.parquet").count()  # warm
+
+    queries = registry.all_queries()
+    names = [n for n in bench.HEADLINE if n in queries]
+
+    timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
+    for name in names:
+        tb = time.perf_counter()
+        df = queries[name](spark, SFBIG)
+        build_s = time.perf_counter() - tb
+        if build_s >= 1.0:
+            builds[name] = round(build_s, 3)
+        runs: list[float] = []
+        while len(runs) < 4:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            if len(runs) >= 2:
+                a, b = sorted(runs)[:2]
+                if b <= a * 1.3:
+                    break
+        timings[name] = round(min(runs), 3)
+        spark.catalog.clearCache()
+        print(f"{name:34s} {timings[name]:8.2f}", flush=True)
+
+    # sf0.1 side for the drift rule
+    base: dict[str, float] = {}
+    try:
+        with open(ROOT / "BENCH_DETAIL.json") as f:
+            base = json.load(f).get("queries", {})
+    except Exception:
+        pass
+
+    ratios = {
+        n: round(timings[n] / base[n], 2)
+        for n in timings
+        if base.get(n, 0) > 0
+    }
+    common = [n for n in timings if base.get(n, 0) > 0]
+    agg_ratio = (
+        round(
+            sum(timings[n] for n in common) / sum(base[n] for n in common), 2
+        )
+        if common
+        else None
+    )
+    movers = sorted(
+        (
+            (n, base[n], timings[n], ratios[n])
+            for n in ratios
+            if base[n] >= 1.0 and ratios[n] > QUERY_ALARM
+        ),
+        key=lambda t: -t[3],
+    )
+
+    out = {
+        "metric": "headline_queries_total_sf1class",
+        "value": round(sum(timings.values()), 3),
+        "value_with_build": round(
+            sum(timings.values()) + sum(builds.values()), 3
+        ),
+        "unit": "sec",
+        "sf": "sf0.1 x10 key-offset shards (TPC-H sf1-class)",
+        "queries_n": len(timings),
+        "aggregate_ratio_vs_sf01": agg_ratio,
+        "drift_rule": {
+            "aggregate_expect": AGG_EXPECT,
+            "aggregate_alarm": AGG_ALARM,
+            "per_query_alarm_ge1s": QUERY_ALARM,
+        },
+        "movers": [
+            {"query": n, "sf01_s": a, "sf1_s": b, "ratio": r}
+            for n, a, b, r in movers
+        ],
+        "queries": timings,
+        "build": builds,
+        "ratios_vs_sf01": ratios,
+    }
+    with open(ROOT / "BENCH_SF1_DETAIL.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                k: out[k]
+                for k in (
+                    "metric",
+                    "value",
+                    "value_with_build",
+                    "queries_n",
+                    "aggregate_ratio_vs_sf01",
+                )
+            }
+        )
+    )
+    ok = (agg_ratio is None or agg_ratio <= AGG_ALARM) and not movers
+    print("sf1bench", "PASSED" if ok else "FAILED: "
+          + (f"aggregate x{agg_ratio}" if agg_ratio and agg_ratio > AGG_ALARM
+             else "") + (f" movers={[m['query'] for m in out['movers']]}"
+                         if movers else ""))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
