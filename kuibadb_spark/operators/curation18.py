@@ -128,7 +128,8 @@ QUERIES["text_length_decile_bands"] = text_length_decile_bands
 
 ORACLES["text_length_decile_bands"] = """
     WITH d AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        -- CAST to INT: Spark's size() is i32, DuckDB len() is i64
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok
         FROM documents
     ),
     banded AS (
