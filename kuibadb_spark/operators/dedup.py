@@ -312,45 +312,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charikar SimHash, frequency-weighted: with a small vocabulary the
     unweighted (distinct-token) variant collides massively — term counts
-    carry the signal, so each token votes ±count on every bit."""
+    carry the signal, so each token votes ±count on every bit.
+
+    60-bit hash, 4 bands × 15 bits, hot-bucket cap 1000 — the
+    mm_ahash_near_dup capacity design (round-8 sf1 gate finding): the
+    original 32-bit/8-bit-band form had 1024 possible buckets TOTAL,
+    so bucket occupancy — and candidate pairs — grew QUADRATICALLY
+    with corpus size (measured ×46.7 wall at ×10 rows, 59 s).
+    4×15-bit bands give 131k buckets per band, the cap drops
+    saturated buckets whole (no discriminative signal), and by
+    pigeonhole any pair within the Hamming ≤ 3 verify threshold still
+    shares ≥ 1 intact band, so recall at the threshold is exact.
+    Bits 60-63 are unused to stay clear of BIGINT sign semantics in
+    both engines.
+    """
+    par = spark.sparkContext.defaultParallelism
     c = _dup_corpus(spark, sf_dir)
     toks = c.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
     ).withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     )
     # One shuffle total: summing ±1 per token OCCURRENCE per bit equals the
     # frequency-weighted (±count per distinct token) form, so the
-    # (doc_id, tok) count pass and the 32× bit-explode both collapse into
-    # 32 bit-sums in a single partial-aggregated groupBy(doc_id). The
+    # (doc_id, tok) count pass and the 60× bit-explode both collapse into
+    # 60 bit-sums in a single partial-aggregated groupBy(doc_id). The
     # signed vote sum (2·ones − total) > 0 is tested as 2·ones > total, so
     # each per-row expression is a branch-free shift+mask (2× faster in
     # codegen than a when/otherwise ±1 per bit).
-    bit_sums = [F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"s{b}") for b in range(32)]
+    bit_sums = [F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"s{b}") for b in range(60)]
     sh_expr = sum(
         F.when(2 * F.col(f"s{b}") > F.col("cnt"), F.lit(1 << b).cast("bigint"))
         .otherwise(F.lit(0).cast("bigint"))
-        for b in range(32)
+        for b in range(60)
     )
     simhash = (
         toks.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("cnt"), *bit_sums)
         .select("doc_id", sh_expr.alias("sh"))
+        .repartition(par)  # explicit exchange, reused by every consumer
     )
-    simhash = simhash.persist()  # feeds both sides of the byte-band join
-    bytes_df = simhash.selectExpr(
+    bands = simhash.selectExpr(
         "doc_id",
         "sh",
-        "stack(4, 0, (sh >> 0) & 255, 1, (sh >> 8) & 255,"
-        " 2, (sh >> 16) & 255, 3, (sh >> 24) & 255) AS (band_idx, byte)",
+        "explode(transform(sequence(0, 3), j -> struct(j AS bi,"
+        " shiftright(sh, j * 15) % 32768 AS bv))) AS b",
+    ).select(
+        "doc_id", "sh", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
     )
-    a = bytes_df.alias("a")
-    b = bytes_df.alias("b")
+    bucket_n = bands.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("bn"))
+    bands = bands.join(
+        bucket_n.filter(F.col("bn") <= 1000), ["bi", "bv"]
+    ).drop("bn")
+    a = bands.alias("a")
+    b = bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -358,8 +378,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
+        .filter(F.col("hamming") <= 3)
         .distinct()
-        .filter(F.col("hamming") <= 1)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -600,13 +620,13 @@ ORACLES = {
         ),
         hashed AS (
             SELECT doc_id, wt,
-                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+                   CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
             FROM weighted
         ),
         bits AS (
             SELECT doc_id, b,
                    sum(CASE WHEN (h >> b) & 1 = 1 THEN wt ELSE -wt END) AS s
-            FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b)
+            FROM hashed, (SELECT unnest(generate_series(0, 59)) AS b)
             GROUP BY doc_id, b
         ),
         simhash AS (
@@ -615,17 +635,21 @@ ORACLES = {
                             ELSE 0 END) AS BIGINT) AS sh
             FROM bits GROUP BY doc_id
         ),
-        bytes AS (
-            SELECT doc_id, sh, 0 AS band_idx, (sh >> 0) & 255 AS byte FROM simhash
-            UNION ALL SELECT doc_id, sh, 1, (sh >> 8) & 255 FROM simhash
-            UNION ALL SELECT doc_id, sh, 2, (sh >> 16) & 255 FROM simhash
-            UNION ALL SELECT doc_id, sh, 3, (sh >> 24) & 255 FROM simhash
+        bands AS (
+            SELECT doc_id, sh, j AS bi, (sh >> (j * 15)) % 32768 AS bv
+            FROM simhash, (SELECT unnest(generate_series(0, 3)) AS j)
+        ),
+        capped AS (
+            SELECT doc_id, sh, bi, bv FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY bi, bv) AS bn
+                FROM bands
+            ) WHERE bn <= 1000
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-        FROM bytes a JOIN bytes b
-          ON a.band_idx = b.band_idx AND a.byte = b.byte AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 1
+        FROM capped a JOIN capped b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
         ORDER BY doc_a, doc_b
     """,
     "dedup_fuzzy_levenshtein": f"""

@@ -153,6 +153,15 @@ REP100 = [
     # dedup ledger's hash groups grow to 100 copies per text, still
     # one partial-aggregated exchange)
     "text_cross_source_overlap", "dedup_tokens_saved",
+    # round-8 (judge ask #6): one two-decade representative per LLM
+    # family that had only been to x10 — NOTE the shard-replicated
+    # fixture gives every doc 99 identical twins, so pair-OUTPUT for
+    # the LSH/banded near-dup keys grows quadratically in replication
+    # by construction; the ratio read is candidate-handling, and any
+    # super-linear mover needs the output-growth decomposition next to
+    # it in SCALING.md
+    "dedup_minhash_lsh", "sim_ann_ivf",
+    "text_tfidf_cosine_pairs", "mm_ahash_near_dup",
 ]
 
 
