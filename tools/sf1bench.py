@@ -44,6 +44,17 @@ AGG_EXPECT = 6.6     # standing REP ×10 aggregate (SCALING.md)
 AGG_ALARM = 10.0     # super-linear at 10× data = scale bug
 QUERY_ALARM = 15.0   # per-query alarm for ≥1 s queries
 
+# Keys whose OUTPUT is quadratic in data density by SPEC — the alarm
+# is about plans, not workloads, so these stay listed in `movers` for
+# visibility but don't fail the gate (the plan-audit whitelist
+# philosophy: every exception is named here with its justification).
+QUADRATIC_OUTPUT_OK = {
+    # all-overlapping-pairs listing: ×10 users in the same time span →
+    # ×100 concurrent pairs (SCALING.md documents ×31-36 across rounds;
+    # the linear dashboard path is ev_peak_concurrency, ×3-4 here)
+    "ev_concurrent_sessions",
+}
+
 
 def main() -> int:
     import bench
@@ -151,11 +162,14 @@ def main() -> int:
             }
         )
     )
-    ok = (agg_ratio is None or agg_ratio <= AGG_ALARM) and not movers
+    hard = [m for m in movers if m[0] not in QUADRATIC_OUTPUT_OK]
+    ok = (agg_ratio is None or agg_ratio <= AGG_ALARM) and not hard
     print("sf1bench", "PASSED" if ok else "FAILED: "
           + (f"aggregate x{agg_ratio}" if agg_ratio and agg_ratio > AGG_ALARM
-             else "") + (f" movers={[m['query'] for m in out['movers']]}"
-                         if movers else ""))
+             else "") + (f" movers={[n for n, *_ in hard]}" if hard else ""))
+    if ok and movers:
+        print(f"  (documented quadratic-output movers: "
+              f"{[n for n, *_ in movers if n in QUADRATIC_OUTPUT_OK]})")
     return 0 if ok else 1
 
 
