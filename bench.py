@@ -132,6 +132,12 @@ HEADLINE = [
     "graph_degree_assortativity",  # exact-moment degree Pearson
     "sample_holdout_contamination",  # train/holdout 5-gram leakage audit
     "dedup_cluster_size_spectrum",  # exact-dup cluster-size bands
+    # round 8 batch 2 (curation19)
+    "text_ocr_artifact_screen",   # OCR/garbage rule screen
+    "ev_dau_wau_stickiness",      # DAU/WAU engagement ratio
+    "sample_boundary_hash_split",  # md5-bucket 80/10/10 split audit
+    "graph_reciprocity",          # kNN edge reciprocity share
+    "text_lang_mismatch_screen",  # declared-vs-detected lang QA
 ]
 
 

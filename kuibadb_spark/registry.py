@@ -45,6 +45,7 @@ from kuibadb_spark.operators import (
     curation16,
     curation17,
     curation18,
+    curation19,
     dedup,
     events,
     graph,
@@ -118,8 +119,9 @@ _MODULES = [
     curation16,
     curation17,
     # round-8 additions rank last (freeze discipline): with 316/316
-    # verified these five enter the next window head automatically
+    # verified these enter the next window head automatically
     curation18,
+    curation19,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -59,6 +59,9 @@ PROBES = [
     # all scale with document length
     "text_length_decile_bands", "sample_holdout_contamination",
     "dedup_cluster_size_spectrum",
+    # round-8 batch 2: regex char classes, the token-run fold, and the
+    # stopword filters are all length-linear row-local passes
+    "text_ocr_artifact_screen", "text_lang_mismatch_screen",
 ]
 
 

@@ -79,6 +79,10 @@ REP = [
     "w_decile_bands_orders", "text_length_decile_bands",
     "graph_degree_assortativity", "sample_holdout_contamination",
     "dedup_cluster_size_spectrum",
+    # round-8 batch 2 (curation19)
+    "text_ocr_artifact_screen", "ev_dau_wau_stickiness",
+    "sample_boundary_hash_split", "graph_reciprocity",
+    "text_lang_mismatch_screen",
 ]
 
 
