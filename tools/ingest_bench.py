@@ -79,7 +79,11 @@ def main() -> None:
                 "rows_per_sec": int(n / dt),
             }
         line = {"metric": "copy_ingest", "sf_dir": sf_dir, **results}
-        with open(ROOT / "INGEST.json", "w") as f:
+        # one standing artifact per scale: the default sf0.1 run is the
+        # round-over-round INGEST.json; the ×10 fixture run writes
+        # INGEST_SF1.json (the parallel-knob scale evidence)
+        name = "INGEST_SF1.json" if "sfbig" in sf_dir else "INGEST.json"
+        with open(ROOT / name, "w") as f:
             json.dump(line, f, indent=1, sort_keys=True)
         print(json.dumps(line))
     finally:
