@@ -41,12 +41,13 @@ def ev_bot_decile_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     user frame in one task; assignments are bit-identical to window
     ntile and the oracle is unchanged.
 
-    int64 headroom (ADVICE r7): the dispersion numerator
-    (active_minutes·q − n_events²)·1e6 needs PER-USER
-    active_minutes·Σc² < 9.2e12 — safe while any single user stays
-    under ~3e6 events at minute grain (a 2-year-every-minute bot is
-    ~1e6); a corpus whose top entity exceeds that needs the
-    milli-scaled numerator, not a bigger corpus-wide budget.
+    int64 headroom (ADVICE r7, closed r9): dispersion uses the
+    decomposed milli form D_milli = (1000·q) div S − (1000·S) div n
+    (the ev_arrival_dispersion house spelling — q/S − S/n exact in
+    rationals, each floor < 1 milli) — nothing ever multiplies
+    active_minutes into the numerator, so the PER-USER bound is just
+    Σc² < 9.2e15: a single user would need ~96 M events in one minute
+    (or 2 years at ~2 M/minute) to overflow. No caveat at 100 TB.
     """
     from kuibadb_spark.plans.ranks import distributed_ntile
 
@@ -63,8 +64,8 @@ def ev_bot_decile_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "active_minutes",
         "n_events * 1000 DIV active_minutes AS rate_milli",
-        "(active_minutes * q - n_events * n_events) * 1000000"
-        " DIV (active_minutes * n_events) AS dispersion_ppm",
+        "(1000 * q) DIV n_events - (1000 * n_events) DIV active_minutes"
+        " AS dispersion_milli",
     )
     return (
         distributed_ntile(
@@ -72,7 +73,7 @@ def ev_bot_decile_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 u, [F.desc("rate_milli"), F.asc("user_id")], 10,
                 "rate_decile",
             ),
-            [F.asc("dispersion_ppm"), F.asc("user_id")], 10,
+            [F.asc("dispersion_milli"), F.asc("user_id")], 10,
             "regularity_decile",
         )
         .selectExpr(
@@ -80,7 +81,7 @@ def ev_bot_decile_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "active_minutes",
             "rate_milli",
-            "dispersion_ppm",
+            "dispersion_milli",
             "rate_decile",
             "regularity_decile",
             "CAST(rate_decile = 1 AND regularity_decile = 1 AS INT)"
@@ -102,19 +103,19 @@ ORACLES["ev_bot_decile_screen"] = """
                CAST(SUM(c) AS BIGINT) AS n_events,
                COUNT(*) AS active_minutes,
                CAST(SUM(c) * 1000 // COUNT(*) AS BIGINT) AS rate_milli,
-               CAST((COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000
-                    // (COUNT(*) * SUM(c)) AS BIGINT) AS dispersion_ppm
+               CAST((1000 * SUM(c * c)) // SUM(c)
+                    - (1000 * SUM(c)) // COUNT(*) AS BIGINT) AS dispersion_milli
         FROM per_min GROUP BY user_id
     ),
     ranked AS (
         SELECT *,
                ntile(10) OVER (ORDER BY rate_milli DESC, user_id)
                    AS rate_decile,
-               ntile(10) OVER (ORDER BY dispersion_ppm, user_id)
+               ntile(10) OVER (ORDER BY dispersion_milli, user_id)
                    AS regularity_decile
         FROM u
     )
-    SELECT user_id, n_events, active_minutes, rate_milli, dispersion_ppm,
+    SELECT user_id, n_events, active_minutes, rate_milli, dispersion_milli,
            CAST(rate_decile AS INT) AS rate_decile,
            CAST(regularity_decile AS INT) AS regularity_decile,
            CAST(CASE WHEN rate_decile = 1 AND regularity_decile = 1

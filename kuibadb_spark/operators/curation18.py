@@ -170,11 +170,18 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the shared capped kNN builder (one bounded hour
     self-join), a degree groupBy, two broadcast-able joins of (node,
     deg ≤ 10) onto edges, one 1-row aggregate. No windows beyond the
-    builder's own partitioned ones.
+    builder's own partitioned ones. The builder feeds THREE consumers
+    (the degree aggregate + both edge-end joins); it is materialized
+    ONCE via an eager localCheckpoint (round-8 ADVICE: the static plan
+    embeds the builder subtree per consumer with no ReusedExchange
+    node, so without materialization the hour self-join could run three
+    times per action; the checkpointed edge list is degree-bounded,
+    ≤ 10·V rows of two bigints, and localCheckpoint survives
+    clearCache, the curation7 house pattern).
     """
     from kuibadb_spark.operators.curation7 import _knn_graph
 
-    sym = _knn_graph(spark, sf_dir)
+    sym = _knn_graph(spark, sf_dir).localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = (
         sym.join(deg.withColumnRenamed("src", "s2"),

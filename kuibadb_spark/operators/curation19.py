@@ -287,11 +287,14 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the shared capped kNN builder, then ONE self
     equi-join on the reversed key pair and a 1-row aggregate; no
-    windows beyond the builder's own partitioned ones.
+    windows beyond the builder's own partitioned ones. The builder
+    feeds both join sides, so it is materialized ONCE via an eager
+    localCheckpoint (round-8 ADVICE; see graph_degree_assortativity's
+    note — degree-bounded edge list, clearCache-immune).
     """
     from kuibadb_spark.operators.curation7 import _knn_graph
 
-    sym = _knn_graph(spark, sf_dir)
+    sym = _knn_graph(spark, sf_dir).localCheckpoint(eager=True)
     rev = sym.selectExpr("dst AS src", "src AS dst", "1 AS has_rev")
     return (
         sym.join(rev, ["src", "dst"], "left")

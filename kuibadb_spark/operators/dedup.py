@@ -319,12 +319,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     original 32-bit/8-bit-band form had 1024 possible buckets TOTAL,
     so bucket occupancy — and candidate pairs — grew QUADRATICALLY
     with corpus size (measured ×46.7 wall at ×10 rows, 59 s).
-    4×15-bit bands give 131k buckets per band, the cap drops
-    saturated buckets whole (no discriminative signal), and by
-    pigeonhole any pair within the Hamming ≤ 3 verify threshold still
-    shares ≥ 1 intact band, so recall at the threshold is exact.
-    Bits 60-63 are unused to stay clear of BIGINT sign semantics in
-    both engines.
+    4×15-bit bands give 131k buckets per band, and the cap drops
+    saturated buckets whole (no discriminative signal). By pigeonhole
+    any pair within the Hamming ≤ 3 verify threshold shares ≥ 1 band
+    UNHARMED BY THE HAMMING DAMAGE — so recall is exact among pairs
+    whose intact band survives the occupancy cap; a pair whose only
+    intact band lands in a >1000-occupancy bucket is deliberately
+    dropped (the cap trades recall in saturated buckets for bounded
+    candidate growth — saturated buckets are boilerplate-dominated,
+    where near-dup listing is noise anyway). Engine parity is
+    unaffected: both engines apply the same cap. Bits 60-63 are unused
+    to stay clear of BIGINT sign semantics in both engines.
     """
     par = spark.sparkContext.defaultParallelism
     c = _dup_corpus(spark, sf_dir)

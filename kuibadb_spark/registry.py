@@ -126,6 +126,19 @@ _MODULES = [
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Keys whose SEMANTICS (and oracle) changed after a round already graded
+# them green: their recorded verdicts are stale, so they re-enter the
+# driver's 50-key window right after outright failures — ahead of
+# never-graded keys — until the next artifact re-records them. Remove an
+# entry once a CORRECTNESS_r*.json newer than the change shows it green.
+_REVERIFY = frozenset({
+    # round 9: bounded top-k headline replaced the all-pairs listing
+    "ev_concurrent_sessions",
+    # round 9: Fano dispersion moved to the decomposed milli form
+    "ev_arrival_dispersion",
+    "ev_bot_decile_screen",
+})
+
 
 def driver_verified() -> frozenset:
     """Keys with a fully-green row (rows/schema/hash all true) in any
@@ -181,6 +194,11 @@ def all_queries() -> dict:
     # attempted-but-red keys first: their fixes need confirmation most
     for k in merged:
         if k in failed:
+            ordered[k] = merged[k]
+    # then keys whose semantics changed after their green grade — the
+    # recorded verdict is stale and must be re-earned before new ground
+    for k in merged:
+        if k in _REVERIFY and k not in ordered:
             ordered[k] = merged[k]
     for k, v in merged.items():
         if k not in ordered and k not in verified:

@@ -63,13 +63,15 @@ def test_epoch_schedule_budget_conservation(spark, sf_dir):
 
 
 def test_dispersion_poisson_scale(spark, sf_dir):
-    """Dispersion is non-negative and the synthetic near-uniform
-    arrival stream must read as UNDER-dispersed (well below Poisson's
-    1e6 ppm) — a bursty flag here would mean the formula broke."""
+    """Dispersion is ≥ −1 milli (each of the two floors in the
+    decomposed form can slip < 1 milli below the true non-negative
+    value) and the synthetic near-uniform arrival stream must read as
+    UNDER-dispersed (well below Poisson's 1000 milli) — a bursty flag
+    here would mean the formula broke."""
     rows = curation16.ev_arrival_dispersion(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert 0 <= r["dispersion_ppm"] < 1_000_000, r
+        assert -1 <= r["dispersion_milli"] < 1_000, r
         assert r["bursty"] == 0, r
 
 

@@ -205,13 +205,20 @@ def test_registry_orders_unverified_first():
     keys = list(registry.all_queries())
     verified = registry.driver_verified()
     failed = registry.driver_failed()
+    reverify = registry._REVERIFY
     assert len(keys) == len(set(keys))
-    n_unverified = len(keys) - len(verified & set(keys))
-    front, back = keys[:n_unverified], keys[n_unverified:]
-    assert not (set(front) & verified)
-    assert set(back) <= verified
+    # stale-green keys (semantics changed after grading) count as
+    # front-of-window alongside the never-verified ones
+    n_front = len(keys) - len((verified - reverify) & set(keys))
+    front, back = keys[:n_front], keys[n_front:]
+    assert not (set(front) & (verified - reverify))
+    assert set(back) <= verified - reverify
     for k in keys[: len(failed & set(keys))]:
         assert k in failed
+    # reverify keys come right after failures, before new ground
+    n_failed = len(failed & set(keys))
+    rv_in = [k for k in keys if k in reverify]
+    assert keys[n_failed:n_failed + len(rv_in)] == rv_in
 
 
 def test_concurrent_sessions_no_theta_join(spark):

@@ -117,9 +117,9 @@ BNLJ_OK = {
 #   [time]  calendar-bounded: one row per day/hour bucket of the span
 #   [dom]   small fixed domain: event types / strata / states / fixed
 #           query set / quantile targets
-#   [ent]   entity-level aggregate with an explicit docstring mitigation
-#           for extreme entity cardinality (two-pass distributed rank or
-#           value-boundary quantiles) — acceptable at fixture shape
+#   [ent]   RETIRED (rounds 8-9): entity-scale windows now run through
+#           plans/ranks.py (distributed_ntile / distributed_prefix_sum);
+#           do not reintroduce the class — zero entries is the invariant
 GLOBAL_WINDOW_OK = {
     "agg_histogram_quantiles":   "[hist] cumulative brackets over distinct values",
     "ev_cumulative_unique_users": "[time] daily first-seen timeline",
@@ -138,7 +138,6 @@ GLOBAL_WINDOW_OK = {
     "ts_changepoint_cusum":      "[time] daily series scan",
     "ts_lttb_downsample":        "[time] fixed bucket count",
     "ts_seasonal_decompose":     "[time] daily series",
-    "w_pareto_abc":              "[ent] part-level rollup; histogram-bracket form documented for extreme cardinality",
     "dedup_shingle_df_spectrum": "[hist] share-of-total over ≤6 df bands",
     "text_ngram_coverage_curve": "[hist] rank over the gram-frequency table (vocabulary cardinality)",
     # round 8 retired the [ent] entries rfm_segmentation and
