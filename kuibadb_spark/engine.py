@@ -1125,12 +1125,20 @@ class Engine:
         """COPY name FROM path — returns loaded row count (`COPY n`).
         Scatter = Spark tasks; `(parallel N)` = repartition(N) ⇒ N task
         files, like the reference's one-L0-file-per-worker
-        (src/commands/copy.rs:131-145). Commit = atomic manifest append."""
+        (src/commands/copy.rs:131-145). With no explicit N the width is
+        derived from input SIZE (one task per ~16 MiB, capped at the
+        session parallelism — sources/copy.py:auto_copy_parallel;
+        round-8 INGEST evidence showed any fixed knob inverts with
+        input size). Commit = atomic manifest append."""
         tdir = self._table_dir(name)
         m = self._read_m(name)
         schema = _phys_schema(m["schema"])
 
         df = parse_typed(self.spark, path, schema, delimiter, null_marker, csv)
+        if parallel is None:
+            from kuibadb_spark.sources.copy import auto_copy_parallel
+
+            parallel = auto_copy_parallel(self.spark, path)
         if parallel:
             df = df.repartition(parallel)
 

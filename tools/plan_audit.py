@@ -88,7 +88,8 @@ BNLJ_OK = {
     "ev_survival_km",            # 1-row observation-horizon cross (curation3:2226)
     "ts_autocorrelation",        # fixed lag-list cross, |lags|=7 (curation5:216)
     "ts_changepoint_cusum",      # 1-row global mean cross (curation3:1276)
-    "w_pareto_abc",              # 1-row revenue-total cross (curation5:400)
+    "w_pareto_abc",              # 1-row revenue-total cross + ≤32-row
+                                 # distributed-prefix-sum cross (r9)
     # round-4 additions:
     "sim_triplet_mining",        # 20-row anchor broadcast with != condition
                                  # (the sim_topk_bruteforce class)

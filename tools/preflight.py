@@ -48,10 +48,14 @@ def main() -> int:
     verified = registry.driver_verified()
     assert len(keys) == len(set(keys)), "duplicate registry keys"
     assert set(osql) <= set(qs), "oracles without queries"
-    n_unverified = len(keys) - len(verified & set(keys))
-    assert not (set(keys[:n_unverified]) & verified), "verified key in window"
+    # _REVERIFY keys are verified-but-stale (semantics changed after
+    # their green grade) and deliberately sort to the window front
+    fresh_verified = verified - registry._REVERIFY
+    n_unverified = len(keys) - len(fresh_verified & set(keys))
+    assert not (set(keys[:n_unverified]) & fresh_verified), \
+        "verified key in window"
     print(f"[1/5] registry: {len(keys)} queries, {len(osql)} oracles, "
-          f"{n_unverified} not yet driver-verified (ordered first)")
+          f"{n_unverified} not yet driver-verified or stale (ordered first)")
 
     # 1b. no complex output types: the driver's pandas canonicalizer
     # sorts/hashes every result cell, and raises `unhashable type` on

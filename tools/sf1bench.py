@@ -4,9 +4,12 @@ ask #2): anchor the 2× perf gate at ~10× the driver's bench scale.
     python tools/sf1bench.py [--rebuild]
 
 The bench has historically only run at sf0.1 (~600 k lineitem rows).
-This tool times every bench.py HEADLINE query against the ×10
-key-offset shard fixture (/tmp/sfbig, built by tools/scaleup.py —
-~6 M lineitem rows, TPC-H sf1-class) with the same measurement
+This tool times every bench.py HEADLINE query against the TRUE ×10
+fixture (/tmp/sf1true, built by tools/genfixture.py — ~6 M lineitem
+rows with CONTINUOUS key spaces and natural duplicate density; round 9
+replaced the key-offset shard fixture here because shard replication
+gives every doc/vector N−1 identical twins, inflating every
+dedup-family pair count by the shard factor) with the same measurement
 discipline as bench.py (adaptive best-of-N steady-state, one-time
 eager-build cost split out) and writes BENCH_SF1_DETAIL.json, a
 per-round artifact committed next to BENCH_DETAIL.json.
@@ -39,7 +42,7 @@ sys.path.insert(0, str(ROOT))
 from kuibadb_spark import registry  # noqa: E402
 from kuibadb_spark.session import get_spark  # noqa: E402
 
-SFBIG = "/tmp/sfbig"
+SFBIG = "/tmp/sf1true"
 AGG_EXPECT = 6.6     # standing REP ×10 aggregate (SCALING.md)
 AGG_ALARM = 10.0     # super-linear at 10× data = scale bug
 QUERY_ALARM = 15.0   # per-query alarm for ≥1 s queries
@@ -59,14 +62,14 @@ QUADRATIC_OUTPUT_OK: set = set()
 
 def main() -> int:
     import bench
-    from scaleup import build
+    from genfixture import build
 
     spark = get_spark("kuibadb-sf1bench")
     if "--rebuild" in sys.argv or not os.path.exists(
         f"{SFBIG}/lineitem.parquet"
     ):
-        print("building ×10 fixture at /tmp/sfbig…", flush=True)
-        build(spark)
+        print(f"building true ×10 fixture at {SFBIG}…", flush=True)
+        build(spark, scale=10, dst=SFBIG)
     spark.read.parquet(f"{SFBIG}/region.parquet").count()  # warm
 
     queries = registry.all_queries()
@@ -131,7 +134,8 @@ def main() -> int:
             sum(timings.values()) + sum(builds.values()), 3
         ),
         "unit": "sec",
-        "sf": "sf0.1 x10 key-offset shards (TPC-H sf1-class)",
+        "sf": "true x10 fixture, continuous keys (TPC-H sf1-class,"
+              " tools/genfixture.py)",
         "queries_n": len(timings),
         "aggregate_ratio_vs_sf01": agg_ratio,
         "drift_rule": {
