@@ -138,6 +138,10 @@ HEADLINE = [
     "sample_boundary_hash_split",  # md5-bucket 80/10/10 split audit
     "graph_reciprocity",          # kNN edge reciprocity share
     "text_lang_mismatch_screen",  # declared-vs-detected lang QA
+    # round 9: guards for the two plan-shape conversions of the round
+    # (ev_concurrent_sessions' bounded top-k form is already guarded
+    # above; the Fano keys changed formula, not shape)
+    "w_pareto_abc",               # distributed prefix-sum cumulative share
 ]
 
 

@@ -851,22 +851,30 @@ def ev_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     opt-in `ev_concurrent_sessions_all_pairs`.
 
     Determinism: partners rank by exact integer (Σ overlap_us DESC,
-    partner_id ASC) — a total order, no float ever compared. The
-    symmetric view is emitted ROW-LOCALLY (explode of the two
-    directions), not by a union of two join branches, so the heavy
-    candidate pipeline exists exactly once in the plan."""
-    sym = _cs_pairs(spark, sf_dir).select(
-        F.explode(
-            F.expr(
-                "array(struct(u1 AS user_id, u2 AS partner_id, ov_us),"
-                " struct(u2 AS user_id, u1 AS partner_id, ov_us))"
-            )
-        ).alias("p")
-    ).select("p.*")
-    per = sym.groupBy("user_id", "partner_id").agg(
+    partner_id ASC) — a total order, no float ever compared. Shuffle
+    order matters at this volume: aggregate the CANONICAL (u1 < u2)
+    pairs FIRST (one pair-scale exchange at half the row count and
+    half the group cardinality), then symmetrize the AGGREGATED pair
+    rows ROW-LOCALLY (explode of the two directions — never a union of
+    two join branches, which would embed the heavy candidate pipeline
+    twice in the plan); both directions of a user pair carry identical
+    totals, so rank inputs are complete either way. Measured at the
+    true ×10 fixture: 85 s (symmetrize-then-aggregate) → 67 s
+    (aggregate-then-symmetrize) for the identical result."""
+    per_pair = _cs_pairs(spark, sf_dir).groupBy("u1", "u2").agg(
         F.count(F.lit(1)).alias("n_session_pairs"),
         F.sum("ov_us").alias("ov_us_total"),
     )
+    per = per_pair.select(
+        F.explode(
+            F.expr(
+                "array(struct(u1 AS user_id, u2 AS partner_id,"
+                " n_session_pairs, ov_us_total),"
+                " struct(u2 AS user_id, u1 AS partner_id,"
+                " n_session_pairs, ov_us_total))"
+            )
+        ).alias("p")
+    ).select("p.*")
     w = W.partitionBy("user_id").orderBy(
         F.desc("ov_us_total"), F.asc("partner_id")
     )

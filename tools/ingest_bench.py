@@ -89,7 +89,8 @@ def main() -> None:
         # one standing artifact per scale: the default sf0.1 run is the
         # round-over-round INGEST.json; the ×10 fixture run writes
         # INGEST_SF1.json (the parallel-knob scale evidence)
-        name = "INGEST_SF1.json" if "sfbig" in sf_dir else "INGEST.json"
+        name = ("INGEST_SF1.json" if ("sfbig" in sf_dir or "sf1true" in sf_dir)
+                else "INGEST.json")
         with open(ROOT / name, "w") as f:
             json.dump(line, f, indent=1, sort_keys=True)
         print(json.dumps(line))
