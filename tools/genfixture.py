@@ -11,6 +11,11 @@ density per corpus stays at the natural fixture rate at any scale.
 
     python tools/genfixture.py [scale] [dst]     # default: 10 /tmp/sf1true
 
+Timestamps are generated as TIMESTAMP_NTZ so parquet stores
+timestamp[us] isAdjustedToUTC=false, byte-compatible with the driver
+fixture (the plain-timestamp spelling wrote INT96, which the streaming
+reader's pinned int64/ntz schemas cannot read).
+
 All randomness is xxhash64-seeded column arithmetic — deterministic,
 distributed, re-runnable; no Python RNG, no driver-side loops. The
 no-network constraint rules out DuckDB's tpch extension (INSTALL
@@ -22,10 +27,18 @@ lineitem 600 k / events 100 k / documents 5 k / embeddings 2 k; orders
 dates 1995-01-01..2001-08-01; lines-per-order mode 3-4 with a thin tail
 past 10; l_extendedprice ≈ qty × unit(900..2100); events = 30 days of
 Jan 2024, ~67 events/user, 5 uniform types, exp(mean 50) values;
-documents = 10..100 words over the 31-word vocab, source = src{id%20}
-(modulo-20 contract, see memory/fixture notes), langs en-heavy;
-embeddings = 64-d unit vectors with label structure absent (measured
-same-label cosine ≈ 0).
+documents = 10..100 words, source = src{id%20} (modulo-20 contract,
+see memory/fixture notes), langs en-heavy; embeddings = 64-d unit
+vectors with label structure absent (measured same-label cosine ≈ 0).
+
+Document vocabulary follows Heaps' law (V ∝ n^0.5): the driver's
+31-word vocabulary stays as the Zipf head (70% of draws — function
+words / boilerplate, preserving natural shingle overlap), and a
+synthetic tail grows the total to 31·√scale words. A CLOSED vocabulary
+at ×10 docs would densify every shingle's df tenfold — postings-based
+near-dup ops would then measure collision pile-up no real corpus
+exhibits (the same class of fixture distortion, in the opposite
+direction, as the shard twins this tool replaces).
 """
 
 from __future__ import annotations
@@ -147,7 +160,7 @@ def build(spark: SparkSession, scale: int = 10, dst: str = DST) -> None:
         .alias("o_totalprice"),
         F.timestamp_add(
             "DAY", _mod("od", 2405, F.col("id")).cast("int"),
-            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
         ).alias("o_orderdate"),
         _pick("op", PRIORITIES, F.col("id")).alias("o_orderpriority"),
     )
@@ -199,7 +212,7 @@ def build(spark: SparkSession, scale: int = 10, dst: str = DST) -> None:
             F.timestamp_add(
                 "SECOND",
                 _mod("ets", 30 * 86400, F.col("id")).cast("int"),
-                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
             ).alias("ts"),
             _mod("eu", 1_500 * scale, F.col("id")).alias("user_id"),
             _pick("ee", EVENT_TYPES, F.col("id")).alias("event_type"),
@@ -213,14 +226,30 @@ def build(spark: SparkSession, scale: int = 10, dst: str = DST) -> None:
         "events",
     )
 
-    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    # Heaps-law vocabulary: 31-word Zipf head (70% of draws) + a tail
+    # sized so total vocab ≈ 31·√scale (31 at scale 1 = the driver's)
+    n_tail = int(round(31 * scale**0.5)) - len(VOCAB)
+    base_draw = (
+        f"element_at({_vocab_sql()},"
+        f" int(pmod(xxhash64('dw', id, i), {len(VOCAB)})) + 1)"
+    )
+    if n_tail > 0:
+        tail_sql = ("array("
+                    + ", ".join(f"'w{i:03d}'" for i in range(n_tail)) + ")")
+        word = (
+            f"CASE WHEN pmod(xxhash64('dz', id, i), 10) < 7"
+            f" THEN {base_draw}"
+            f" ELSE element_at({tail_sql},"
+            f" int(pmod(xxhash64('dt', id, i), {n_tail})) + 1) END"
+        )
+    else:  # scale 1 = the driver's own closed 31-word vocabulary
+        word = base_draw
     docs = ids(n_doc).select(
         F.col("id").alias("doc_id"),
         F.array_join(
             F.expr(
                 f"transform(sequence(1, 10 + int(pmod(xxhash64('dn', id),"
-                f" 91))), i -> element_at({_vocab_sql()},"
-                f" int(pmod(xxhash64('dw', id, i), {len(VOCAB)})) + 1))"
+                f" 91))), i -> {word})"
             ),
             " ",
         ).alias("text"),
