@@ -142,6 +142,9 @@ HEADLINE = [
     # (ev_concurrent_sessions' bounded top-k form is already guarded
     # above; the Fano keys changed formula, not shape)
     "w_pareto_abc",               # distributed prefix-sum cumulative share
+    # round 9 batch 2 (curation20), guarded the round they land
+    "ev_interarrival_spectrum",   # log2 gap spectrum (lag + narrow agg)
+    "sample_quota_per_source",    # per-source top-5 quality quota
 ]
 
 

@@ -46,6 +46,7 @@ from kuibadb_spark.operators import (
     curation17,
     curation18,
     curation19,
+    curation20,
     dedup,
     events,
     graph,
@@ -122,6 +123,9 @@ _MODULES = [
     # verified these enter the next window head automatically
     curation18,
     curation19,
+    # round-9 additions rank last: their two unverified keys queue
+    # behind the round-9 reverify set inside the grading window
+    curation20,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -62,6 +62,8 @@ PROBES = [
     # round-8 batch 2: regex char classes, the token-run fold, and the
     # stopword filters are all length-linear row-local passes
     "text_ocr_artifact_screen", "text_lang_mismatch_screen",
+    # round-9: split + array_distinct are length-linear row-local
+    "sample_quota_per_source",
 ]
 
 
