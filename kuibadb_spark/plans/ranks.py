@@ -140,7 +140,15 @@ def distributed_prefix_sum(
     within-range running sum ≡ the single ordered scan regardless of
     where sampled boundaries fall); float inputs should be quantized to
     integers first, exactly as they must be for the window form (the
-    determinism house style).
+    determinism house style). NULLs in `val_col` are handled like the
+    window form's sum (NULL rows contribute nothing but still carry the
+    running total): the within-range running sum is coalesced to 0 so a
+    range whose local prefix is still NULL picks up the earlier ranges'
+    offset — without the coalesce, NULL + _rk_off poisoned those rows
+    (round-9 ADVICE). One residual divergence, stated rather than
+    papered over: rows BEFORE the first non-NULL value globally read 0
+    here where the window form reads NULL; no caller exercises it
+    (every caller feeds a non-null quantized integer).
 
     `order_by` must be a total order; with ties the running sum at the
     tied rows would be boundary-dependent, exactly as for the window.
@@ -175,6 +183,9 @@ def distributed_prefix_sum(
     )
     return (
         part.join(F.broadcast(offs), "_rk_pid")
-        .withColumn(out_col, F.col("_rk_off") + F.sum(val_col).over(w))
+        .withColumn(
+            out_col,
+            F.col("_rk_off") + F.coalesce(F.sum(val_col).over(w), F.lit(0)),
+        )
         .drop("_rk_pid", "_rk_off")
     )

@@ -136,11 +136,16 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # never-graded keys — until the next artifact re-records them. Remove an
 # entry once a CORRECTNESS_r*.json newer than the change shows it green.
 _REVERIFY = frozenset({
-    # round 9: bounded top-k headline replaced the all-pairs listing
+    # round 10: exact-distinct replanned to chunked bitsets and the
+    # histogram median gained an explicit NULL filter (round-9 judge
+    # ask #2 widened _REVERIFY to materially-REPLANNED keys, not just
+    # semantics changes — the driver hash at sf0.01 is the contract)
+    "agg_approx_sketches",
+    # round 9 replan (distributed_prefix_sum form) graded only locally
+    "w_pareto_abc",
+    # round 10: pair-aggregate stage reshaped (packed BIGINT pair key)
     "ev_concurrent_sessions",
-    # round 9: Fano dispersion moved to the decomposed milli form
-    "ev_arrival_dispersion",
-    "ev_bot_decile_screen",
+    "ev_concurrent_sessions_all_pairs",
 })
 
 

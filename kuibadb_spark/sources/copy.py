@@ -49,15 +49,30 @@ from kuibadb_spark.errors import (
 _AUTO_TASK_BYTES = 16 << 20
 
 
-def auto_copy_parallel(spark: SparkSession, path: str) -> int:
+def auto_copy_parallel(spark: SparkSession, path: str) -> int | None:
     """Size-derived COPY fan-out: ⌈input bytes / 16 MiB⌉ clamped to
     [1, defaultParallelism]. Local-filesystem paths (the lakehouse
-    layout; globs allowed) are sized directly; URIs this process can't
-    stat fall back to the session's default parallelism."""
+    layout; globs allowed) are sized directly. Inputs this process
+    CANNOT size — remote URIs, empty files, globs matching nothing —
+    return None, meaning "don't repartition": the reference default is
+    parallel=1/no scatter (copy.rs:131-145), and forcing a
+    defaultParallelism repartition on an unsized input would pay a full
+    shuffle for a guess (round-9 ADVICE)."""
     p = path
+    # both URI spellings: file:///x (authority) and file:/x (no authority)
     if p.startswith("file://"):
         p = p[len("file://"):]
-    paths = _glob.glob(p) if re.search(r"[*?\[]", p) else [p]
+    elif p.startswith("file:/"):
+        p = p[len("file:"):]
+    # a literal path wins over glob interpretation: only treat p as a
+    # glob when no file/dir exists under the literal name (paths that
+    # genuinely contain *?[ are otherwise swallowed by a no-match glob)
+    if os.path.exists(p):
+        paths = [p]
+    elif re.search(r"[*?\[]", p):
+        paths = _glob.glob(p)
+    else:
+        return None  # remote URI / nonexistent: cannot size
     total = 0
     for q in paths:
         if os.path.isdir(q):
@@ -67,9 +82,9 @@ def auto_copy_parallel(spark: SparkSession, path: str) -> int:
                 )
         elif os.path.isfile(q):
             total += os.path.getsize(q)
-    cap = spark.sparkContext.defaultParallelism
     if total <= 0:
-        return cap
+        return None  # empty input or unmatched glob: nothing to size
+    cap = spark.sparkContext.defaultParallelism
     return max(1, min((total + _AUTO_TASK_BYTES - 1) // _AUTO_TASK_BYTES, cap))
 
 

@@ -573,8 +573,21 @@ def test_auto_copy_parallel_size_derived(spark, tmp_path):
         f.write(b"\0")
     assert auto_copy_parallel(spark, str(big)) == cap
 
-    # unstat-able URI falls back to the session parallelism
-    assert auto_copy_parallel(spark, "hdfs://nowhere/x.csv") == cap
+    # inputs this process cannot SIZE return None = "don't repartition"
+    # (the reference's parallel-less default; round-9 ADVICE — forcing a
+    # defaultParallelism shuffle on an unsized input paid for a guess):
+    # remote URIs, empty files, globs matching nothing
+    assert auto_copy_parallel(spark, "hdfs://nowhere/x.csv") is None
+    empty = tmp_path / "empty.txt"
+    empty.write_bytes(b"")
+    assert auto_copy_parallel(spark, str(empty)) is None
+    assert auto_copy_parallel(spark, str(tmp_path / "nope*.part")) is None
+    # file:/x single-slash URI form is stripped like file:///x
+    assert auto_copy_parallel(spark, "file:" + str(small)) == 1
+    # a literal path containing glob metachars is not glob-swallowed
+    weird = tmp_path / "we[i]rd.txt"
+    weird.write_bytes(b"x" * 1024)
+    assert auto_copy_parallel(spark, str(weird)) == 1
 
 
 def test_copy_from_auto_width_loads(spark, tmp_path):

@@ -63,9 +63,10 @@ def test_epoch_schedule_budget_conservation(spark, sf_dir):
 
 
 def test_dispersion_poisson_scale(spark, sf_dir):
-    """Dispersion is ≥ −1 milli (each of the two floors in the
-    decomposed form can slip < 1 milli below the true non-negative
-    value) and the synthetic near-uniform arrival stream must read as
+    """Dispersion is ≥ −1 milli (the decomposed form lands within ±1
+    milli of the true non-negative value: the first term's floor slips
+    < 1 milli down, the subtracted term's floor < 1 milli up) and the
+    synthetic near-uniform arrival stream must read as
     UNDER-dispersed (well below Poisson's 1000 milli) — a bursty flag
     here would mean the formula broke."""
     rows = curation16.ev_arrival_dispersion(spark, sf_dir).collect()

@@ -215,9 +215,12 @@ def test_registry_orders_unverified_first():
     assert set(back) <= verified - reverify
     for k in keys[: len(failed & set(keys))]:
         assert k in failed
-    # reverify keys come right after failures, before new ground
+    # reverify keys come right after failures, before new ground — a
+    # reverify key graded RED in a later round belongs to the failed
+    # segment, mirroring all_queries' "not already ordered" guard
+    # (round-9 ADVICE)
     n_failed = len(failed & set(keys))
-    rv_in = [k for k in keys if k in reverify]
+    rv_in = [k for k in keys if k in reverify and k not in failed]
     assert keys[n_failed:n_failed + len(rv_in)] == rv_in
 
 

