@@ -174,6 +174,36 @@ def main() -> int:
         except Exception as e:
             failures.append("lengthprobe-crash")
             print(f"  FAIL lengthprobe crashed: {e}")
+        # 5c. two-decade guard artifact (round-9 judge ask #7): the ×100
+        # probe sweep itself takes ~10 min on a 2 GB fixture, so the
+        # gate re-checks the committed artifact, not a live run — it
+        # must exist, cover the probe set, and carry ZERO unwhitelisted
+        # alarms. Regenerate per round with `python tools/sf100bench.py`
+        # AFTER bench.py (ratios must share an environment epoch).
+        print("[5c] sf100 two-decade artifact…")
+        try:
+            import json as _json
+            from sf100bench import PROBES, SF100_SUPERLINEAR_OK
+            with open(ROOT / "BENCH_SF100_DETAIL.json") as f:
+                sf100 = _json.load(f)
+            missing = [p for p in PROBES if p not in sf100.get("queries", {})]
+            live = [a for a in sf100.get("alarms", [])
+                    if a["query"] not in SF100_SUPERLINEAR_OK]
+            if missing:
+                failures.append("sf100-artifact-incomplete")
+                print(f"  FAIL missing probes: {missing}")
+            elif live:
+                failures.append("sf100-alarms")
+                for a in live:
+                    print(f"  FAIL {a['query']}: ×{a['ratio']} at ×100")
+            else:
+                print(f"  {len(sf100['queries'])} probes, 0 alarms")
+        except FileNotFoundError:
+            failures.append("sf100-artifact-missing")
+            print("  FAIL BENCH_SF100_DETAIL.json not generated this round")
+        except Exception as e:
+            failures.append("sf100-artifact-crash")
+            print(f"  FAIL sf100 artifact check crashed: {e}")
 
     # the final line names every failing stage: the driver (and any
     # bounded stdout tail) keeps only the end of the log, so a bare

@@ -68,8 +68,9 @@ DENSITY_SUPERLINEAR_OK = {
     # is ~quadratic in users-per-band when ×10 users share one 30-day
     # span (measured 226M scored pairs at ×10 density). Output is
     # bounded at users×5 (WindowGroupLimit) since round 9; the shuffle
-    # distributes on (u1,u2). A corpus that grows by EXTENDING the time
-    # span instead of densifying it scales linearly here.
+    # distributes on the packed (u1·2³²+u2) pair key with no map-side
+    # combine (round-10 _cs_per_pair reshape). A corpus that grows by
+    # EXTENDING the time span instead of densifying it scales linearly.
     "ev_concurrent_sessions",
 }
 
