@@ -202,6 +202,63 @@ def subq_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_selection_median(l: DataFrame) -> DataFrame:
+    """Exact per-flag median of l_extendedprice by two-pass bucket
+    selection → (l_returnflag, _exact_median). Bit-identical to
+    `percentile(l_extendedprice, 0.5)` for non-NULL ≤2-decimal inputs
+    (the agg_approx_sketches precondition); kept as a named helper so
+    tests can compare it against percentile() directly on adversarial
+    layouts (tests/test_lakehouse_sketches.py: boundary-straddling
+    middles, duplicates piled on the bucket edge)."""
+    cents = l.filter("l_extendedprice IS NOT NULL").selectExpr(
+        "l_returnflag",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS _c",
+    ).withColumn("_cb", F.expr("_c div 4096"))
+    coarse = cents.groupBy("l_returnflag", "_cb").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    wb = W.partitionBy("l_returnflag").orderBy("_cb")
+    sel = (
+        coarse.withColumn("_hi", F.sum("_m").over(wb))
+        .withColumn("_n", F.sum("_m").over(W.partitionBy("l_returnflag")))
+        .withColumn("_lo", F.col("_hi") - F.col("_m"))
+        .filter(
+            "((_n - 1) DIV 2 >= _lo AND (_n - 1) DIV 2 < _hi)"
+            " OR (_n DIV 2 >= _lo AND _n DIV 2 < _hi)"
+        )
+        .select("l_returnflag", "_cb", "_lo", "_n")
+    )
+    fine = (
+        cents.join(F.broadcast(sel), ["l_returnflag", "_cb"])
+        .groupBy("l_returnflag", "_c")
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.min("_lo").alias("_blo"),
+            F.min("_n").alias("_n"),
+        )
+    )
+    wf = W.partitionBy("l_returnflag").orderBy("_c")
+    return (
+        fine.withColumn(
+            "_off", F.min("_blo").over(W.partitionBy("l_returnflag"))
+        )
+        .withColumn("_hi", F.col("_off") + F.sum("_m").over(wf))
+        .selectExpr(
+            "l_returnflag",
+            "CASE WHEN (_n - 1) DIV 2 >= _hi - _m AND (_n - 1) DIV 2 < _hi"
+            " THEN _c END AS _v0",
+            "CASE WHEN _n DIV 2 >= _hi - _m AND _n DIV 2 < _hi"
+            " THEN _c END AS _v1",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.max("_v0").alias("_v0"), F.max("_v1").alias("_v1"))
+        .selectExpr(
+            "l_returnflag",
+            "(_v0 + _v1) / 2.0 / 100.0 AS _exact_median",
+        )
+    )
+
+
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates, oracle-able form: the raw HLL++/GK
     estimates are engine-specific, so the query emits the EXACT answer
@@ -223,52 +280,37 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5)")
         .alias("_approx_median"),
     )
-    # Exact median via HISTOGRAM selection, not percentile(): Spark's
-    # exact percentile() runs as an interpreted ObjectHashAggregate
-    # over a boxed per-distinct-value counts map (update per ROW, map
-    # merge per partition, no codegen) — measured 127 s at ×100 rows
-    # (21M rows per flag). The histogram form computes the same counts
-    # as a whole-stage-codegen (flag, cents) HashAggregate and selects
-    # the two middle order statistics from DISTINCT-VALUE rows only —
-    # the profile_outlier_iqr shape; the flag-partitioned window is
-    # bounded by the PRICE GRID (cents of a bounded price domain), not
-    # by row count. Measured 127 → 67 s at ×100, 16 → 10.6 s at ×10.
+    # Exact median via TWO-PASS BUCKET SELECTION, not percentile() and
+    # not a full-grid histogram window. History of this spelling:
+    # percentile() is an interpreted ObjectHashAggregate over a boxed
+    # counts map (127 s at ×100); the round-9 (flag, cents) histogram
+    # + flag-partitioned window assumed the cents GRID is
+    # domain-bounded, but the fixture's prices are near-continuous —
+    # 23.9 M distinct cents at ×100 — so the two windows walked the
+    # data, not the domain (36 s standalone, the query's whole ×24).
+    # The classic distributed selection instead: PASS 1 aggregates
+    # 4096-cent coarse buckets (≤ ~2.6 k buckets per flag — bounded by
+    # the PRICE DOMAIN / 4096, fully map-combinable codegen) and a
+    # window over that tiny frame finds, per flag, the bucket(s)
+    # holding order statistics (n−1) div 2 and n div 2 — at most two,
+    # and cumulative-ADJACENT (the targets differ by ≤1 position, so
+    # no non-empty bucket can lie between them; their rows are
+    # contiguous in the global value order starting at min(_lo)).
+    # PASS 2 broadcast-semi-joins lineitem down to those buckets' rows
+    # (~rows/2.6k) and selects the exact positions from the small
+    # exact histogram. Both passes are narrow codegen aggregates; no
+    # window ever sees more than rows-per-bucket. 36 → ~2×2.5 s at
+    # ×100; at 100 TB rows-per-bucket grows linearly and the width
+    # (or one recursion level) is the documented knob.
     # (v0+v1)/2 reproduces percentile()'s type-7 median bit-for-bit:
     # odd n → both positions hit the same value, even n → mean of the
     # two middles; the quotient only feeds a ±5% band check.
     # PRECONDITION (stated, not assumed silently): l_extendedprice is
     # non-NULL with ≤2 decimals. percentile() ignores NULLs, so the
-    # histogram drops them explicitly before quantizing — otherwise a
-    # NULL-cents group would enter the nulls-first window ordering and
-    # shift the selected positions; sub-cent prices would likewise
-    # collide under the cents grid.
-    cents = l.filter("l_extendedprice IS NOT NULL").selectExpr(
-        "l_returnflag",
-        "CAST(round(l_extendedprice * 100) AS BIGINT) AS _c",
-    )
-    hist = cents.groupBy("l_returnflag", "_c").agg(
-        F.count(F.lit(1)).alias("_m")
-    )
-    wf = W.partitionBy("l_returnflag").orderBy("_c")
-    med = (
-        hist.withColumn("_hi", F.sum("_m").over(wf))
-        .withColumn(
-            "_n", F.sum("_m").over(W.partitionBy("l_returnflag"))
-        )
-        .selectExpr(
-            "l_returnflag",
-            "CASE WHEN (_n - 1) DIV 2 >= _hi - _m AND (_n - 1) DIV 2 < _hi"
-            " THEN _c END AS _v0",
-            "CASE WHEN _n DIV 2 >= _hi - _m AND _n DIV 2 < _hi"
-            " THEN _c END AS _v1",
-        )
-        .groupBy("l_returnflag")
-        .agg(F.max("_v0").alias("_v0"), F.max("_v1").alias("_v1"))
-        .selectExpr(
-            "l_returnflag",
-            "(_v0 + _v1) / 2.0 / 100.0 AS _exact_median",
-        )
-    )
+    # selection drops them explicitly before quantizing — otherwise a
+    # NULL-cents group would shift the selected positions; sub-cent
+    # prices would likewise collide under the cents grid.
+    med = _bucket_selection_median(l)
     # Exact distinct via CHUNKED BITSETS, not countDistinct: Spark plans
     # countDistinct as an Expand-based two-phase aggregate whose first
     # exchange carries every (flag, partkey) pair — at ×100 rows that

@@ -4,7 +4,10 @@ has no analog, SURVEY.md §2.3 'LLM-pipeline extras'):
 
 - exact dedup        : md5(text) hash-groupBy
 - n-gram Jaccard     : 3-word shingles → shared-shingle candidate join →
-                       exact Jaccard filter
+                       exact Jaccard filter ("exact" throughout the
+                       shingle family = up to 64-bit shingle-hash
+                       collisions in the postings key, ~n²/2⁶⁵ — see
+                       _pair_stats; every other step is integer-exact)
 - MinHash + LSH      : k=12 signature (min over md5(seed‖shingle)),
                        4 bands × 3 rows, band-bucket join → estimated sim
 - SimHash            : 32-bit sign-aggregated token hashes, byte-band
@@ -161,6 +164,35 @@ def _pair_stats(d: DataFrame) -> DataFrame:
     postings also deletes both doc-size joins from the final plan. The
     pair set is identical to the self-join's, so DuckDB oracles that
     spell the self-join still hash-match.
+
+    Round-10 constant-factor pass (the ×100 profile showed this shared
+    primitive IS the whole cost of the dedup/graph family — 1.95 G
+    expanded pair rows, 113 M pair groups at ×100 — and every datum
+    crossing its two exchanges was wider than it needed to be):
+
+    1. the postings KEY is xxhash64(shingle), not the ~25-byte 3-gram
+       string — the wide-string sort/hash was half the postings stage
+       (12.3 → 6.1 s at ×100). Posting groups are identical as long as
+       no two DISTINCT shingles collide in 64 bits (verified: same
+       2 275 963 groups either way at ×100); expected collisions are
+       n²/2⁶⁵ ≈ 3·10⁻⁵ at 24 M shingles and ~27 k pairs at a 100 TB
+       corpus's 10¹² shingles — each worth ≤1 phantom shared-shingle
+       between two unrelated docs, noise-level against real inter
+       counts. Consumers that advertise exact Jaccard carry this bound
+       in their docstrings' terms: exact up to 64-bit shingle-hash
+       collisions, the standard postings trade.
+    2. each posting element packs (doc_id, sz) into ONE BIGINT
+       (doc_id·2²⁴ + sz): collect_list/array_sort on primitive longs,
+       not structs, and the sort order (doc_id-major) is unchanged
+       because sz is constant within a doc. PRECONDITIONS (stated):
+       doc_id < 2³¹, sz < 2²⁴ (a 16 M-distinct-shingle doc breaks the
+       pack before it breaks anything else).
+    3. the pair-aggregate key is the packed canonical pair
+       (doc_a·2³² + doc_b) — one 8-byte key through the family's
+       widest exchange instead of four columns; sz_a/sz_b ride as
+       min() aggregates (constant per pair, so min == the value).
+
+    Identical output, measured ×100 total: 64.3 → 18.1 s same-process.
     """
     # explode_outer, not explode: InferFiltersFromGenerate rewrites a
     # plain explode into a filter containing the generator's WHOLE child
@@ -169,16 +201,22 @@ def _pair_stats(d: DataFrame) -> DataFrame:
     # interpreted mode — measured 13s vs 1.5s at sf0.1. The rule skips
     # outer generates; the isNotNull on the emitted attribute restores
     # exact explode semantics (our arrays never contain null elements).
-    sh = d.select(
-        "doc_id",
-        F.size("shs").alias("sz"),
-        F.explode_outer("shs").alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
+    sh = (
+        d.select(
+            F.explode_outer(
+                F.expr(
+                    "transform(shs, s -> named_struct("
+                    "'shingle', xxhash64(s),"
+                    " 'e', shiftleft(doc_id, 24) + size(shs)))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select("p.shingle", "p.e")
+    )
     return (
         sh.groupBy("shingle")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds")
-        )
+        .agg(F.array_sort(F.collect_list("e")).alias("ds"))
         .filter(F.size("ds") > 1)
         # HOT-SHINGLE CAP — the adversarial-corpus guard: a shingle shared
         # by k docs expands to C(k,2) pairs, so one boilerplate phrase in
@@ -194,15 +232,28 @@ def _pair_stats(d: DataFrame) -> DataFrame:
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds)), "
-                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                    "x.sz AS sz_a, y.sz AS sz_b))))"
+                    "y -> named_struct("
+                    "'pk', shiftleft(x div 16777216, 32) + y div 16777216, "
+                    "'sz_a', x % 16777216, 'sz_b', y % 16777216))))"
                 )
             ).alias("p")
         )
         .filter(F.col("p").isNotNull())
-        .groupBy("p.doc_a", "p.doc_b", "p.sz_a", "p.sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .select("doc_a", "doc_b", "sz_a", "sz_b", "inter")
+        .groupBy("p.pk")
+        .agg(
+            F.min("p.sz_a").alias("sz_a"),
+            F.min("p.sz_b").alias("sz_b"),
+            F.count(F.lit(1)).alias("inter"),
+        )
+        .selectExpr(
+            "pk div 4294967296 AS doc_a",
+            "pk % 4294967296 AS doc_b",
+            # back to INT: size() typed the original sz columns, and
+            # downstream schemas/oracles pin that
+            "CAST(sz_a AS INT) AS sz_a",
+            "CAST(sz_b AS INT) AS sz_b",
+            "inter",
+        )
     )
 
 

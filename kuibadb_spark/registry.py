@@ -146,6 +146,21 @@ _REVERIFY = frozenset({
     # round 10: pair-aggregate stage reshaped (packed BIGINT pair key)
     "ev_concurrent_sessions",
     "ev_concurrent_sessions_all_pairs",
+    # round 10: _pair_stats replanned (hashed shingle postings key,
+    # packed posting elements, packed pair key — ×100 profile cut,
+    # 64.3 → 18.1 s) — every consumer's physical plan changed
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_lsh_eval",
+    "graph_degree_distribution",
+    "graph_kcore",
+    "dedup_bbit_minhash",
+    "dedup_minhash_band_sweep",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "dedup_connected_components",
+    "dedup_cluster_verdicts",
+    "dedup_cluster_representatives",
 })
 
 

@@ -56,3 +56,49 @@ def test_agg_approx_sketches_vs_exact(spark):
         assert a.exact_parts == e.parts, (k, a, e)
         assert a.parts_within_5pct is True, (k, a)
         assert a.median_within_5pct is True, (k, a)
+
+
+def test_bucket_selection_median_bit_identical(spark):
+    """The round-10 two-pass bucket-selection exact median must match
+    percentile() bit-for-bit on adversarial layouts: middle positions
+    straddling a 4096-cent coarse-bucket boundary (the two selected
+    buckets are then DISTINCT and must compose via the min(_lo) offset),
+    odd and even n, duplicates piled on the boundary, NULLs dropped."""
+    from kuibadb_spark.operators.aggregates import _bucket_selection_median
+
+    cases = [
+        # even n, middles straddle the 4095|4096-cent bucket edge
+        [40.95, 40.97],
+        [40.95, 40.95, 40.97, 40.97],
+        # odd n, median in the second of two occupied buckets
+        [1.00, 40.97, 41.00],
+        # duplicates on both sides of the edge + far outliers
+        [0.01, 40.95, 40.95, 40.96, 40.96, 40.96, 99.99, 500.0],
+        # all values in ONE bucket (degenerate single-bucket path)
+        [10.0, 10.0, 10.01, 11.0],
+        # NULLs interleaved: percentile() ignores them, so must we
+        [None, 40.95, None, 40.97, 123.45],
+        # selected buckets separated by EMPTY buckets in between
+        [40.95, 122.88],
+    ]
+    rows = []
+    for i, vals in enumerate(cases):
+        rows += [(f"f{i}", 1 + j, v) for j, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_partkey long, l_extendedprice double"
+    )
+    # _exact_median is DECIMAL (SQL literal 2.0 is decimal-typed, and
+    # bigint/decimal stays decimal) — coerce for the comparison
+    got = {
+        r.l_returnflag: float(r._exact_median)
+        for r in _bucket_selection_median(df).collect()
+    }
+    want = {
+        r.l_returnflag: r.m
+        for r in df.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()
+    }
+    assert set(got) == set(want) and len(got) == len(cases)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
