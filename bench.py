@@ -145,6 +145,10 @@ HEADLINE = [
     # round 9 batch 2 (curation20), guarded the round they land
     "ev_interarrival_spectrum",   # log2 gap spectrum (lag + narrow agg)
     "sample_quota_per_source",    # per-source top-5 quality quota
+    # round 10 (curation21), guarded the round they land
+    "sample_curriculum_order",    # 5-phase distributed-ntile curriculum
+    "graph_source_modularity",    # source-partition near-dup modularity
+    "text_gini_token_concentration",  # 128-bit exact per-source Gini
 ]
 
 

@@ -47,6 +47,7 @@ from kuibadb_spark.operators import (
     curation18,
     curation19,
     curation20,
+    curation21,
     dedup,
     events,
     graph,
@@ -126,6 +127,9 @@ _MODULES = [
     # round-9 additions rank last: their two unverified keys queue
     # behind the round-9 reverify set inside the grading window
     curation20,
+    # round-10 additions rank last: the three curation21 keys queue
+    # behind the round-10 reverify set (16 replanned keys) in the window
+    curation21,
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

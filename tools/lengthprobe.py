@@ -64,6 +64,9 @@ PROBES = [
     "text_ocr_artifact_screen", "text_lang_mismatch_screen",
     # round-9: split + array_distinct are length-linear row-local
     "sample_quota_per_source",
+    # round-10: length(text) + split token counts are length-linear
+    # row-local passes
+    "sample_curriculum_order", "text_gini_token_concentration",
 ]
 
 

@@ -108,6 +108,10 @@ BNLJ_OK = {
     "sample_epoch_schedule",     # 1-row corpus-total/weight-sum cross
                                  # over the sources-row table
     "sample_dedup_aware_mixture",  # same 1-row totals cross
+    # round-10 additions:
+    "sample_curriculum_order",   # ≤32-row distributed-ntile prefix cross
+                                 # (plans/ranks.py class)
+    "graph_source_modularity",   # 1-row edge-count m cross (curation21)
 }
 
 # Global (partition-less) windows whose INPUT is bounded by something
