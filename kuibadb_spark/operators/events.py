@@ -852,28 +852,35 @@ def _cs_per_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
        rows with ZERO hash-table work (~1 row/group means partial agg
        cannot shrink the shuffle — it only burns memory + spill), and
        the partial+final HashAggregates run back-to-back on co-located
-       rows, each table bounded by groups/partitions. Width is 8× the
-       session parallelism, NOT the shuffle-partition default: with
-       groups ≈ rows the per-partition hash tables are the footprint,
-       and 8 task waves of cache-resident tables beat 1 wave of
-       spill-threatened ones (×10 sweep: 37.4 s at 32 partitions,
-       34.5 at 128, 31.3 at 256) while at cluster scale 8 waves is
-       still wave-efficient.
+       rows, each table bounded by groups/partitions. The width is NOT
+       pinned: repartition(col) takes spark.sql.shuffle.partitions as
+       its initial width and stays AQE-coalescible, so small inputs
+       collapse to few fat partitions while a deployment sizes the
+       conf (or adaptive.coalescePartitions.initialPartitionNum) to
+       its cluster. A pinned `repartition(8·parallelism, pk)` was
+       measured first (×10 sweep: 37.4 s at 32 partitions, 34.5 at
+       128, 31.3 at 256 — wider wins at ×10 because groups ≈ rows
+       makes the per-partition hash tables the footprint) but costs
+       2× at the driver's own bench scale where 256 pinned tasks are
+       pure scheduling overhead that AQE is forbidden to coalesce
+       (sf0.1 full query best-of-3: 6.7 s pinned-256 vs 3.3 s
+       repartition(col) vs 3.5 s plain groupBy) — the round-10 rule:
+       scale constants live in conf, not in the plan.
 
     Measured on the true ×10 fixture (local[32], best-of-2 noop):
-    aggregate standalone 36.1 s (plain groupBy) → 31.3 s; the bounded
-    headline 52.2 s → ~40 s. The 600 s band was re-swept at ×10
-    density and stays the flat optimum (pair-gen best-of-2: 19.4 s at
-    150 s bands, 15.7 at 300, 14.6 at 600, 25.7 at 1200).
+    aggregate standalone 36.1 s (plain groupBy) → 31.3 s (pinned 256;
+    the conf-width form reads within the band at the conf's width).
+    The 600 s band was re-swept at ×10 density and stays the flat
+    optimum (pair-gen best-of-2: 19.4 s at 150 s bands, 15.7 at 300,
+    14.6 at 600, 25.7 at 1200).
 
     Spark exposes no skip-partial-aggregate conf (checked SQLConf
     4.1.2), so the repartition IS the spelling of that intent."""
     pk = _cs_pairs(spark, sf_dir).selectExpr(
         "shiftleft(u1, 32) + u2 AS pk", "ov_us"
     )
-    width = 8 * spark.sparkContext.defaultParallelism
     return (
-        pk.repartition(width, "pk")
+        pk.repartition(F.col("pk"))
         .groupBy("pk")
         .agg(
             F.count(F.lit(1)).alias("n_session_pairs"),
