@@ -48,11 +48,28 @@ def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Internal form: `members` is a real array (consumed by
     dedup_cluster_verdicts' explode). The registry-facing
     dedup_connected_components stringifies it at the boundary."""
-    edges = _edges(spark, sf_dir).persist()
-    # undirected: propagate both ways
-    sym = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # undirected: propagate both ways. Symmetrize ROW-LOCALLY (explode of
+    # the two directions) instead of unionAll(edges, edges.swapped): the
+    # union form needed `edges` itself persisted so its two branches
+    # wouldn't re-run the whole candidate pipeline, leaving BOTH the edge
+    # table and its doubled sym twin pinned in executor storage (3× edge
+    # rows) for the life of the loop — the explode emits both directions
+    # inside the row, so one pipeline pass materializes `sym` directly
+    # and only it is cached (2× edge rows, one persist fewer; guide-§5
+    # cache hygiene, round-10).
+    sym = (
+        _edges(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(src, dst),"
+                    " struct(dst AS src, src AS dst))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .persist()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).persist()
     pinned = labels  # the currently-persisted frame (unpersist target)
@@ -107,7 +124,6 @@ def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = labels.localCheckpoint(eager=True)
     pinned.unpersist()
     sym.unpersist()
-    edges.unpersist()
 
     return (
         labels.groupBy("label")
