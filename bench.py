@@ -23,7 +23,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from kuibadb_spark import registry
-from kuibadb_spark.session import get_spark
+from kuibadb_spark.session import default_parallelism, get_spark
 
 # Headline set: one per operator family (kept in sync as suites grow).
 HEADLINE = [
@@ -202,6 +202,17 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Per-run detail files are keyed by core count (round-10 VERDICT #2:
+    # the driver benches at two core counts back-to-back, and a single
+    # shared detail filename meant the 8-core run clobbered the 32-core
+    # per-query map before the driver's comparison ran — PERF_r10 came
+    # back with n_common=0 and an empty scaling block). The cpu-suffixed
+    # file is authoritative (named in the printed line's `detail` field);
+    # the legacy unsuffixed BENCH_DETAIL.json keeps being written with
+    # identical content so fixed-name readers (tools/sf100bench.py,
+    # tools/sf1bench.py baselines) stay working.
+    cpus = default_parallelism()
+    detail_name = f"BENCH_DETAIL_c{cpus}.json"
     summary = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -215,16 +226,17 @@ def main() -> None:
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries_n": len(timings),
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     # Per-query timings + one-time eager-construction costs go to a file:
     # the driver json-parses only a 2000-char stdout TAIL, and round 6's
     # 62-query inline map outgrew it — BENCH_r06.json recorded
     # "parsed": null, i.e. no bench value at all (round-6 VERDICT #2).
     # The final printed line must stay a few hundred bytes forever.
-    with open(os.path.join(_REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
-        json.dump({**summary, "queries": timings, "build": builds}, f,
-                  indent=1, sort_keys=True)
+    detail = {**summary, "queries": timings, "build": builds}
+    for fname in (detail_name, "BENCH_DETAIL.json"):
+        with open(os.path.join(_REPO_ROOT, fname), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     line = json.dumps(summary)
     assert len(line) < 1500, f"bench summary line too long ({len(line)})"
     print(line)

@@ -111,8 +111,17 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the _pair_stats-derived edge list (the family's one
     heavy pipeline, round-10 packed form), then only metadata-scale
-    aggregates: per-source intra-edge counts, per-source degree sums,
-    and a 1-row broadcast m cross (BNLJ_OK). Output is |sources| rows.
+    aggregates. Round-11 replan: the original spelling hung FOUR
+    consumers (m, per-source degree mass, per-source node counts,
+    per-source intra counts) off the edge list — exchange reuse pays
+    the pipeline's map side once, but the pair-aggregate REDUCE tail
+    (113 M pair groups at ×100) re-ran per consumer, measured +7.4 s
+    of the query's 18.9 s at ×10 (edges alone: 11.6 s). m, dmass and
+    intra are all marginals of ONE ≤|sources|² row (src-sid, dst-sid)
+    census, so they now ride a single pass over the edge list and the
+    only other consumer is the node-distinct (genuinely node-scale).
+    Output is |sources| rows, identical by algebra: m = Σc,
+    deg_sum(s) = Σ_{sa=s} c + Σ_{sb=s} c, intra(s) = Σ_{sa=sb=s} c.
 
     Integer exactness: both terms are single floor divisions per
     source, mirrored in the oracle. int64 headroom: 10⁶·D_c² needs
@@ -121,13 +130,23 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kuibadb_spark.operators.graph import _edges
 
     edges = _edges(spark, sf_dir)
-    m = edges.agg(F.count(F.lit(1)).alias("m"))
-    # degree mass per source: explode both directions row-locally, then
-    # one narrow groupBy — deg(node) is never materialized per node
+    census = (
+        edges.selectExpr("src % 20 AS sa", "dst % 20 AS sb")
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = census.agg(F.sum("c").alias("m"))
+    # degree mass per source: explode both census directions row-locally
+    # (≤2·|sources|² rows), then one narrow groupBy — deg(node) is never
+    # materialized per node and the edge list is never re-walked
     dmass = (
-        edges.selectExpr("explode(array(src % 20, dst % 20)) AS sid")
-        .groupBy("sid")
-        .agg(F.count(F.lit(1)).alias("deg_sum"))
+        census.select(
+            F.explode(
+                F.expr("array(struct(sa AS sid, c), struct(sb AS sid, c))")
+            ).alias("p")
+        )
+        .groupBy("p.sid")
+        .agg(F.sum("p.c").alias("deg_sum"))
     )
     nodes = (
         edges.selectExpr("explode(array(src, dst)) AS node")
@@ -137,10 +156,10 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     intra = (
-        edges.filter("src % 20 = dst % 20")
-        .selectExpr("src % 20 AS sid")
+        census.filter("sa = sb")
+        .selectExpr("sa AS sid", "c")
         .groupBy("sid")
-        .agg(F.count(F.lit(1)).alias("intra_edges"))
+        .agg(F.sum("c").alias("intra_edges"))
     )
     return (
         nodes.join(dmass, "sid", "left")

@@ -651,10 +651,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph at Jaccard >= 0.4: repeatedly delete nodes of degree < k=3
     until fixpoint — the surviving 3-core is the "dense boilerplate
     cluster" signal (a hub template family), stronger than connected
-    components which a single chance edge can chain together. Fixed
-    _KC_ROUNDS=6 peel rounds on BOTH engines (the graph converges in
-    <= 3 here; converged rounds are identity maps, so the fixed count
-    is exact, the pagerank fixed-rounds precedent, graph.py:141).
+    components which a single chance edge can chain together. The
+    DuckDB oracle runs a fixed _KC_ROUNDS=6 unroll; the Spark loop
+    caps at the same _KC_ROUNDS but EARLY-EXITS at the detected
+    fixpoint (see the inline comment below) — converged rounds are
+    identity maps, so the two are provably identical (the pagerank
+    fixed-rounds precedent, graph.py:141).
 
     Scale shape: each round is degree-count groupBy + two semi-joins on
     the shrinking edge set — the standard BSP peeling. Each round ends

@@ -183,12 +183,15 @@ def main() -> int:
         print("[5c] sf100 two-decade artifact…")
         try:
             import json as _json
-            from sf100bench import PROBES, SF100_SUPERLINEAR_OK
+            from sf100bench import PROBES
             with open(ROOT / "BENCH_SF100_DETAIL.json") as f:
                 sf100 = _json.load(f)
             missing = [p for p in PROBES if p not in sf100.get("queries", {})]
-            live = [a for a in sf100.get("alarms", [])
-                    if a["query"] not in SF100_SUPERLINEAR_OK]
+            # the artifact's alarm list already applies the per-key
+            # raised ceilings (round-11: whitelisted keys alarm above
+            # their own band instead of never), so every recorded alarm
+            # is live
+            live = sf100.get("alarms", [])
             if missing:
                 failures.append("sf100-artifact-incomplete")
                 print(f"  FAIL missing probes: {missing}")

@@ -62,17 +62,22 @@ PROBES = [
     "text_unigram_surprisal",
     "text_cross_source_overlap",
     "graph_pagerank",
+    "graph_source_modularity",
     "agg_approx_sketches",
     "sim_ann_ivf",
     "dedup_embedding_cosine",
     "ev_peak_concurrency",
 ]
 
-# key -> justification; add entries ONLY with a candidate-volume-
-# minimality argument (the DENSITY_SUPERLINEAR_OK contract in
-# sf1bench.py). agg_approx_sketches left the list via the round-10
-# chunked-bitset/bucket-selection replans (x29.9 -> x9.6-x15).
-SF100_SUPERLINEAR_OK: dict[str, str] = {
+# key -> (raised per-key alarm ceiling, justification); add entries ONLY
+# with a candidate-volume-minimality argument (the
+# DENSITY_SUPERLINEAR_OK contract in sf1bench.py). agg_approx_sketches
+# left the list via the round-10 chunked-bitset/bucket-selection replans
+# (x29.9 -> x9.6-x15). Round-11 (ADVICE): whitelisted keys get a RAISED
+# band instead of an unconditional exemption, so a genuine future
+# regression on a whitelisted key (a plan change making it worse than
+# the spec-minimal candidate volume) can still trip the guard.
+SF100_SUPERLINEAR_OK: dict[str, tuple[float, str]] = {
     # The SPEC is the exhaustive in-label verify: every same-label
     # embedding pair's exact cosine (the eval harness for the banded
     # forms), so the candidate set is sum_label C(n_label,2) — with
@@ -83,13 +88,17 @@ SF100_SUPERLINEAR_OK: dict[str, str] = {
     # density keeps it linear-ish). The 100 TB path for this workload
     # is the banded/clustered twin (sim_semdedup_clusters,
     # dedup_bbit_minhash) — this key exists to measure those against
-    # ground truth (round-9 VERDICT reading: x20; today's epoch reads
-    # x58-x101 on the same code+fixture, see the drift note in
-    # OPTIMIZATION_r10.md).
-    "dedup_embedding_cosine":
+    # ground truth (round-9 VERDICT reading: x20; the round-10 epoch
+    # read x58-x101 on the same code+fixture, see the drift note in
+    # OPTIMIZATION_r10.md). Ceiling ×150: above every reading the
+    # spec-minimal pairwise plan has ever produced on this host, so a
+    # plan regression (e.g. losing the blocked-BLAS verify) still trips.
+    "dedup_embedding_cosine": (
+        150.0,
         "in-label exhaustive exact-cosine verify by spec; candidate set"
         " = all same-label pairs is the minimum work of the declared"
         " exact answer; scalable twins are the banded/clustered keys",
+    ),
 }
 
 
@@ -130,57 +139,64 @@ def main() -> int:
     except Exception:
         pass
 
-    def _tot(n: str) -> float:
-        return timings[n] + builds.get(n, 0.0)
-
     def _base_tot(n: str) -> float:
         return base.get(n, 0.0) + base_build.get(n, 0.0)
 
-    def _ratios() -> dict[str, float]:
+    def _ratios(t: dict[str, float]) -> dict[str, float]:
         return {
-            n: round(_tot(n) / _base_tot(n), 1)
-            for n in timings
+            n: round((t[n] + builds.get(n, 0.0)) / _base_tot(n), 1)
+            for n in t
             if _base_tot(n) > 0
         }
 
-    def _alarm_keys(ratios: dict[str, float]) -> list[str]:
-        return [
-            n for n in ratios
-            if ratios[n] > RATIO_ALARM and n not in SF100_SUPERLINEAR_OK
-        ]
+    def _ceiling(n: str) -> float:
+        return max(RATIO_ALARM, SF100_SUPERLINEAR_OK.get(n, (0.0, ""))[0])
 
-    ratios = _ratios()
+    def _alarm_keys(ratios: dict[str, float]) -> list[str]:
+        return [n for n in ratios if ratios[n] > _ceiling(n)]
+
+    ratios = _ratios(timings)
     # Single-shot noise guard (round-10 measurement fix, recorded in
     # OPTIMIZATION_r10.md): this host's I/O throughput swings ×4-10
     # between consecutive reads of the same plan (w_pareto_abc read
     # 18.9 s and 80.6 s in two back-to-back sweeps; its quiet-epoch
     # read is ~7-14 s), so ONE bad read of a ~×30 key trips the ×40
     # band without any plan change. A key whose single shot trips the
-    # alarm gets exactly one re-probe and keeps the MIN — the alarm
-    # then fires only when the ratio reproduces, which is the event
-    # the guard exists for. Both readings are recorded in the
-    # artifact (`retries`) so a systematically-slower key is still
-    # visible even when its retry passes.
+    # alarm gets exactly one re-probe — the alarm then fires only when
+    # the ratio reproduces, which is the event the guard exists for.
+    # Round-11 methodology fix (ADVICE r10): the retry feeds ONLY the
+    # alarm decision — reported timings/queries/value keep the FIRST
+    # reading for every key, so the headline totals stay single-shot
+    # like-for-like across rounds instead of best-of-2 for exactly the
+    # keys that read slow. Both readings live in `retries`. Build-phase
+    # noise is NOT retried (the build keeps its first reading by
+    # design: re-constructing the frame in a warm session would
+    # under-state it), so an alarm whose noise landed in the build
+    # cannot be cleared by the retry — stated here and in the artifact.
     retries: dict[str, dict[str, float]] = {}
+    alarm_timings = dict(timings)
     for n in _alarm_keys(ratios):
-        # re-time the steady-state query only; the cold build cost
-        # (eager construction) keeps its first reading — constructing
-        # the frame again in a warm session would under-state it
-        df = queries[n](spark, SF100)
+        # drop the first frame before re-timing so builder-internal
+        # localCheckpoint blocks can be GC-released and don't skew the
+        # re-read (clearCache drops persist()s but not checkpoints)
         spark.catalog.clearCache()
+        df = queries[n](spark, SF100)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         rq = round(time.perf_counter() - t0, 3)
+        del df
         spark.catalog.clearCache()
         retries[n] = {"first_query_s": timings[n], "retry_query_s": rq}
-        timings[n] = min(timings[n], rq)
+        alarm_timings[n] = min(timings[n], rq)
         print(f"retry {n:28s} {rq:8.2f}", flush=True)
-    ratios = _ratios()
+    alarm_ratios = _ratios(alarm_timings)
     alarms = sorted(
         (
             {"query": n, "sf01_total_s": round(_base_tot(n), 2),
-             "sf100_total_s": round(_tot(n), 2), "ratio": ratios[n]}
-            for n in _alarm_keys(ratios)
+             "sf100_total_s": round(
+                 alarm_timings[n] + builds.get(n, 0.0), 2),
+             "ratio": alarm_ratios[n], "ceiling": _ceiling(n)}
+            for n in _alarm_keys(alarm_ratios)
         ),
         key=lambda m: -m["ratio"],
     )
@@ -195,12 +211,19 @@ def main() -> int:
         "sf": "true x100 fixture (tools/genfixture.py)",
         "queries_n": len(timings),
         "ratio_alarm": RATIO_ALARM,
-        "basis": "build+query per key vs BENCH_DETAIL.json sf0.1 totals",
+        "per_key_ceilings": {
+            n: c for n, (c, _) in SF100_SUPERLINEAR_OK.items()
+        },
+        "basis": "build+query per key vs BENCH_DETAIL.json sf0.1 totals;"
+                 " timings/queries/value are FIRST readings (retries feed"
+                 " only the alarm decision); build-phase noise is not"
+                 " retried",
         "alarms": alarms,
         "retries": retries,
         "queries": timings,
         "build": builds,
         "ratios_vs_sf01": ratios,
+        "alarm_ratios": alarm_ratios,
     }
     with open(ROOT / "BENCH_SF100_DETAIL.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
