@@ -808,9 +808,30 @@ def _cs_pairs(spark: SparkSession, sf_dir: str):
         "user_id", "sid", "s", "e",
         f"explode(sequence(s div {band}, e div {band})) AS hb",
     )
+    # SHUFFLE_HASH on the band self-join (round-11; guide §3.1 "pick the
+    # strategy deliberately"). Both join inputs are the SAME banded
+    # session subtree `b`, which makes the planner's default choices
+    # backfire at every scale:
+    #   - sf0.1: auto-broadcast builds the hash relation from one copy
+    #     of `b` and streams the other — the sessionize window pipeline
+    #     runs TWICE (a broadcast build can't reuse the streamed side's
+    #     exchange). With SHJ both sides hash-partition on hb and the
+    #     second side is a ReusedExchange: one sessionize pass total.
+    #   - ×10: the broadcast flips to sort-merge, which pays two
+    #     O(n log n) sorts of ~25M banded rows that the hash join
+    #     simply doesn't need (the per-partition build side fits
+    #     comfortably: sessions are ~40B rows).
+    # Same-epoch A/B, fresh process per variant, full bounded query:
+    # sf0.1 best-of-3 3.07 s (SMJ) / 1.76 s (SHJ); ×10 best-of-2
+    # 84.9 s (SMJ) / 29.2 s (SHJ); hinting BOTH sides loses (43.1 s ×10
+    # — the planner then builds from the left/larger stream mix). The
+    # hint is join-local: no other query's plan changes (the round-10
+    # global preferSortMergeJoin=false experiment damaged the
+    # exchange-reuse family and stays rejected, OPTIMIZATION_r10.md
+    # §2.6). Join strategy never changes results, only the plan.
     return (
         b.alias("a")
-        .join(b.alias("b"), "hb")
+        .join(b.alias("b").hint("shuffle_hash"), "hb")
         .filter(
             (F.col("a.user_id") < F.col("b.user_id"))
             & (F.col("a.s") < F.col("b.e"))
