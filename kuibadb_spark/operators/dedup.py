@@ -189,10 +189,23 @@ def _pair_stats(d: DataFrame) -> DataFrame:
        pack before it breaks anything else).
     3. the pair-aggregate key is the packed canonical pair
        (doc_a·2³² + doc_b) — one 8-byte key through the family's
-       widest exchange instead of four columns; sz_a/sz_b ride as
-       min() aggregates (constant per pair, so min == the value).
+       widest exchange instead of four columns; sz_a/sz_b ride as a
+       min() aggregate (constant per pair, so min == the value).
 
     Identical output, measured ×100 total: 64.3 → 18.1 s same-process.
+
+    Round-11 second pass (same-process ×100 A/B over the identical
+    postings subtree, best-of-2 noop each): the pair element now packs
+    BOTH sizes into one rider long sp = sz_a·2²⁴ + sz_b (48 bits; the
+    existing sz < 2²⁴ pack precondition already guarantees it), so the
+    expansion emits 2-field structs instead of 3 and the pair exchange
+    row is (pk, sp, count) instead of (pk, sz_a, sz_b, count):
+    62.6 s (3-field) → 45.1 s (sp pack). Dropping the sizes entirely
+    and joining them back read 37.5 s but needs a doc-sizes join that
+    stops broadcasting at corpus scale (~12 GB at 10⁹ docs) — rejected
+    as a fixture-tuned win; the sp pack keeps the no-join property at
+    every scale. min(sp) == the value for the same constant-per-pair
+    reason, and the unpack (div/mod 2²⁴) is exact.
     """
     # explode_outer, not explode: InferFiltersFromGenerate rewrites a
     # plain explode into a filter containing the generator's WHOLE child
@@ -234,15 +247,14 @@ def _pair_stats(d: DataFrame) -> DataFrame:
                     "transform(slice(ds, i + 2, size(ds)), "
                     "y -> named_struct("
                     "'pk', shiftleft(x div 16777216, 32) + y div 16777216, "
-                    "'sz_a', x % 16777216, 'sz_b', y % 16777216))))"
+                    "'sp', shiftleft(x % 16777216, 24) + y % 16777216))))"
                 )
             ).alias("p")
         )
         .filter(F.col("p").isNotNull())
         .groupBy("p.pk")
         .agg(
-            F.min("p.sz_a").alias("sz_a"),
-            F.min("p.sz_b").alias("sz_b"),
+            F.min("p.sp").alias("sp"),
             F.count(F.lit(1)).alias("inter"),
         )
         .selectExpr(
@@ -250,8 +262,8 @@ def _pair_stats(d: DataFrame) -> DataFrame:
             "pk % 4294967296 AS doc_b",
             # back to INT: size() typed the original sz columns, and
             # downstream schemas/oracles pin that
-            "CAST(sz_a AS INT) AS sz_a",
-            "CAST(sz_b AS INT) AS sz_b",
+            "CAST(sp div 16777216 AS INT) AS sz_a",
+            "CAST(sp % 16777216 AS INT) AS sz_b",
             "inter",
         )
     )
@@ -460,30 +472,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the higher-order zip_with/aggregate dot — CodegenFallback,
     # interpreted — cost ~180 µs of CPU per candidate pair: 24M ×10-scale
     # candidates took 176 s (join alone: 3.7 s; dot projection: +134 s).
-    # Vectorized blocked verify instead: side b keys each row by
-    # vec_id mod S, side a replicates across all S slices, and a COGROUP
-    # on (label, slice) hands each (a-block, b-slice) pair of pandas
-    # frames to one BLAS matmul — every candidate pair is still scored
-    # EXACTLY once (same pair set as the join: a.label = b.label AND
-    # a.vec_id < b.vec_id), but at numpy speed and with label_count × S
-    # tasks of bounded memory (block_rows × dim doubles). 176 s → ~6 s at
-    # ×10; at 100 TB, S scales with cluster width and the matmul tiles.
+    # Replaced in round 3 by a cogroup-blocked BLAS verify (every
+    # same-label pair still scored EXACTLY once, at numpy speed, in
+    # bounded-memory blocks); reshaped again in round 11 — see below.
     import numpy as np
     import pandas as pd
 
-    S = 32
-    # NB: both sides' slice keys must be the SAME TYPE — cogroup matches
-    # group keys without inserting casts, so an int lit slice on one side
-    # and a bigint pmod slice on the other silently land in DIFFERENT
-    # groups (observed: 514 groups instead of label×S=320, every pair
-    # whose two sides split across the mismatched twins dropped).
-    a_side = c.withColumn(
-        "sl",
-        F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(S)])),
-    )
-    b_side = c.withColumn("sl", F.pmod("vec_id", F.lit(S)).cast("bigint"))
+    # Round-11 replan (guide §2.3 shuffle width + §4.2 batch-native
+    # math; round-10 VERDICT ask #4). Two independent fixes, measured
+    # with a same-epoch ×100 decomposition (fresh process per variant,
+    # best-of-2 noop): the ROUND-10 form read 313.5 s, of which only
+    # 8.2 s was shuffle+Arrow+group plumbing (empty-UDF probe) — the
+    # other ~305 s was per-task numpy doing ~10 full-matrix elementwise
+    # passes (outer, divide, sign, abs, scale, floor, compare, and,
+    # nonzero over 15 M-element blocks) plus object-dtype vstack over a
+    # 33×-replicated a-side. The replan reads 26.9 s (×11.7):
+    #
+    # 1. GROUP-PAIR COGROUP instead of replicate-all-×-slice: rows are
+    #    split by g = vec_id mod G (G=8); task (g1 ≤ g2) scores the
+    #    (g1-block × g2-block) cross. A row rides in (G−g) a-side tasks
+    #    + (g+1) b-side tasks = G+1 = 9 replicas vs the old 33 (S=32
+    #    slices + the unsliced b side), and per-task matrices are
+    #    square-ish (n/G)² blocks instead of (all-label × n/S) strips.
+    #    Every same-label pair is scored EXACTLY once: a pair (x∈g1,
+    #    y∈g2), g1 ≤ g2, meets only in task (g1, g2) — a-side explodes
+    #    g..G-1 upward, b-side 0..g downward, so the reversed task
+    #    (g2, g1) never exists; diagonal tasks keep vec_id_a < vec_id_b,
+    #    off-diagonal tasks keep all cross pairs and emit
+    #    (min id, max id) (cosine is symmetric).  Label×G(G+1)/2 = 360
+    #    tasks bound memory at (block_rows × dim) doubles; a deployment
+    #    scales G with cluster width (tasks grow as G²).
+    # 2. PREFILTER, THEN EXACT-SCORE SURVIVORS: the dense work is now
+    #    one BLAS matmul D = A·Bᵀ plus ONE broadcast multiply and ONE
+    #    compare — D ≥ (t·‖a‖)·‖b‖ with t = 0.9899995 − 1e-9. In exact
+    #    arithmetic cos ≥ 0.9899995 ⟺ rounded-cos ≥ 0.99 (the emitted
+    #    predicate), and the 1e-9 slack dwarfs the ~1e-16 relative
+    #    error of the multiply/divide reorder, so NO qualifying pair
+    #    can fail the prefilter. Survivors (rare) then get the
+    #    bit-identical original expression — dot/(norm·norm), rounded
+    #    half-away-from-zero — so emitted values are unchanged.
+    #    Verified row-identical (repr-exact cos) against the round-10
+    #    form at sf0.001 and sf0.1, plus DuckDB parity at all three SFs.
+    G = 8
+    # NB: both sides' group keys must be the SAME TYPE — cogroup matches
+    # group keys positionally without inserting casts (round-3 finding:
+    # mismatched int/bigint slice keys silently split groups).
+    g = c.withColumn("g", F.pmod("vec_id", F.lit(G)).cast("int"))
+    a_side = g.withColumn("gh", F.explode(F.expr(f"sequence(g, {G - 1})")))
+    b_side = g.withColumn("gl", F.explode(F.expr("sequence(0, g)")))
 
-    def _verify(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def _verify(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"vec_a": pd.Series(dtype="int64"),
              "vec_b": pd.Series(dtype="int64"),
@@ -491,27 +529,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if left.empty or right.empty:
             return empty
+        _, g1, g2 = key
         A = np.vstack(left["v"].to_numpy())
         B = np.vstack(right["v"].to_numpy())
         ids_a = left["vec_id"].to_numpy()
         ids_b = right["vec_id"].to_numpy()
-        raw = (A @ B.T) / np.outer(left["norm"].to_numpy(),
-                                   right["norm"].to_numpy())
+        na = left["norm"].to_numpy()
+        nb = right["norm"].to_numpy()
+        D = A @ B.T
+        mask = D >= ((0.9899995 - 1e-9) * na)[:, None] * nb[None, :]
+        if g1 == g2:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ia, jb = np.nonzero(mask)
+        if not len(ia):
+            return empty
+        raw = D[ia, jb] / (na[ia] * nb[jb])
         # round HALF-AWAY-FROM-ZERO to match F.round / DuckDB round();
         # np.round is half-to-even, which can flip a cosine sitting
         # exactly on a 5e-7 boundary across engines (and the >=0.99
         # verdict with it)
         cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
-        ia, jb = np.nonzero((cos >= 0.99) & (ids_a[:, None] < ids_b[None, :]))
-        if not len(ia):
+        keep = cos >= 0.99
+        if not keep.any():
             return empty
-        return pd.DataFrame(
-            {"vec_a": ids_a[ia], "vec_b": ids_b[jb], "cos": cos[ia, jb]}
-        )
+        va, vb = ids_a[ia[keep]], ids_b[jb[keep]]
+        if g1 != g2:
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos": cos[keep]})
 
     return (
-        a_side.groupBy("label", "sl")
-        .cogroup(b_side.groupBy("label", "sl"))
+        a_side.groupBy("label", "g", "gh")
+        .cogroup(b_side.groupBy("label", "gl", "g"))
         .applyInPandas(_verify, "vec_a bigint, vec_b bigint, cos double")
         .orderBy("vec_a", "vec_b")
     )

@@ -140,19 +140,25 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # never-graded keys — until the next artifact re-records them. Remove an
 # entry once a CORRECTNESS_r*.json newer than the change shows it green.
 _REVERIFY = frozenset({
-    # round 10: exact-distinct replanned to chunked bitsets and the
-    # histogram median gained an explicit NULL filter (round-9 judge
-    # ask #2 widened _REVERIFY to materially-REPLANNED keys, not just
-    # semantics changes — the driver hash at sf0.01 is the contract)
-    "agg_approx_sketches",
-    # round 9 replan (distributed_prefix_sum form) graded only locally
-    "w_pareto_abc",
-    # round 10: pair-aggregate stage reshaped (packed BIGINT pair key)
+    # (round-10 entries all came back green in CORRECTNESS_r10 and were
+    # removed per the rule above.)
+    # round 11: band self-join forced to SHUFFLE_HASH (join-strategy
+    # hint — results provably unchanged, but the physical plan is, and
+    # round-9 judge ask #2 widened _REVERIFY to materially-REPLANNED
+    # keys; the driver hash at sf0.01 is the contract)
     "ev_concurrent_sessions",
     "ev_concurrent_sessions_all_pairs",
-    # round 10: _pair_stats replanned (hashed shingle postings key,
-    # packed posting elements, packed pair key — ×100 profile cut,
-    # 64.3 → 18.1 s) — every consumer's physical plan changed
+    # round 11: four edge-list consumers collapsed into one
+    # (src-sid, dst-sid) census pass
+    "graph_source_modularity",
+    # round 11: verify replanned to group-pair cogroup +
+    # prefilter-then-exact-score (output verified row-identical)
+    "dedup_embedding_cosine",
+    # round 11: _pair_stats pair tail re-packed (both sizes ride ONE
+    # min() BIGINT sp = sz_a*2^24 + sz_b; 2-field pair structs, ×100
+    # pair frame 62.6 → 45.1 s same-process) — every consumer's
+    # physical plan changed; output verified row-identical at sf0.1
+    # and count+hash-identical at ×100
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_lsh_eval",

@@ -78,27 +78,17 @@ PROBES = [
 # regression on a whitelisted key (a plan change making it worse than
 # the spec-minimal candidate volume) can still trip the guard.
 SF100_SUPERLINEAR_OK: dict[str, tuple[float, str]] = {
-    # The SPEC is the exhaustive in-label verify: every same-label
-    # embedding pair's exact cosine (the eval harness for the banded
-    # forms), so the candidate set is sum_label C(n_label,2) — with
-    # labels FIXED by the schema and n_label growing with the corpus,
-    # pair volume is ~quadratic in corpus size BY DEFINITION and no
-    # smaller candidate set can produce the same exact answer. Output
-    # stays bounded (per-pair rows above the 0.9 threshold; fixture
-    # density keeps it linear-ish). The 100 TB path for this workload
-    # is the banded/clustered twin (sim_semdedup_clusters,
-    # dedup_bbit_minhash) — this key exists to measure those against
-    # ground truth (round-9 VERDICT reading: x20; the round-10 epoch
-    # read x58-x101 on the same code+fixture, see the drift note in
-    # OPTIMIZATION_r10.md). Ceiling ×150: above every reading the
-    # spec-minimal pairwise plan has ever produced on this host, so a
-    # plan regression (e.g. losing the blocked-BLAS verify) still trips.
-    "dedup_embedding_cosine": (
-        150.0,
-        "in-label exhaustive exact-cosine verify by spec; candidate set"
-        " = all same-label pairs is the minimum work of the declared"
-        " exact answer; scalable twins are the banded/clustered keys",
-    ),
+    # EMPTY as of round 11. dedup_embedding_cosine left the list (it
+    # entered in round 10 at ×88 with the by-spec quadratic-candidates
+    # argument): the round-11 verify replan — group-pair cogroup (9×
+    # replication instead of 33×) + prefilter-then-exact-score (one
+    # BLAS matmul + 2 elementwise passes instead of ~10) — cut the
+    # same-epoch ×100 reading 313.5 → 26.9 s (the round-10 form and
+    # the ×88 artifact reading are the same plan in different epochs),
+    # putting it back inside the plain ×40 band with identical output.
+    # Candidate volume is still quadratic by spec; the CONSTANT was the
+    # problem. If a future epoch trips ×40 again, re-argue with a
+    # same-epoch decomposition before re-whitelisting.
 }
 
 
