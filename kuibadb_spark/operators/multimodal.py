@@ -527,14 +527,26 @@ def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_n = bands.groupBy("bi", "bv").agg(
         F.count(F.lit(1)).alias("bn")
     )
+    # SHUFFLE_HASH on both (bi, bv)-keyed joins (round-11, the _cs_pairs
+    # lesson generalized): every consumer here — the bucket census, the
+    # cap join's both sides, and the band self-join's both sides — is
+    # the SAME expensive ahash pipeline keyed the same way, so with
+    # hash joins all of them hang off ONE reused (bi, bv) exchange and
+    # the 60-term hash expression is evaluated once per row, period.
+    # The default plan broadcasts instead (bucket_n and one self-join
+    # side are "small"), and every broadcast BUILD re-computes the
+    # pipeline from scratch — the hash evaluated 3×. Same-epoch
+    # fresh-process A/B, full query: sf0.1 best-of-3 3.05 → 2.25 s;
+    # ×10 best-of-2 22.9 → 8.9 s. Join strategy never changes results.
     bands = bands.join(
-        bucket_n.filter(F.col("bn") <= 1000), ["bi", "bv"]
+        bucket_n.filter(F.col("bn") <= 1000).hint("shuffle_hash"),
+        ["bi", "bv"],
     ).drop("bn")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.bi") == F.col("b.bi"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

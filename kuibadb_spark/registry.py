@@ -154,6 +154,10 @@ _REVERIFY = frozenset({
     # round 11: verify replanned to group-pair cogroup +
     # prefilter-then-exact-score (output verified row-identical)
     "dedup_embedding_cosine",
+    # round 11: both (bi, bv) joins forced to SHUFFLE_HASH so all
+    # consumers ride one reused exchange (the _cs_pairs lesson;
+    # ×10 22.9 → 8.9 s)
+    "mm_ahash_near_dup",
     # round 11: _pair_stats pair tail re-packed (both sizes ride ONE
     # min() BIGINT sp = sz_a*2^24 + sz_b; 2-field pair structs, ×100
     # pair frame 62.6 → 45.1 s same-process) — every consumer's
